@@ -1,0 +1,34 @@
+"""ConceptAttention-TPU: a TPU-native JAX framework for training-free concept
+saliency extraction from multi-modal diffusion transformers.
+
+Re-designed from scratch for TPU (JAX/XLA/Pallas/pjit) with the capabilities of
+the PyTorch reference `manuragkhullar/ConceptAttention` (see SURVEY.md):
+a Flux-style rectified-flow DiT with a first-class optional concept-token
+stream, fused concept-saliency extraction, a mesh-sharded forward/training
+path, the public `ConceptAttentionFluxPipeline` API, and the zero-shot
+segmentation evaluation harness.
+
+Public API parity target: `concept_attention/__init__.py:2` in the reference.
+"""
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy public-API imports: keep `import conceptattention_tpu` light so ops
+    # and model modules are usable without pulling the full pipeline stack.
+    if name in ("ConceptAttentionFluxPipeline", "ConceptAttentionPipelineOutput"):
+        from conceptattention_tpu.pipeline import concept_pipeline
+
+        return getattr(concept_pipeline, name)
+    if name == "compute_heatmaps_from_vectors":
+        from conceptattention_tpu.pipeline import heatmaps
+
+        return heatmaps.compute_heatmaps_from_vectors
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+__all__ = [
+    "ConceptAttentionFluxPipeline",
+    "ConceptAttentionPipelineOutput",
+    "compute_heatmaps_from_vectors",
+]

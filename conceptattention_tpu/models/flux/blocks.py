@@ -1,0 +1,186 @@
+"""Flux DiT block bodies as pure functions.
+
+One parameterized double-stream block covers all four of the reference's
+copies of this attention pattern (vanilla `DoubleStreamBlock` at
+flux/src/flux/modules/layers.py:129-191, `ModifiedDoubleStreamBlock` at
+concept_attention/modified_double_stream_block.py:43-204, the diffusers block
+wrapper, and the CogVideoX processor): the concept stream is a first-class
+*optional* input, not a monkey-patched subclass.
+
+Concept-stream semantics (parity with modified_double_stream_block.py):
+  - concepts reuse the *txt* weights (txt_norm1 / txt_qkv / txt_mod applied to
+    concept_vec) — lines :86,100-104 in the reference;
+  - concept queries attend over [concept; img] keys with their own softmax
+    denominator (:121-168);
+  - concepts get their own residual+MLP update with txt weights (:201-202);
+  - image/text streams are computed exactly as if concepts were absent.
+
+Saliency taps are emitted as reduced [B, C, P] float32 maps (concept-x-patch
+similarities) rather than the reference's full per-layer vector stash — the
+reference materializes [T, 19, B, 4096, 3072] activations
+(modified_flux_dit.py:122-146), which is its biggest inefficiency; the maps
+are sufficient statistics for `compute_heatmaps_from_vectors`
+(concept_attention_pipeline.py:29-91) because the concept-axis normalization
+happens *after* the dot products.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from conceptattention_tpu.ops.attention import (
+    ConceptAttentionSpec,
+    joint_concept_attention,
+    merge_heads,
+    sdpa,
+    similarity_map,
+    split_qkv,
+)
+from conceptattention_tpu.ops.norms import layer_norm, modulation, rms_norm
+from conceptattention_tpu.ops.rope import apply_rope
+
+
+def _linear(x, p):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _qkv_heads(x_mod, qkv_p, qnorm, knorm, num_heads):
+    """Fused qkv projection -> QK-normalized per-head (q, k, v)."""
+    q, k, v = split_qkv(_linear(x_mod, qkv_p), num_heads)
+    q = rms_norm(q, qnorm).astype(v.dtype)
+    k = rms_norm(k, knorm).astype(v.dtype)
+    return q, k, v
+
+
+def _mlp(x, p_in, p_out):
+    return _linear(jax.nn.gelu(_linear(x, p_in), approximate=True), p_out)
+
+
+def double_block(
+    p: Dict[str, Any],
+    img: jax.Array,
+    txt: jax.Array,
+    vec: jax.Array,
+    pe: Tuple[jax.Array, jax.Array],
+    num_heads: int,
+    concepts: Optional[jax.Array] = None,
+    concept_vec: Optional[jax.Array] = None,
+    concept_pe: Optional[Tuple[jax.Array, jax.Array]] = None,
+    spec: ConceptAttentionSpec = ConceptAttentionSpec(),
+):
+    """One double-stream block step.
+
+    Returns (img, txt, concepts, saliency) where saliency is a dict of
+    [B, C, P] float32 maps keyed by tap name (or raw vectors when
+    spec.return_raw_vectors), empty when concepts is None.
+    """
+    img_mod1, img_mod2 = modulation(vec, p["img_mod"]["w"], p["img_mod"]["b"], double=True)
+    txt_mod1, txt_mod2 = modulation(vec, p["txt_mod"]["w"], p["txt_mod"]["b"], double=True)
+
+    img_modulated = (1 + img_mod1.scale) * layer_norm(img) + img_mod1.shift
+    img_qkv = _qkv_heads(img_modulated, p["img_qkv"], p["img_qnorm"], p["img_knorm"], num_heads)
+
+    txt_modulated = (1 + txt_mod1.scale) * layer_norm(txt) + txt_mod1.shift
+    txt_qkv = _qkv_heads(txt_modulated, p["txt_qkv"], p["txt_qnorm"], p["txt_knorm"], num_heads)
+
+    concept_qkv = None
+    con_mod1 = con_mod2 = None
+    if concepts is not None:
+        # Concepts reuse txt weights, with their own modulation vector.
+        con_mod1, con_mod2 = modulation(
+            concept_vec, p["txt_mod"]["w"], p["txt_mod"]["b"], double=True
+        )
+        con_modulated = (1 + con_mod1.scale) * layer_norm(concepts) + con_mod1.shift
+        concept_qkv = _qkv_heads(
+            con_modulated, p["txt_qkv"], p["txt_qnorm"], p["txt_knorm"], num_heads
+        )
+
+    txt_attn, img_attn, concept_attn, extras = joint_concept_attention(
+        txt_qkv, img_qkv, concept_qkv, pe, concept_pe, spec
+    )
+
+    saliency: Dict[str, jax.Array] = {}
+    if concepts is not None:
+        if spec.return_raw_vectors:
+            # Parity mode: the reference's 4 vector sets
+            # (modified_double_stream_block.py:185-191).
+            saliency = {
+                "output_space_concept_vectors": concept_attn,
+                "output_space_image_vectors": img_attn,
+                "cross_attention_concept_vectors": extras["concept_q"],
+                "cross_attention_image_vectors": extras["img_q"],
+            }
+        else:
+            if "output" in spec.taps:
+                saliency["output"] = similarity_map(concept_attn, img_attn)
+            if "cross_attention" in spec.taps:
+                saliency["cross_attention"] = similarity_map(
+                    merge_heads(extras["concept_q"]), merge_heads(extras["img_q"])
+                )
+            if "value" in spec.taps:
+                saliency["value"] = similarity_map(
+                    merge_heads(extras["concept_v"]), merge_heads(extras["img_v"])
+                )
+
+    # Residual + MLP updates.
+    img = img + img_mod1.gate * _linear(img_attn, p["img_proj"])
+    img = img + img_mod2.gate * _mlp(
+        (1 + img_mod2.scale) * layer_norm(img) + img_mod2.shift,
+        p["img_mlp_in"], p["img_mlp_out"],
+    )
+    txt = txt + txt_mod1.gate * _linear(txt_attn, p["txt_proj"])
+    txt = txt + txt_mod2.gate * _mlp(
+        (1 + txt_mod2.scale) * layer_norm(txt) + txt_mod2.shift,
+        p["txt_mlp_in"], p["txt_mlp_out"],
+    )
+    if concepts is not None:
+        concepts = concepts + con_mod1.gate * _linear(concept_attn, p["txt_proj"])
+        concepts = concepts + con_mod2.gate * _mlp(
+            (1 + con_mod2.scale) * layer_norm(concepts) + con_mod2.shift,
+            p["txt_mlp_in"], p["txt_mlp_out"],
+        )
+
+    return img, txt, concepts, saliency
+
+
+def single_block(
+    p: Dict[str, Any],
+    x: jax.Array,
+    vec: jax.Array,
+    pe: Tuple[jax.Array, jax.Array],
+    num_heads: int,
+    mlp_hidden_dim: int,
+) -> jax.Array:
+    """Single-stream block (parallel attention+MLP, fused projections) —
+    reference flux/src/flux/modules/layers.py:194-239."""
+    mod, _ = modulation(vec, p["mod"]["w"], p["mod"]["b"], double=False)
+    x_mod = (1 + mod.scale) * layer_norm(x) + mod.shift
+    h = _linear(x_mod, p["linear1"])
+    d = x.shape[-1]
+    qkv, mlp = h[..., : 3 * d], h[..., 3 * d :]
+    q, k, v = split_qkv(qkv, num_heads)
+    q = rms_norm(q, p["qnorm"]).astype(v.dtype)
+    k = rms_norm(k, p["knorm"]).astype(v.dtype)
+    q, k = apply_rope(q, k, pe)
+    attn = merge_heads(sdpa(q, k, v))
+    out = _linear(
+        jnp.concatenate([attn, jax.nn.gelu(mlp, approximate=True)], axis=-1),
+        p["linear2"],
+    )
+    return x + mod.gate * out
+
+
+def last_layer(
+    p: Dict[str, Any], x: jax.Array, vec: jax.Array
+) -> jax.Array:
+    """Final AdaLN + projection (reference layers.py:242-253)."""
+    mod = jax.nn.silu(vec) @ p["adaln"]["w"] + p["adaln"]["b"]
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    x = (1 + scale[:, None, :]) * layer_norm(x) + shift[:, None, :]
+    return _linear(x, p["linear"])

@@ -1,0 +1,168 @@
+"""Attention ops: XLA-path SDPA and the joint (txt|concept)+img attention.
+
+Behavior parity with the reference's ModifiedDoubleStreamBlock
+(`concept_attention/modified_double_stream_block.py:106-168` in
+manuragkhullar/ConceptAttention): a txt+img joint attention over the
+`[txt; img]` sequence plus a concept pass in which concept queries attend over
+`[concept; img]` keys (its own softmax denominator over C+P keys — *not*
+shared with the txt+img pass). Image tokens never attend to concepts, so
+generation is unmodified by the concept stream.
+
+TPU-first design choices vs. the reference:
+  - RoPE is applied once per segment (txt / img / concept); the image segment's
+    rotated q/k are shared between the two passes instead of being recomputed
+    (the reference ropes the 4096-token image segment twice per block).
+  - Softmax runs in float32 regardless of the compute dtype; the PV matmul
+    runs in the value dtype on the MXU.
+  - A Pallas fused kernel (kernels/flash_saliency.py) implements the same
+    contract blockwise for the hot path; this module is the XLA reference
+    implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ConceptAttentionSpec:
+    """Static configuration for the concept pass (reference
+    `joint_attention_kwargs`: concept_cross_attention / concept_self_attention /
+    keep_head_dim at modified_double_stream_block.py:126-171)."""
+
+    cross_attention: bool = True
+    self_attention: bool = True
+    # Which similarity tap points to emit as per-layer saliency maps.
+    taps: Tuple[str, ...] = ("output", "cross_attention")
+    # Emit full per-layer vector sets (parity/debug; large) instead of maps.
+    return_raw_vectors: bool = False
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, L, D] -> [B, L, H*D]."""
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def split_qkv(qkv: jax.Array, num_heads: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """[B, L, 3*H*D] fused projection -> three [B, H, L, D].
+
+    The fused output dim is laid out (k, h, d) to match the reference's
+    `rearrange(qkv, "B L (K H D) -> K B H L D")` so torch checkpoints import
+    without re-permutation.
+    """
+    b, l, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    x = qkv.reshape(b, l, 3, num_heads, d)
+    x = x.transpose(2, 0, 3, 1, 4)  # [3, B, H, L, D]
+    return x[0], x[1], x[2]
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Scaled dot-product attention over [B, H, L, D] with fp32 softmax."""
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def joint_concept_attention(
+    txt_qkv: Tuple[jax.Array, jax.Array, jax.Array],
+    img_qkv: Tuple[jax.Array, jax.Array, jax.Array],
+    concept_qkv: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
+    pe: Tuple[jax.Array, jax.Array],
+    concept_pe: Optional[Tuple[jax.Array, jax.Array]],
+    spec: ConceptAttentionSpec = ConceptAttentionSpec(),
+):
+    """Joint txt+img attention plus the optional concept pass.
+
+    Args:
+      txt_qkv/img_qkv/concept_qkv: per-segment (q, k, v), each [B, H, L, D],
+        already QK-normalized but *not* yet roped.
+      pe: (cos, sin) tables for the [txt; img] sequence.
+      concept_pe: (cos, sin) tables for the [concept; img] sequence.
+
+    Returns:
+      (txt_attn, img_attn, concept_attn, extras) where the first three are
+      merged-head [B, L, H*D] outputs (concept_attn is None when no concepts)
+      and extras carries pre-rope q/v tensors for saliency taps:
+      {"concept_q", "img_q", "concept_v", "img_v"} each [B, H, L, D].
+    """
+    from conceptattention_tpu.ops.rope import apply_rope
+
+    txt_q, txt_k, txt_v = txt_qkv
+    img_q, img_k, img_v = img_qkv
+    t = txt_q.shape[2]
+
+    cos, sin = pe
+    txt_pe = (cos[:, :, :t], sin[:, :, :t])
+    img_pe = (cos[:, :, t:], sin[:, :, t:])
+
+    txt_q_r, txt_k_r = apply_rope(txt_q, txt_k, txt_pe)
+    img_q_r, img_k_r = apply_rope(img_q, img_k, img_pe)
+
+    q = jnp.concatenate([txt_q_r, img_q_r], axis=2)
+    k = jnp.concatenate([txt_k_r, img_k_r], axis=2)
+    v = jnp.concatenate([txt_v, img_v], axis=2)
+    attn = sdpa(q, k, v)
+    txt_attn = merge_heads(attn[:, :, :t])
+    img_attn = merge_heads(attn[:, :, t:])
+
+    if concept_qkv is None:
+        return txt_attn, img_attn, None, {}
+
+    con_q, con_k, con_v = concept_qkv
+    c = con_q.shape[2]
+    ccos, csin = concept_pe
+    con_pe = (ccos[:, :, :c], csin[:, :, :c])
+    # The image-segment tables in concept_pe are identical to pe's image
+    # segment (both come from img_ids), so the roped img q/k are reused.
+    con_q_r, con_k_r = apply_rope(con_q, con_k, con_pe)
+
+    if spec.cross_attention and spec.self_attention:
+        cq = jnp.concatenate([con_q_r, img_q_r], axis=2)
+        ck = jnp.concatenate([con_k_r, img_k_r], axis=2)
+        cv = jnp.concatenate([con_v, img_v], axis=2)
+        concept_attn = sdpa(cq, ck, cv)[:, :, :c]
+    elif spec.cross_attention:
+        concept_attn = sdpa(con_q_r, img_k_r, img_v)
+    elif spec.self_attention:
+        concept_attn = sdpa(con_q_r, con_k_r, con_v)
+    else:
+        concept_attn = con_v
+
+    concept_attn = merge_heads(concept_attn)
+    extras = {
+        "concept_q": con_q,
+        "img_q": img_q,
+        "concept_v": con_v,
+        "img_v": img_v,
+    }
+    return txt_attn, img_attn, concept_attn, extras
+
+
+def similarity_map(
+    concept_vectors: jax.Array, image_vectors: jax.Array
+) -> jax.Array:
+    """Raw concept-x-patch similarity in a shared vector space.
+
+    Args: concept_vectors [B, C, D], image_vectors [B, P, D] (heads merged).
+    Returns: [B, C, P] float32 — the reference's
+    `einops.einsum(..., "... patches dim, ... concepts dim -> ... concepts patches")`
+    (concept_attention_pipeline.py:57-61).
+    """
+    return jnp.einsum(
+        "bcd,bpd->bcp", concept_vectors, image_vectors,
+        preferred_element_type=jnp.float32,
+    )

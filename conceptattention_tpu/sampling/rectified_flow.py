@@ -1,0 +1,94 @@
+"""Rectified-flow Euler sampler, fully jit-compiled.
+
+Parity target: `flux/src/flux/sampling.py:12-162` in the reference
+(manuragkhullar/ConceptAttention). The reference runs a Python loop over
+timesteps, re-dispatching the model each step and stacking per-step activation
+dicts on host (`sampling.py:96-152`). Here the *entire* denoise loop is one
+`jax.lax.scan` under jit: the DiT (itself a scan over blocks) is traced once,
+per-step concept saliency maps are accumulated on device as a
+`[steps, depth, B, C, P]` array, and only that small tensor ever leaves HBM.
+
+Noise is drawn from JAX's threefry PRNG — same distribution, different bit
+stream than torch's Philox (`get_noise`, reference sampling.py:12-29); parity
+tests inject torch-generated noise explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from conceptattention_tpu.config import FluxConfig
+from conceptattention_tpu.models.flux.dit import flux_forward
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.packing import latent_noise_shape, make_img_ids, pack_latents
+
+
+def get_noise(
+    key: jax.Array, num_samples: int, height: int, width: int, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Seeded latent noise in packed-compatible shape [B, 16, 2⌈h/16⌉, 2⌈w/16⌉]."""
+    return jax.random.normal(key, latent_noise_shape(num_samples, height, width), dtype)
+
+
+def prepare_image_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[B, C, H, W] latents -> (packed [B, P, C*4] tokens, img_ids [B, P, 3])."""
+    b, _, h, w = x.shape
+    return pack_latents(x), make_img_ids(h // 2, w // 2, batch_size=b)
+
+
+def denoise(
+    params: Dict[str, Any],
+    cfg: FluxConfig,
+    img: jax.Array,
+    img_ids: jax.Array,
+    txt: jax.Array,
+    txt_ids: jax.Array,
+    vec: jax.Array,
+    timesteps: jax.Array,
+    guidance: float = 4.0,
+    concepts: Optional[jax.Array] = None,
+    concept_ids: Optional[jax.Array] = None,
+    concept_vec: Optional[jax.Array] = None,
+    spec: ConceptAttentionSpec = ConceptAttentionSpec(),
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Euler rectified-flow loop: x_{t_prev} = x_t + (t_prev - t_curr) * v(x_t).
+
+    Args:
+      timesteps: [S+1] descending schedule (1 -> 0).
+
+    Returns:
+      (final latents [B, P, C*4], saliency dict of [S, depth, B, C, P] maps).
+    """
+    b = img.shape[0]
+    guidance_vec = jnp.full((b,), guidance, dtype=jnp.float32)
+    ts = jnp.asarray(timesteps, dtype=jnp.float32)
+    steps = (ts[:-1], ts[1:])
+
+    def step(x, t_pair):
+        t_curr, t_prev = t_pair
+        t_vec = jnp.full((b,), t_curr, dtype=jnp.float32)
+        pred, saliency = flux_forward(
+            params, cfg,
+            img=x, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
+            timesteps=t_vec, y=vec,
+            guidance=guidance_vec if cfg.guidance_embed else None,
+            concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
+            spec=spec,
+        )
+        # Euler step with float32 accumulation (strictly more accurate than
+        # the reference's bf16-in-place update).
+        x = (x.astype(jnp.float32) + (t_prev - t_curr) * pred.astype(jnp.float32)).astype(x.dtype)
+        return x, saliency
+
+    img, saliency = jax.lax.scan(step, img, steps)
+    return img, saliency
+
+
+def forward_noise(x: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+    """Rectified-flow forward noising: x_t = t * eps + (1 - t) * x
+    (reference segmentation.py:85-113)."""
+    t = jnp.asarray(t, dtype=jnp.float32)
+    return (t * noise.astype(jnp.float32) + (1.0 - t) * x.astype(jnp.float32)).astype(noise.dtype)
