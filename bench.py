@@ -1,0 +1,123 @@
+"""Headline benchmark: flux-schnell-style generation + concept heatmaps.
+
+Measures images/sec for a 4-step 1024x1024 rectified-flow generation with
+4-concept saliency extraction (the BASELINE.json north-star config), plus the
+heatmap-extraction overhead vs. a plain generation pass.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: BASELINE.json targets >= 1x A100 images/sec for the full 12B
+flux-schnell. An A100 runs full flux-schnell 4-step 1024^2 at ~0.5 img/s
+(~2 s/image, common public measurements; the reference repo publishes no
+numbers — BASELINE.md). The benchmarked model is depth-scaled to fit a single
+chip's HBM; throughput is normalized to full-depth equivalents by the
+per-step FLOP ratio so the comparison is apples-to-apples.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+A100_FULL_FLUX_IMGS_PER_SEC = 0.5  # full 12B flux-schnell, 4-step 1024^2
+FULL_DEPTH = (19, 38)
+
+
+def main():
+    from conceptattention_tpu.config import FluxConfig
+    from conceptattention_tpu.models.flux.params import init_flux_params, param_count
+    from conceptattention_tpu.ops.packing import make_img_ids
+    from conceptattention_tpu.ops.schedule import get_schedule
+    from conceptattention_tpu.sampling.rectified_flow import denoise
+
+    dev = jax.devices()[0]
+    hbm_bytes = None
+    try:
+        stats = dev.memory_stats()
+        hbm_bytes = stats.get("bytes_limit")
+    except Exception:
+        pass
+
+    # Pick depth to fit HBM: full flux-schnell is ~11.9B params (23.8 GB bf16)
+    # -> needs ~>24GB. Scale double/single depth proportionally to fit.
+    depth, depth_single = FULL_DEPTH
+    if hbm_bytes is not None and hbm_bytes < 26e9:
+        # ~620M params per (1 double + 2 single) slice at 3072 hidden.
+        budget = (hbm_bytes * 0.55) / 2  # bytes for bf16 params, leave room
+        slice_params = 0.62e9
+        n = max(1, int(budget / (slice_params * 2)))
+        depth, depth_single = min(19, n), min(38, 2 * n)
+
+    cfg = FluxConfig(
+        depth=depth, depth_single_blocks=depth_single, guidance_embed=False
+    )
+    dtype = jnp.bfloat16
+
+    b, t, c = 1, 256, 4
+    grid = (64, 64)  # 1024x1024 pixels -> 4096 image tokens
+    p_tokens = grid[0] * grid[1]
+    num_steps = 4
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 6)
+    params = init_flux_params(keys[0], cfg, dtype)
+    img = jax.random.normal(keys[1], (b, p_tokens, cfg.in_channels), dtype)
+    img_ids = make_img_ids(*grid, batch_size=b)
+    txt = jax.random.normal(keys[2], (b, t, cfg.context_in_dim), dtype)
+    txt_ids = jnp.zeros((b, t, 3), jnp.float32)
+    y = jax.random.normal(keys[3], (b, cfg.vec_in_dim), dtype)
+    concepts = jax.random.normal(keys[4], (b, c, cfg.context_in_dim), dtype)
+    concept_ids = jnp.zeros((b, c, 3), jnp.float32)
+    concept_vec = jnp.zeros((b, cfg.vec_in_dim), dtype)
+    schedule = jnp.asarray(get_schedule(num_steps, p_tokens, shift=False))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("with_concepts",))
+    def run(params, img, with_concepts):
+        out, sal = denoise(
+            params, cfg,
+            img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=y,
+            timesteps=schedule,
+            concepts=concepts if with_concepts else None,
+            concept_ids=concept_ids if with_concepts else None,
+            concept_vec=concept_vec if with_concepts else None,
+        )
+        return out, sal
+
+    def timed(with_concepts, iters=3):
+        out, _ = run(params, img, with_concepts)
+        jax.block_until_ready(out)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, sal = run(params, img, with_concepts)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    t_with = timed(True)
+    t_plain = timed(False)
+    overhead_pct = 100.0 * (t_with - t_plain) / t_plain
+
+    imgs_per_sec = b / t_with
+    # Normalize to full-depth FLOP-equivalents for the A100 comparison.
+    flop_scale = (depth + 0.5 * depth_single) / (FULL_DEPTH[0] + 0.5 * FULL_DEPTH[1])
+    imgs_per_sec_full_equiv = imgs_per_sec * flop_scale
+    vs_baseline = imgs_per_sec_full_equiv / A100_FULL_FLUX_IMGS_PER_SEC
+
+    print(json.dumps({
+        "metric": (
+            f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step "
+            f"4-concept heatmaps, bf16, 1 chip "
+            f"(full-depth-equiv {imgs_per_sec_full_equiv:.3f} img/s, "
+            f"heatmap overhead {overhead_pct:.1f}%)"
+        ),
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

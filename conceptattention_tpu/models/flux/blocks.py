@@ -37,7 +37,6 @@ from conceptattention_tpu.ops.attention import (
     merge_heads,
     sdpa,
     similarity_map,
-    split_qkv,
 )
 from conceptattention_tpu.ops.norms import layer_norm, modulation, rms_norm
 from conceptattention_tpu.ops.rope import apply_rope
@@ -51,8 +50,17 @@ def _linear(x, p):
 
 
 def _qkv_heads(x_mod, qkv_p, qnorm, knorm, num_heads):
-    """Fused qkv projection -> QK-normalized per-head (q, k, v)."""
-    q, k, v = split_qkv(_linear(x_mod, qkv_p), num_heads)
+    """Fused qkv projection -> QK-normalized per-head (q, k, v).
+
+    Weight is [D, 3, H, head_dim] (head-axis shardable); one MXU matmul.
+    """
+    qkv = jnp.einsum(
+        "bld,dkhe->kbhle", x_mod, qkv_p["w"],
+        preferred_element_type=jnp.float32,
+    ).astype(x_mod.dtype)
+    if "b" in qkv_p:
+        qkv = qkv + qkv_p["b"][:, None, :, None, :]
+    q, k, v = qkv[0], qkv[1], qkv[2]
     q = rms_norm(q, qnorm).astype(v.dtype)
     k = rms_norm(k, knorm).astype(v.dtype)
     return q, k, v
@@ -157,22 +165,18 @@ def single_block(
     num_heads: int,
     mlp_hidden_dim: int,
 ) -> jax.Array:
-    """Single-stream block (parallel attention+MLP, fused projections) —
-    reference flux/src/flux/modules/layers.py:194-239."""
+    """Single-stream block (parallel attention+MLP) — reference
+    flux/src/flux/modules/layers.py:194-239. The reference's fused
+    linear1/linear2 are held as separate qkv/mlp_in/proj/mlp_out leaves
+    (identical math, shardable); XLA fuses the sibling matmuls."""
     mod, _ = modulation(vec, p["mod"]["w"], p["mod"]["b"], double=False)
     x_mod = (1 + mod.scale) * layer_norm(x) + mod.shift
-    h = _linear(x_mod, p["linear1"])
-    d = x.shape[-1]
-    qkv, mlp = h[..., : 3 * d], h[..., 3 * d :]
-    q, k, v = split_qkv(qkv, num_heads)
-    q = rms_norm(q, p["qnorm"]).astype(v.dtype)
-    k = rms_norm(k, p["knorm"]).astype(v.dtype)
+    q, k, v = _qkv_heads(x_mod, p["qkv"], p["qnorm"], p["knorm"], num_heads)
+    mlp = _linear(x_mod, p["mlp_in"])
     q, k = apply_rope(q, k, pe)
     attn = merge_heads(sdpa(q, k, v))
-    out = _linear(
-        jnp.concatenate([attn, jax.nn.gelu(mlp, approximate=True)], axis=-1),
-        p["linear2"],
-    )
+    # linear2(concat([attn, gelu(mlp)])) == attn @ W_proj + gelu(mlp) @ W_mlp_out + b
+    out = _linear(attn, p["proj"]) + jax.nn.gelu(mlp, approximate=True) @ p["mlp_out"]["w"]
     return x + mod.gate * out
 
 

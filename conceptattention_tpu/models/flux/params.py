@@ -39,6 +39,19 @@ def _mlp_embedder(key, d_in, d_hidden, dtype) -> Params:
     }
 
 
+def _qkv(key, cfg: FluxConfig, dtype, bias: bool) -> Params:
+    """Fused QKV stored 4D as [D, 3, H, head_dim] so tensor parallelism can
+    shard the head axis cleanly (a flat [D, 3*H*head_dim] layout would split
+    across the q/k/v boundary for tp > 3)."""
+    d = cfg.hidden_size
+    scale = 1.0 / (d**0.5)
+    w = jax.random.normal(key, (d, 3, cfg.num_heads, cfg.head_dim), jnp.float32) * scale
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((3, cfg.num_heads, cfg.head_dim), dtype)
+    return p
+
+
 def _double_block(key, cfg: FluxConfig, dtype) -> Params:
     d, m = cfg.hidden_size, cfg.mlp_hidden_dim
     keys = jax.random.split(key, 12)
@@ -46,7 +59,7 @@ def _double_block(key, cfg: FluxConfig, dtype) -> Params:
     for i, stream in enumerate(("img", "txt")):
         o = i * 6
         p[f"{stream}_mod"] = _linear(keys[o + 0], d, 6 * d, dtype)
-        p[f"{stream}_qkv"] = _linear(keys[o + 1], d, 3 * d, dtype, bias=cfg.qkv_bias)
+        p[f"{stream}_qkv"] = _qkv(keys[o + 1], cfg, dtype, bias=cfg.qkv_bias)
         p[f"{stream}_qnorm"] = jnp.ones((cfg.head_dim,), dtype)
         p[f"{stream}_knorm"] = jnp.ones((cfg.head_dim,), dtype)
         p[f"{stream}_proj"] = _linear(keys[o + 2], d, d, dtype)
@@ -56,12 +69,18 @@ def _double_block(key, cfg: FluxConfig, dtype) -> Params:
 
 
 def _single_block(key, cfg: FluxConfig, dtype) -> Params:
+    """Single block with the reference's fused linear1/linear2
+    (layers.py:194-239) stored as separate qkv / mlp_in / proj / mlp_out
+    leaves: mathematically identical (concatenated matmuls distribute), but
+    shardable without crossing the attention/MLP boundary."""
     d, m = cfg.hidden_size, cfg.mlp_hidden_dim
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     return {
         "mod": _linear(k1, d, 3 * d, dtype),
-        "linear1": _linear(k2, d, 3 * d + m, dtype),
-        "linear2": _linear(k3, d + m, d, dtype),
+        "qkv": _qkv(k2, cfg, dtype, bias=True),
+        "mlp_in": _linear(k3, d, m, dtype),
+        "proj": _linear(k4, d, d, dtype),
+        "mlp_out": _linear(k5, m, d, dtype, bias=False),
         "qnorm": jnp.ones((cfg.head_dim,), dtype),
         "knorm": jnp.ones((cfg.head_dim,), dtype),
     }

@@ -1,0 +1,51 @@
+"""Device-mesh construction for the DP x TP (x SP) sharding of the DiT.
+
+The reference is single-process/single-GPU with host<->device offload
+choreography (SURVEY.md §2g census); its only distributed code is vendored and
+unused. Here multi-chip scaling is first-class: a `jax.sharding.Mesh` with
+axes
+
+  - `data`:  batch data-parallelism (outer axis; rides DCN across pods),
+  - `model`: tensor parallelism over attention heads / MLP hidden (ICI),
+  - `seq`:   optional sequence/context parallelism over image patches for
+             video-length sequences (ICI).
+
+Collectives are inserted by GSPMD from the param/activation shardings — no
+NCCL-style external backend exists or is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshAxes:
+    data: str = "data"
+    model: str = "model"
+    seq: str = "seq"
+
+
+AXES = MeshAxes()
+
+
+def make_mesh(
+    data: int = 1,
+    model: int = 1,
+    seq: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, seq, model) mesh. `model` should map to the fastest ICI
+    axis (innermost), `data` to the slowest/DCN."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * model * seq
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data, seq, model)
+    return Mesh(grid, (AXES.data, AXES.seq, AXES.model))

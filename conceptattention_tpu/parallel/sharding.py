@@ -1,0 +1,101 @@
+"""Sharding rules: Megatron-style tensor parallelism for the Flux DiT.
+
+Per-leaf `PartitionSpec`s over the mesh from parallel/mesh.py:
+
+  - fused QKV `[D, 3, H, Dh]`: shard the head axis H on `model`
+    (column-parallel);
+  - attention out-proj `[H*Dh, D]`: shard the input axis on `model`
+    (row-parallel; GSPMD inserts the psum);
+  - MLP in `[D, M]`: shard M on `model`; MLP out `[M, D]`: shard M
+    (row-parallel);
+  - modulation / embedders / norms: replicated (tiny);
+  - per-layer stacks carry a leading `depth` axis: specs are shifted by one.
+
+Activations: batch on `data`, sequence optionally on `seq`; everything else
+replicated — GSPMD propagates the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from conceptattention_tpu.parallel.mesh import AXES
+
+
+def _double_block_spec() -> Dict[str, Any]:
+    tp = AXES.model
+    spec = {}
+    for stream in ("img", "txt"):
+        spec[f"{stream}_mod"] = {"w": P(), "b": P()}
+        spec[f"{stream}_qkv"] = {"w": P(None, None, tp, None), "b": P(None, tp, None)}
+        spec[f"{stream}_qnorm"] = P()
+        spec[f"{stream}_knorm"] = P()
+        spec[f"{stream}_proj"] = {"w": P(tp, None), "b": P()}
+        spec[f"{stream}_mlp_in"] = {"w": P(None, tp), "b": P(tp)}
+        spec[f"{stream}_mlp_out"] = {"w": P(tp, None), "b": P()}
+    return spec
+
+
+def _single_block_spec() -> Dict[str, Any]:
+    tp = AXES.model
+    return {
+        "mod": {"w": P(), "b": P()},
+        "qkv": {"w": P(None, None, tp, None), "b": P(None, tp, None)},
+        "mlp_in": {"w": P(None, tp), "b": P(tp)},
+        "proj": {"w": P(tp, None), "b": P()},
+        "mlp_out": {"w": P(tp, None)},
+        "qnorm": P(),
+        "knorm": P(),
+    }
+
+
+def _prepend_layer_axis(spec_tree):
+    """Stacked per-layer params have a leading depth axis -> shift specs."""
+    return jax.tree.map(
+        lambda s: P(None, *s), spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def flux_param_spec(cfg=None) -> Dict[str, Any]:
+    """PartitionSpec pytree matching init_flux_params' structure."""
+    emb = {"in": {"w": P(), "b": P()}, "out": {"w": P(), "b": P()}}
+    spec: Dict[str, Any] = {
+        "img_in": {"w": P(), "b": P()},
+        "txt_in": {"w": P(), "b": P()},
+        "time_in": emb,
+        "vector_in": {"in": {"w": P(), "b": P()}, "out": {"w": P(), "b": P()}},
+        "final": {
+            "adaln": {"w": P(), "b": P()},
+            "linear": {"w": P(), "b": P()},
+        },
+        "double": _prepend_layer_axis(_double_block_spec()),
+        "single": _prepend_layer_axis(_single_block_spec()),
+    }
+    if cfg is not None and cfg.guidance_embed:
+        spec["guidance_in"] = {"in": {"w": P(), "b": P()}, "out": {"w": P(), "b": P()}}
+    return spec
+
+
+def flux_param_sharding(mesh: Mesh, cfg=None) -> Dict[str, Any]:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        flux_param_spec(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]:
+    """Place a param pytree onto the mesh with the TP sharding rules."""
+    shardings = flux_param_sharding(mesh, cfg)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def activation_sharding(mesh: Mesh, seq_sharded: bool = False) -> NamedSharding:
+    """[B, L, D] activation sharding: batch on data, optionally seq on seq."""
+    return NamedSharding(
+        mesh, P(AXES.data, AXES.seq if seq_sharded else None, None)
+    )

@@ -1,0 +1,342 @@
+"""Public pipeline API: generate images + concept saliency heatmaps.
+
+Parity target: `ConceptAttentionFluxPipeline`
+(`concept_attention/concept_attention_pipeline.py:94-357` in
+manuragkhullar/ConceptAttention) — `generate_image(prompt, concepts, ...)` and
+`encode_image(image, concepts, ...)`, each returning
+`ConceptAttentionPipelineOutput(image, concept_heatmaps, cross_attention_maps)`.
+
+TPU-first differences:
+  - the whole denoise loop (DiT scan x Euler scan) runs under one jit; only
+    the final latents and the tiny [S, L, B, C, P] saliency-map stack leave
+    the device (the reference stacks [T, 19, B, 4096, 3072] vector dicts on
+    host);
+  - no offload choreography — weights live in HBM (sharded over the mesh when
+    one is provided);
+  - checkpoints load via env vars (FLUX_SCHNELL / FLUX_DEV / AE) like the
+    reference's util.py:28-93; without a checkpoint, params are randomly
+    initialized (tests/benches) since this environment has no hub egress.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conceptattention_tpu.config import ModelSpec, configs
+from conceptattention_tpu.models.flux import autoencoder as vae
+from conceptattention_tpu.models.flux.dit import flux_forward
+from conceptattention_tpu.models.flux.params import init_flux_params
+from conceptattention_tpu.models.text.encoders import (
+    StubTextEncoders,
+    TextEncoders,
+    embed_concepts,
+)
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.packing import make_img_ids, pack_latents, unpack_latents
+from conceptattention_tpu.ops.schedule import get_schedule
+from conceptattention_tpu.pipeline.heatmaps import heatmaps_to_pil, reduce_maps
+from conceptattention_tpu.sampling.rectified_flow import denoise, forward_noise, get_noise
+
+
+@dataclasses.dataclass
+class ConceptAttentionPipelineOutput:
+    image: Any  # PIL.Image.Image | np.ndarray
+    concept_heatmaps: Union[List[Any], np.ndarray]
+    cross_attention_maps: Union[List[Any], np.ndarray]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "guidance_embed"))
+def _generate_latents(
+    params, cfg, noise, img_ids, txt, txt_ids, vec,
+    concepts, concept_ids, concept_vec, timesteps, guidance,
+    spec, guidance_embed,
+):
+    img, saliency = denoise(
+        params, cfg,
+        img=noise, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=vec,
+        timesteps=timesteps, guidance=guidance,
+        concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
+        spec=spec,
+    )
+    return img, saliency
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec"))
+def _encode_forward(
+    params, cfg, img, img_ids, txt, txt_ids, vec,
+    concepts, concept_ids, concept_vec, t_vec,
+    spec,
+):
+    _, saliency = flux_forward(
+        params, cfg,
+        img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
+        timesteps=t_vec, y=vec,
+        guidance=jnp.zeros_like(t_vec) if cfg.guidance_embed else None,
+        concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
+        stop_after_multimodal_attentions=True,
+        spec=spec,
+    )
+    return saliency
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vae_decode_f32(ae_params, cfg, latents_packed, height, width):
+    z = unpack_latents(latents_packed.astype(jnp.float32), height, width)
+    return vae.decode(jax.tree.map(lambda x: x.astype(jnp.float32), ae_params), cfg, z)
+
+
+class ConceptAttentionFluxPipeline:
+    """Generate / encode images with Flux and extract concept heatmaps."""
+
+    def __init__(
+        self,
+        model_name: str = "flux-schnell",
+        dtype=jnp.bfloat16,
+        params: Optional[dict] = None,
+        ae_params: Optional[dict] = None,
+        text_encoders: Optional[TextEncoders] = None,
+        mesh=None,
+        init_seed: int = 0,
+        offload_model: bool = False,  # accepted for API parity; TPU HBM holds the model
+        device: Optional[str] = None,  # API parity; placement is mesh-driven
+    ):
+        self.spec: ModelSpec = configs[model_name]
+        self.model_name = model_name
+        self.is_schnell = "schnell" in model_name or model_name == "flux-tiny"
+        self.cfg = self.spec.params
+        self.dtype = dtype
+        self.mesh = mesh
+
+        if params is None:
+            ckpt = self.spec.ckpt_path
+            if ckpt:
+                from conceptattention_tpu.weights.convert import (
+                    convert_flux_state_dict,
+                    load_safetensors,
+                )
+
+                params = convert_flux_state_dict(load_safetensors(ckpt), self.cfg, dtype)
+            else:
+                params = init_flux_params(jax.random.PRNGKey(init_seed), self.cfg, dtype)
+        if ae_params is None:
+            ae_ckpt = self.spec.ae_path
+            if ae_ckpt:
+                from conceptattention_tpu.weights.convert import (
+                    convert_autoencoder_state_dict,
+                    load_safetensors,
+                )
+
+                ae_params = convert_autoencoder_state_dict(
+                    load_safetensors(ae_ckpt), self.spec.ae_params, jnp.float32
+                )
+            else:
+                ae_params = vae.init_autoencoder_params(
+                    jax.random.PRNGKey(init_seed + 1), self.spec.ae_params, jnp.float32
+                )
+        self.params = params
+        self.ae_params = ae_params
+
+        if mesh is not None:
+            from conceptattention_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, mesh, self.cfg)
+
+        if text_encoders is None:
+            text_encoders = StubTextEncoders(
+                t5_dim=self.cfg.context_in_dim,
+                clip_dim=self.cfg.vec_in_dim,
+                t5_max_length=self.spec.t5_max_length,
+            )
+        self.text_encoders = text_encoders
+
+    # ------------------------------------------------------------------
+    def _prepare_text(self, prompt: str, batch_size: int = 1):
+        txt = self.text_encoders.encode_t5([prompt]).astype(self.dtype)
+        txt = jnp.broadcast_to(txt, (batch_size, *txt.shape[1:]))
+        vec = self.text_encoders.encode_clip([prompt]).astype(self.dtype)
+        vec = jnp.broadcast_to(vec, (batch_size, *vec.shape[1:]))
+        txt_ids = jnp.zeros((batch_size, txt.shape[1], 3), dtype=jnp.float32)
+        return txt, txt_ids, vec
+
+    def _prepare_concepts(self, concepts: List[str], batch_size: int = 1):
+        c_emb, c_ids, c_vec = embed_concepts(self.text_encoders, concepts, batch_size)
+        return c_emb.astype(self.dtype), c_ids, c_vec.astype(self.dtype)
+
+    # ------------------------------------------------------------------
+    def generate_image(
+        self,
+        prompt: str,
+        concepts: List[str],
+        width: int = 1024,
+        height: int = 1024,
+        return_cross_attention: bool = False,
+        layer_indices: Optional[Sequence[int]] = None,
+        return_pil_heatmaps: bool = True,
+        seed: int = 0,
+        num_inference_steps: int = 4,
+        guidance: float = 0.0,
+        timesteps: Optional[Sequence[int]] = None,
+        softmax: bool = True,
+        attention_norm: str = "sparsemax",
+        cmap: str = "plasma",
+        return_image_array: bool = False,
+    ) -> ConceptAttentionPipelineOutput:
+        """Generate an image and per-concept heatmaps.
+
+        Defaults mirror the reference (concept_attention_pipeline.py:116-132):
+        layers 15..18, all timesteps, softmax normalization.
+        """
+        depth = self.cfg.depth
+        if layer_indices is None:
+            layer_indices = list(range(max(0, depth - 4), depth))
+        assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
+        assert height == width, "Height and width must be the same for now"
+        if timesteps is None:
+            timesteps = list(range(num_inference_steps))
+
+        key = jax.random.PRNGKey(seed)
+        noise = get_noise(key, 1, height, width, self.dtype)
+        b, _, lh, lw = noise.shape
+        schedule = get_schedule(
+            num_inference_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)
+        )
+
+        txt, txt_ids, vec = self._prepare_text(prompt, b)
+        c_emb, c_ids, c_vec = self._prepare_concepts(concepts, b)
+
+        img = pack_latents(noise)
+        img_ids = make_img_ids(lh // 2, lw // 2, b)
+
+        latents, saliency = _generate_latents(
+            self.params, self.cfg, img, img_ids, txt, txt_ids, vec,
+            c_emb, c_ids, c_vec, jnp.asarray(schedule), guidance,
+            ConceptAttentionSpec(taps=("output", "cross_attention")),
+            self.cfg.guidance_embed,
+        )
+
+        # Heatmaps: [S, L, B, C, P] -> [B, C, h, w]
+        grid = (lh // 2, lw // 2)
+        concept_heatmaps = reduce_maps(
+            saliency["output"], layer_indices, timesteps, softmax, attention_norm, grid
+        )
+        cross_attention_maps = reduce_maps(
+            saliency["cross_attention"], layer_indices, timesteps, softmax,
+            attention_norm, grid,
+        )
+
+        image = self._decode_to_image(latents, height, width, return_image_array)
+        return self._package_output(
+            image, concept_heatmaps, cross_attention_maps, return_pil_heatmaps, cmap
+        )
+
+    # ------------------------------------------------------------------
+    def encode_image(
+        self,
+        image,
+        concepts: List[str],
+        prompt: str = "",
+        width: int = 1024,
+        height: int = 1024,
+        layer_indices: Optional[Sequence[int]] = None,
+        num_samples: int = 1,
+        num_steps: int = 4,
+        noise_timestep: int = 2,
+        return_pil_heatmaps: bool = True,
+        seed: int = 0,
+        cmap: str = "plasma",
+        stop_after_multi_modal_attentions: bool = True,
+        attention_norm: str = "sparsemax",
+        softmax: bool = True,
+        device: Optional[str] = None,  # API parity
+    ) -> ConceptAttentionPipelineOutput:
+        """Concept heatmaps for a *real* image: VAE-encode, forward-noise to
+        `noise_timestep`, one DiT forward stopping after the double blocks
+        (reference concept_attention_pipeline.py:204-357)."""
+        depth = self.cfg.depth
+        if layer_indices is None:
+            layer_indices = list(range(max(0, depth - 4), depth))
+        assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
+        assert height == width, "Height and width must be the same for now"
+
+        z = self._encode_pixels(image, height, width, seed)
+
+        txt, txt_ids, vec = self._prepare_text(prompt, 1)
+        c_emb, c_ids, c_vec = self._prepare_concepts(concepts, 1)
+
+        b, _, lh, lw = z.shape
+        img_ids = make_img_ids(lh // 2, lw // 2, b)
+        schedule = get_schedule(
+            num_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)
+        )
+        t = schedule[noise_timestep]
+
+        per_sample = []
+        for i in range(num_samples):
+            noise = get_noise(jax.random.PRNGKey(seed + i), 1, height, width, self.dtype)
+            noised = forward_noise(z, noise, t)
+            t_vec = jnp.full((b,), t, dtype=jnp.float32)
+            saliency = _encode_forward(
+                self.params, self.cfg, pack_latents(noised), img_ids,
+                txt, txt_ids, vec, c_emb, c_ids, c_vec, t_vec,
+                ConceptAttentionSpec(taps=("output", "cross_attention")),
+            )
+            per_sample.append(saliency)
+        # Stack samples as the "time" axis: [N, L, B, C, P]
+        saliency = jax.tree.map(lambda *xs: jnp.stack(xs), *per_sample)
+
+        grid = (lh // 2, lw // 2)
+        concept_heatmaps = reduce_maps(
+            saliency["output"], layer_indices, None, softmax, attention_norm, grid
+        )
+        cross_attention_maps = reduce_maps(
+            saliency["cross_attention"], layer_indices, None, softmax,
+            attention_norm, grid,
+        )
+        return self._package_output(
+            image, concept_heatmaps, cross_attention_maps, return_pil_heatmaps, cmap
+        )
+
+    # ------------------------------------------------------------------
+    def _encode_pixels(self, image, height: int, width: int, seed: int) -> jax.Array:
+        """PIL/array -> [1, 3, H, W] in [-1, 1] -> VAE latents [1, 16, H/8, W/8]."""
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+            arr = arr[..., :3].transpose(2, 0, 1)  # HWC -> CHW
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        arr = 2.0 * arr - 1.0
+        x = jnp.asarray(arr)[None]
+        x = jax.image.resize(x, (1, 3, height, width), method="bilinear")
+        return vae.encode(
+            self.ae_params, self.spec.ae_params, x, key=jax.random.PRNGKey(seed)
+        ).astype(self.dtype)
+
+    def _decode_to_image(self, latents, height, width, return_array: bool):
+        x = _vae_decode_f32(self.ae_params, self.spec.ae_params, latents, height, width)
+        x = jnp.clip(x, -1.0, 1.0)
+        arr = np.asarray(((x[0] + 1.0) * 127.5).transpose(1, 2, 0)).astype(np.uint8)
+        if return_array:
+            return arr
+        import PIL.Image
+
+        return PIL.Image.fromarray(arr)
+
+    def _package_output(
+        self, image, concept_heatmaps, cross_attention_maps, return_pil: bool, cmap: str
+    ) -> ConceptAttentionPipelineOutput:
+        concept_heatmaps = np.asarray(concept_heatmaps, dtype=np.float32)[0]
+        cross_attention_maps = np.asarray(cross_attention_maps, dtype=np.float32)[0]
+        if return_pil:
+            concept_heatmaps = heatmaps_to_pil(concept_heatmaps, cmap)
+            cross_attention_maps = heatmaps_to_pil(cross_attention_maps, cmap)
+        return ConceptAttentionPipelineOutput(
+            image=image,
+            concept_heatmaps=concept_heatmaps,
+            cross_attention_maps=cross_attention_maps,
+        )

@@ -1,0 +1,222 @@
+"""Torch/safetensors checkpoint -> JAX param-pytree conversion.
+
+Key-name contract: the official Flux safetensors layout (the module tree the
+reference loads at `flux/src/flux/util.py:105-127` — e.g.
+`double_blocks.0.img_attn.qkv.weight`, `single_blocks.5.linear1.bias`,
+`final_layer.adaLN_modulation.1.weight`) and the corresponding VAE tree
+(`encoder.down.0.block.1.norm1.weight`, ...).
+
+Transformations applied:
+  - torch Linear weights are [out, in]; ours are [in, out] -> transpose;
+  - fused qkv weights [3*H*Dh, D] -> 4D [D, 3, H, Dh] (head-shardable);
+  - single-block linear1/linear2 are split into qkv/mlp_in/proj/mlp_out
+    leaves at the 3*hidden boundary (identical math, shardable);
+  - per-layer tensors are stacked along a leading depth axis for lax.scan;
+  - conv weights stay OIHW (our VAE computes in NCHW/OIHW).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from conceptattention_tpu.config import AutoEncoderConfig, FluxConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().to("cpu")
+        if x.dtype.__str__() == "torch.bfloat16":
+            x = x.float()
+        return x.numpy()
+    return np.asarray(x)
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            out[key] = f.get_tensor(key)
+    return out
+
+
+class _SD:
+    """State-dict view with access tracking (reports unused keys)."""
+
+    def __init__(self, sd: Mapping[str, Any], dtype):
+        self.sd = sd
+        self.dtype = dtype
+        self.used = set()
+
+    def __call__(self, key: str, transpose: bool = False) -> jnp.ndarray:
+        self.used.add(key)
+        x = _np(self.sd[key]).astype(np.float32)
+        if transpose:
+            x = x.T
+        return jnp.asarray(x, dtype=self.dtype)
+
+    def linear(self, key: str, bias: bool = True) -> Dict[str, jnp.ndarray]:
+        p = {"w": self(f"{key}.weight", transpose=True)}
+        if bias and f"{key}.bias" in self.sd:
+            p["b"] = self(f"{key}.bias")
+        return p
+
+    def unused(self):
+        return sorted(set(self.sd.keys()) - self.used)
+
+
+def _qkv_from_fused(w_t: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[D, 3*H*Dh] (already transposed) -> [D, 3, H, Dh]."""
+    d, thd = w_t.shape
+    head_dim = thd // (3 * num_heads)
+    return w_t.reshape(d, 3, num_heads, head_dim)
+
+
+def _mlp_embedder(sd: _SD, key: str) -> Dict[str, Any]:
+    return {"in": sd.linear(f"{key}.in_layer"), "out": sd.linear(f"{key}.out_layer")}
+
+
+def convert_flux_state_dict(
+    sd: Mapping[str, Any], cfg: FluxConfig, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Flux DiT torch state dict -> our param pytree."""
+    s = _SD(sd, dtype)
+    h = cfg.num_heads
+    hd = cfg.head_dim
+
+    def double_layer(i: int) -> Dict[str, Any]:
+        p: Dict[str, Any] = {}
+        for stream, attn in (("img", "img_attn"), ("txt", "txt_attn")):
+            base = f"double_blocks.{i}"
+            p[f"{stream}_mod"] = s.linear(f"{base}.{stream}_mod.lin")
+            qkv = s.linear(f"{base}.{attn}.qkv")
+            p[f"{stream}_qkv"] = {"w": _qkv_from_fused(qkv["w"], h)}
+            if "b" in qkv:
+                p[f"{stream}_qkv"]["b"] = qkv["b"].reshape(3, h, hd)
+            p[f"{stream}_qnorm"] = s(f"{base}.{attn}.norm.query_norm.scale")
+            p[f"{stream}_knorm"] = s(f"{base}.{attn}.norm.key_norm.scale")
+            p[f"{stream}_proj"] = s.linear(f"{base}.{attn}.proj")
+            p[f"{stream}_mlp_in"] = s.linear(f"{base}.{stream}_mlp.0")
+            p[f"{stream}_mlp_out"] = s.linear(f"{base}.{stream}_mlp.2")
+        return p
+
+    def single_layer(i: int) -> Dict[str, Any]:
+        base = f"single_blocks.{i}"
+        d = cfg.hidden_size
+        l1 = s.linear(f"{base}.linear1")
+        l2 = s.linear(f"{base}.linear2")
+        return {
+            "mod": s.linear(f"{base}.modulation.lin"),
+            "qkv": {
+                "w": _qkv_from_fused(l1["w"][:, : 3 * d], h),
+                "b": l1["b"][: 3 * d].reshape(3, h, hd),
+            },
+            "mlp_in": {"w": l1["w"][:, 3 * d :], "b": l1["b"][3 * d :]},
+            "proj": {"w": l2["w"][:d], "b": l2["b"]},
+            "mlp_out": {"w": l2["w"][d:]},
+            "qnorm": s(f"{base}.norm.query_norm.scale"),
+            "knorm": s(f"{base}.norm.key_norm.scale"),
+        }
+
+    params: Dict[str, Any] = {
+        "img_in": s.linear("img_in"),
+        "txt_in": s.linear("txt_in"),
+        "time_in": _mlp_embedder(s, "time_in"),
+        "vector_in": _mlp_embedder(s, "vector_in"),
+        "final": {
+            "adaln": s.linear("final_layer.adaLN_modulation.1"),
+            "linear": s.linear("final_layer.linear"),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = _mlp_embedder(s, "guidance_in")
+
+    import jax
+
+    double = [double_layer(i) for i in range(cfg.depth)]
+    single = [single_layer(i) for i in range(cfg.depth_single_blocks)]
+    params["double"] = jax.tree.map(lambda *xs: jnp.stack(xs), *double)
+    params["single"] = jax.tree.map(lambda *xs: jnp.stack(xs), *single)
+    return params
+
+
+def _conv(sd: _SD, key: str) -> Dict[str, jnp.ndarray]:
+    return {"w": sd(f"{key}.weight"), "b": sd(f"{key}.bias")}
+
+
+def _gn(sd: _SD, key: str) -> Dict[str, jnp.ndarray]:
+    return {"scale": sd(f"{key}.weight"), "bias": sd(f"{key}.bias")}
+
+
+def _resnet(sd: _SD, key: str) -> Dict[str, Any]:
+    p = {
+        "norm1": _gn(sd, f"{key}.norm1"),
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "norm2": _gn(sd, f"{key}.norm2"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+    if f"{key}.nin_shortcut.weight" in sd.sd:
+        p["nin_shortcut"] = _conv(sd, f"{key}.nin_shortcut")
+    return p
+
+
+def _attn(sd: _SD, key: str) -> Dict[str, Any]:
+    return {
+        "norm": _gn(sd, f"{key}.norm"),
+        "q": _conv(sd, f"{key}.q"),
+        "k": _conv(sd, f"{key}.k"),
+        "v": _conv(sd, f"{key}.v"),
+        "proj_out": _conv(sd, f"{key}.proj_out"),
+    }
+
+
+def convert_autoencoder_state_dict(
+    sd: Mapping[str, Any], cfg: AutoEncoderConfig, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Flux VAE torch state dict -> our param pytree."""
+    s = _SD(sd, dtype)
+    n_levels = len(cfg.ch_mult)
+
+    enc: Dict[str, Any] = {"conv_in": _conv(s, "encoder.conv_in")}
+    down = []
+    for i in range(n_levels):
+        level: Dict[str, Any] = {
+            "block": [
+                _resnet(s, f"encoder.down.{i}.block.{j}")
+                for j in range(cfg.num_res_blocks)
+            ]
+        }
+        if i != n_levels - 1:
+            level["downsample"] = {"conv": _conv(s, f"encoder.down.{i}.downsample.conv")}
+        down.append(level)
+    enc["down"] = down
+    enc["mid_block_1"] = _resnet(s, "encoder.mid.block_1")
+    enc["mid_attn_1"] = _attn(s, "encoder.mid.attn_1")
+    enc["mid_block_2"] = _resnet(s, "encoder.mid.block_2")
+    enc["norm_out"] = _gn(s, "encoder.norm_out")
+    enc["conv_out"] = _conv(s, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _conv(s, "decoder.conv_in")}
+    dec["mid_block_1"] = _resnet(s, "decoder.mid.block_1")
+    dec["mid_attn_1"] = _attn(s, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _resnet(s, "decoder.mid.block_2")
+    up = []
+    for i in range(n_levels):
+        level = {
+            "block": [
+                _resnet(s, f"decoder.up.{i}.block.{j}")
+                for j in range(cfg.num_res_blocks + 1)
+            ]
+        }
+        if i != 0:
+            level["upsample"] = {"conv": _conv(s, f"decoder.up.{i}.upsample.conv")}
+        up.append(level)
+    dec["up"] = up
+    dec["norm_out"] = _gn(s, "decoder.norm_out")
+    dec["conv_out"] = _conv(s, "decoder.conv_out")
+
+    return {"encoder": enc, "decoder": dec}
