@@ -1,0 +1,181 @@
+"""Zero-shot segmentation interface + Flux tap-point segmentation models.
+
+Parity targets in the reference (manuragkhullar/ConceptAttention):
+  - `SegmentationAbstractClass.__call__` (`concept_attention/segmentation.py:19-83`):
+    per-image coefficients -> optional gaussian blur -> mean-value threshold ->
+    binary mask, with target-concept selection;
+  - the raw-space baselines (`binary_segmentation_baselines/raw_output_space.py`,
+    `raw_cross_attention.py`, `raw_value_space.py`): encode a real image,
+    forward-noise to a schedule timestep, one DiT forward stopping after the
+    double blocks, per-layer similarity maps averaged over samples+layers
+    (softmax over concepts optional, default off for segmentation).
+
+Design: the reference implements each tap point as a separate ~300-line
+baseline class reading stale cached attributes off monkey-patched blocks
+(SURVEY.md §2e); here all three spaces are the *same* model with a different
+`tap` ∈ {output, cross_attention, value} — the saliency taps emitted by the
+fused forward pass.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
+from conceptattention_tpu.ops.schedule import get_schedule
+from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm
+from conceptattention_tpu.sampling.rectified_flow import forward_noise, get_noise
+
+
+def gaussian_blur_3x3(x: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """3x3 separable gaussian blur over the trailing two axes (the reference
+    applies torchvision's kernel_size=3, sigma=1.0 blur)."""
+    coords = np.arange(3, dtype=np.float64) - 1.0
+    k = np.exp(-(coords**2) / (2 * sigma**2))
+    k /= k.sum()
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = np.pad(x, pad, mode="reflect")
+    # horizontal then vertical
+    out = (
+        k[0] * xp[..., 1:-1, :-2] + k[1] * xp[..., 1:-1, 1:-1] + k[2] * xp[..., 1:-1, 2:]
+    )
+    outp = np.pad(out, pad[:-1] + [(0, 0)], mode="reflect")
+    out = (
+        k[0] * outp[..., :-2, :] + k[1] * outp[..., 1:-1, :] + k[2] * outp[..., 2:, :]
+    )
+    return out
+
+
+class SegmentationModel(abc.ABC):
+    """Maps (image, concepts, caption) -> per-concept coefficient maps, then
+    thresholds them into binary masks."""
+
+    @abc.abstractmethod
+    def segment_individual_image(
+        self, image, concepts: List[str], caption: str, **kwargs
+    ) -> Tuple[np.ndarray, Optional[object]]:
+        """-> (coefficients [C, h, w], reconstructed_image | None)"""
+
+    def __call__(
+        self,
+        images,
+        target_concepts: Optional[List[str]],
+        concepts: List[str],
+        captions: List[str],
+        mean_value_threshold: bool = True,
+        apply_blur: bool = False,
+        **kwargs,
+    ):
+        if not isinstance(images, list):
+            images = [images]
+        all_masks, all_coefficients, reconstructed = [], [], []
+        for index, image in enumerate(images):
+            coefficients, recon = self.segment_individual_image(
+                image, concepts, captions[index], **kwargs
+            )
+            coefficients = np.asarray(coefficients, dtype=np.float32)
+            if apply_blur:
+                coefficients = gaussian_blur_3x3(coefficients).astype(np.float32)
+            if target_concepts is None:
+                mean_values = coefficients.mean(axis=(1, 2), keepdims=True)
+                all_masks.append(coefficients > mean_values)
+                all_coefficients.append(coefficients)
+            else:
+                idx = concepts.index(target_concepts[index])
+                coeff = coefficients[idx]
+                threshold = coeff.mean() if mean_value_threshold else 0.0
+                all_masks.append(coeff > threshold)
+                all_coefficients.append(coeff)
+            reconstructed.append(recon)
+        return all_masks, all_coefficients, reconstructed
+
+
+class FluxTapSegmentationModel(SegmentationModel):
+    """Real-image concept segmentation from any saliency tap point.
+
+    tap='output'          == the ConceptAttention method (RawOutputSpace);
+    tap='cross_attention' == raw q-space cross attention baseline;
+    tap='value'           == raw value-space baseline.
+    """
+
+    def __init__(
+        self,
+        pipeline,  # ConceptAttentionFluxPipeline
+        tap: str = "output",
+        num_steps: int = 4,
+        noise_timestep: int = 2,
+        num_samples: int = 1,
+        layer_indices: Optional[Sequence[int]] = None,
+        softmax: bool = False,
+        seed: int = 4,
+        width: int = 1024,
+        height: int = 1024,
+    ):
+        assert tap in ("output", "cross_attention", "value")
+        self.pipe = pipeline
+        self.tap = tap
+        self.num_steps = num_steps
+        self.noise_timestep = noise_timestep
+        self.num_samples = num_samples
+        self.layer_indices = (
+            list(layer_indices)
+            if layer_indices is not None
+            else list(range(pipeline.cfg.depth))
+        )
+        self.softmax = softmax
+        self.seed = seed
+        self.width = width
+        self.height = height
+
+    def segment_individual_image(self, image, concepts, caption, **kwargs):
+        from conceptattention_tpu.pipeline.concept_pipeline import _encode_forward
+
+        pipe = self.pipe
+        z = pipe._encode_pixels(image, self.height, self.width, self.seed)
+        b, _, lh, lw = z.shape
+        img_ids = make_img_ids(lh // 2, lw // 2, b)
+        schedule = get_schedule(
+            self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
+        )
+        t = schedule[self.noise_timestep]
+
+        txt, txt_ids, vec = pipe._prepare_text(caption, 1)
+        c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
+
+        maps = []
+        for i in range(self.num_samples):
+            noise = get_noise(
+                jax.random.PRNGKey(self.seed + i), 1, self.height, self.width,
+                pipe.dtype, channels=pipe.spec.ae_params.z_channels,
+                vae_factor=pipe.vae_factor,
+            )
+            noised = forward_noise(z, noise, t)
+            saliency = _encode_forward(
+                pipe.params, pipe.cfg, pack_latents(noised), img_ids,
+                txt, txt_ids, vec, c_emb, c_ids, c_vec,
+                jnp.full((b,), t, dtype=jnp.float32),
+                ConceptAttentionSpec(taps=(self.tap,)),
+            )
+            maps.append(saliency[self.tap])  # [L, B, C, P]
+        stacked = jnp.stack(maps)  # [N, L, B, C, P]
+        if self.softmax:
+            stacked = apply_attention_norm(stacked, "softmax", axis=-2)
+        sel = stacked[:, jnp.asarray(self.layer_indices)]
+        coeff = jnp.mean(sel, axis=(0, 1))[0]  # [C, P]
+        coeff = coeff.reshape(len(concepts), lh // 2, lw // 2)
+        return np.asarray(coeff, dtype=np.float32), None
+
+
+class FluxMultiClassSegmentationModel(FluxTapSegmentationModel):
+    """Multi-class argmax segmentation over bg+target concepts (parity with
+    experiments/pascal_voc_segmentation/multi_class_segmentation.py:7-79)."""
+
+    def segment_multi_class(self, image, concepts: List[str], caption: str):
+        coeff, _ = self.segment_individual_image(image, concepts, caption)
+        return np.argmax(coeff, axis=0), coeff

@@ -1,0 +1,295 @@
+"""Pallas TPU kernel: fused dual-pass flash attention for concept attention.
+
+The reference runs TWO separate SDPA calls per double block — txt+img joint
+attention and concept+img attention (`modified_double_stream_block.py:106-168`
+in manuragkhullar/ConceptAttention) — reading the 4096-token image K/V twice
+and materializing full attention matrices in the eager path.
+
+This kernel computes BOTH passes in one blockwise flash-attention sweep over a
+single fused sequence  S = [txt | img | concept_pad]  with a static segment
+mask:
+
+    q ∈ txt|img   ->  k ∈ txt|img          (the vanilla joint attention;
+                                             concepts invisible to generation)
+    q ∈ concept   ->  k ∈ img | concept    (the concept pass, with its own
+                                             softmax denominator)
+
+so the image K/V blocks stream from HBM once per layer instead of twice, no
+[L_q, L_k] attention matrix ever materializes, and the concept pass costs one
+extra query block. Online softmax follows Rabe & Staats / FlashAttention:
+running row-max m, row-sum l, rescaled accumulator.
+
+Ablation variants (`joint_attention_kwargs` parity): `cross`/`self_attention`
+toggle which keys concept queries may see (reference :126-159).
+
+Padded concept rows attend nothing; their l stays 0 and the finalizer emits
+exact zeros (safe divide).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *,
+    scale: float,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    block_q: int,
+    block_k: int,
+    cross: bool,
+    self_attention: bool,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    joint_end = txt_len + img_len  # start of the concept segment
+    concept_end = joint_end + concept_len
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    # Static-shape block-level reachability: can ANY (q, k) pair in this tile
+    # be unmasked? Computed from scalar ranges — lets us skip the MXU work for
+    # (concept-q x txt-k) tiles and fully-padded tiles.
+    q_is_joint = q_start < joint_end  # tile contains joint-segment queries
+    q_has_concept = (q_start + block_q > joint_end) & (q_start < concept_end)
+    k_is_joint = k_start < joint_end
+    k_is_img = (k_start + block_k > txt_len) & (k_start < joint_end)
+    k_has_concept = (k_start + block_k > joint_end) & (k_start < concept_end)
+
+    joint_reach = q_is_joint & k_is_joint
+    concept_reach = q_has_concept & (
+        (k_is_img if cross else False) | (k_has_concept if self_attention else False)
+    )
+    block_reachable = joint_reach | concept_reach
+
+    @pl.when(block_reachable)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+
+        q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        q_joint = q_idx < joint_end
+        q_concept = jnp.logical_and(q_idx >= joint_end, q_idx < concept_end)
+        k_joint = k_idx < joint_end
+        k_img = jnp.logical_and(k_idx >= txt_len, k_idx < joint_end)
+        k_concept = jnp.logical_and(k_idx >= joint_end, k_idx < concept_end)
+
+        allowed = jnp.logical_and(q_joint, k_joint)
+        concept_keys = jnp.zeros_like(allowed)
+        if cross:
+            concept_keys = jnp.logical_or(concept_keys, k_img)
+        if self_attention:
+            concept_keys = jnp.logical_or(concept_keys, k_concept)
+        allowed = jnp.logical_or(allowed, jnp.logical_and(q_concept, concept_keys))
+
+        s = jnp.where(allowed, s, NEG_INF)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        # Rows that are still fully masked keep m == NEG_INF; exp underflows
+        # to 0 so they contribute nothing.
+        p = jnp.exp(s - m_new[:, :1])
+        p = jnp.where(allowed, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+        m_scratch[...] = m_new
+        l_scratch[...] = l_new
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "txt_len", "img_len", "concept_len", "cross", "self_attention",
+        "block_q", "block_k", "interpret",
+    ),
+)
+def fused_concept_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    cross: bool = True,
+    self_attention: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused dual-pass attention over S = [txt | img | concept | pad].
+
+    Args:
+      q/k/v: [B, H, S, D] with S = txt_len + img_len + padded concept block
+        (S divisible by block sizes; rope already applied).
+      concept_len: number of REAL concept tokens (<= padded block).
+
+    Returns [B, H, S, D]; padded rows are zero.
+    """
+    b, h, s, d = q.shape
+    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+    bh = b * h
+    q3 = q.reshape(bh, s, d)
+    k3 = k.reshape(bh, s, d)
+    v3 = v.reshape(bh, s, d)
+
+    grid = (bh, s // block_q, s // block_k)
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=1.0 / (d**0.5),
+        txt_len=txt_len,
+        img_len=img_len,
+        concept_len=concept_len,
+        block_q=block_q,
+        block_k=block_k,
+        cross=cross,
+        self_attention=self_attention,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q3, k3, v3)
+    return out.reshape(b, h, s, d)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pallas_joint_concept_attention(
+    txt_qkv: Tuple[jax.Array, jax.Array, jax.Array],
+    img_qkv: Tuple[jax.Array, jax.Array, jax.Array],
+    concept_qkv,
+    pe: Tuple[jax.Array, jax.Array],
+    concept_pe,
+    cross: bool = True,
+    self_attention: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    """Drop-in fused replacement for ops.attention.joint_concept_attention's
+    attention core. Returns (txt_attn, img_attn, concept_attn, extras) with
+    merged-head [B, L, H*D] outputs."""
+    from conceptattention_tpu.ops.attention import merge_heads
+    from conceptattention_tpu.ops.rope import apply_rope
+
+    txt_q, txt_k, txt_v = txt_qkv
+    img_q, img_k, img_v = img_qkv
+    b, h, t, d = txt_q.shape
+    p = img_q.shape[2]
+
+    cos, sin = pe
+    txt_pe = (cos[:, :, :t], sin[:, :, :t])
+    img_pe = (cos[:, :, t:], sin[:, :, t:])
+    txt_q_r, txt_k_r = apply_rope(txt_q, txt_k, txt_pe)
+    img_q_r, img_k_r = apply_rope(img_q, img_k, img_pe)
+
+    if concept_qkv is None:
+        seqs_q = [txt_q_r, img_q_r]
+        seqs_k = [txt_k_r, img_k_r]
+        seqs_v = [txt_v, img_v]
+        c_real = 0
+        c_pad = 0
+    else:
+        con_q, con_k, con_v = concept_qkv
+        c_real = con_q.shape[2]
+        ccos, csin = concept_pe
+        con_pe = (ccos[:, :, :c_real], csin[:, :, :c_real])
+        con_q_r, con_k_r = apply_rope(con_q, con_k, con_pe)
+        c_pad = _round_up(t + p + c_real, block_q)
+        c_pad = _round_up(c_pad, block_k) - (t + p)
+
+        def pad_c(x):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c_real), (0, 0)))
+
+        seqs_q = [txt_q_r, img_q_r, pad_c(con_q_r)]
+        seqs_k = [txt_k_r, img_k_r, pad_c(con_k_r)]
+        seqs_v = [txt_v, img_v, pad_c(con_v)]
+
+    q = jnp.concatenate(seqs_q, axis=2)
+    k = jnp.concatenate(seqs_k, axis=2)
+    v = jnp.concatenate(seqs_v, axis=2)
+    s = q.shape[2]
+    # The no-concept path may still need padding to the block size.
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        padw = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
+
+    out = fused_concept_flash_attention(
+        q, k, v,
+        txt_len=t, img_len=p, concept_len=c_real,
+        cross=cross, self_attention=self_attention,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+
+    txt_attn = merge_heads(out[:, :, :t])
+    img_attn = merge_heads(out[:, :, t : t + p])
+    if concept_qkv is None:
+        return txt_attn, img_attn, None, {}
+    if not cross and not self_attention:
+        # "Neither" ablation: the concept stream passes its values through
+        # (reference modified_double_stream_block.py:157-159).
+        concept_attn = merge_heads(concept_qkv[2])
+    else:
+        concept_attn = merge_heads(out[:, :, t + p : t + p + c_real])
+    extras = {
+        "concept_q": concept_qkv[0],
+        "img_q": img_q,
+        "concept_v": concept_qkv[2],
+        "img_v": img_v,
+    }
+    return txt_attn, img_attn, concept_attn, extras

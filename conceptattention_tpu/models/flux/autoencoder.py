@@ -36,6 +36,10 @@ def conv2d(x, p, stride=1, padding=1):
 
 def group_norm(x, p, num_groups=32, eps=1e-6):
     b, c, h, w = x.shape
+    if c % num_groups != 0:  # tiny test configs have < 32 channels
+        import math
+
+        num_groups = math.gcd(num_groups, c)
     xf = x.astype(jnp.float32).reshape(b, num_groups, c // num_groups, h, w)
     mean = jnp.mean(xf, axis=(2, 3, 4), keepdims=True)
     var = jnp.var(xf, axis=(2, 3, 4), keepdims=True)

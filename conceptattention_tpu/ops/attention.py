@@ -40,6 +40,10 @@ class ConceptAttentionSpec:
     taps: Tuple[str, ...] = ("output", "cross_attention")
     # Emit full per-layer vector sets (parity/debug; large) instead of maps.
     return_raw_vectors: bool = False
+    # Attention backend: "xla" (two SDPA calls), "pallas" (fused dual-pass
+    # flash kernel, kernels/flash_saliency.py), or "pallas_interpret"
+    # (kernel in interpreter mode, for CPU tests).
+    backend: str = "xla"
 
 
 def merge_heads(x: jax.Array) -> jax.Array:
@@ -100,6 +104,18 @@ def joint_concept_attention(
       {"concept_q", "img_q", "concept_v", "img_v"} each [B, H, L, D].
     """
     from conceptattention_tpu.ops.rope import apply_rope
+
+    if spec.backend in ("pallas", "pallas_interpret"):
+        from conceptattention_tpu.kernels.flash_saliency import (
+            pallas_joint_concept_attention,
+        )
+
+        return pallas_joint_concept_attention(
+            txt_qkv, img_qkv, concept_qkv, pe, concept_pe,
+            cross=spec.cross_attention,
+            self_attention=spec.self_attention,
+            interpret=(spec.backend == "pallas_interpret"),
+        )
 
     txt_q, txt_k, txt_v = txt_qkv
     img_q, img_k, img_v = img_qkv

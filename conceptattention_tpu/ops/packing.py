@@ -17,9 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
-def latent_noise_shape(num_samples: int, height: int, width: int) -> Tuple[int, int, int, int]:
-    """Packed-compatible latent shape for pixel dims (reference sampling.py:12-29)."""
-    return (num_samples, 16, 2 * math.ceil(height / 16), 2 * math.ceil(width / 16))
+def latent_noise_shape(
+    num_samples: int, height: int, width: int, channels: int = 16, vae_factor: int = 8
+) -> Tuple[int, int, int, int]:
+    """Packed-compatible latent shape for pixel dims (reference sampling.py:12-29:
+    [B, 16, 2⌈h/16⌉, 2⌈w/16⌉] for the 8x Flux VAE; generalized to any VAE
+    downsample factor)."""
+    denom = 2 * vae_factor
+    return (
+        num_samples,
+        channels,
+        2 * math.ceil(height / denom),
+        2 * math.ceil(width / denom),
+    )
 
 
 def pack_latents(x: jax.Array) -> jax.Array:
@@ -32,16 +42,14 @@ def pack_latents(x: jax.Array) -> jax.Array:
     return x.reshape(b, (h // 2) * (w // 2), c * 4)
 
 
-def unpack_latents(x: jax.Array, height: int, width: int) -> jax.Array:
-    """[B, (h w), C*4] -> [B, C, 2h, 2w] for pixel dims height/width."""
+def unpack_latents(x: jax.Array, h_tokens: int, w_tokens: int) -> jax.Array:
+    """[B, (h w), C*4] -> [B, C, 2h, 2w] for a (h_tokens, w_tokens) grid."""
     b, _, cd = x.shape
-    h = math.ceil(height / 16)
-    w = math.ceil(width / 16)
     c = cd // 4
-    x = x.reshape(b, h, w, c, 2, 2)
+    x = x.reshape(b, h_tokens, w_tokens, c, 2, 2)
     # b h w c ph pw -> b c (h ph) (w pw)
     x = x.transpose(0, 3, 1, 4, 2, 5)
-    return x.reshape(b, c, h * 2, w * 2)
+    return x.reshape(b, c, h_tokens * 2, w_tokens * 2)
 
 
 def make_img_ids(h_tokens: int, w_tokens: int, batch_size: int = 1) -> jax.Array:

@@ -85,9 +85,9 @@ def _encode_forward(
     return saliency
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _vae_decode_f32(ae_params, cfg, latents_packed, height, width):
-    z = unpack_latents(latents_packed.astype(jnp.float32), height, width)
+@functools.partial(jax.jit, static_argnames=("cfg", "h_tokens", "w_tokens"))
+def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
+    z = unpack_latents(latents_packed.astype(jnp.float32), h_tokens, w_tokens)
     return vae.decode(jax.tree.map(lambda x: x.astype(jnp.float32), ae_params), cfg, z)
 
 
@@ -112,6 +112,8 @@ class ConceptAttentionFluxPipeline:
         self.cfg = self.spec.params
         self.dtype = dtype
         self.mesh = mesh
+        # VAE spatial downsample factor (8x for Flux: 3 stride-2 stages).
+        self.vae_factor = 2 ** (len(self.spec.ae_params.ch_mult) - 1)
 
         if params is None:
             ckpt = self.spec.ckpt_path
@@ -201,7 +203,10 @@ class ConceptAttentionFluxPipeline:
             timesteps = list(range(num_inference_steps))
 
         key = jax.random.PRNGKey(seed)
-        noise = get_noise(key, 1, height, width, self.dtype)
+        noise = get_noise(
+            key, 1, height, width, self.dtype,
+            channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
+        )
         b, _, lh, lw = noise.shape
         schedule = get_schedule(
             num_inference_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)
@@ -230,7 +235,7 @@ class ConceptAttentionFluxPipeline:
             attention_norm, grid,
         )
 
-        image = self._decode_to_image(latents, height, width, return_image_array)
+        image = self._decode_to_image(latents, grid, return_image_array)
         return self._package_output(
             image, concept_heatmaps, cross_attention_maps, return_pil_heatmaps, cmap
         )
@@ -278,7 +283,10 @@ class ConceptAttentionFluxPipeline:
 
         per_sample = []
         for i in range(num_samples):
-            noise = get_noise(jax.random.PRNGKey(seed + i), 1, height, width, self.dtype)
+            noise = get_noise(
+                jax.random.PRNGKey(seed + i), 1, height, width, self.dtype,
+                channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
+            )
             noised = forward_noise(z, noise, t)
             t_vec = jnp.full((b,), t, dtype=jnp.float32)
             saliency = _encode_forward(
@@ -317,8 +325,8 @@ class ConceptAttentionFluxPipeline:
             self.ae_params, self.spec.ae_params, x, key=jax.random.PRNGKey(seed)
         ).astype(self.dtype)
 
-    def _decode_to_image(self, latents, height, width, return_array: bool):
-        x = _vae_decode_f32(self.ae_params, self.spec.ae_params, latents, height, width)
+    def _decode_to_image(self, latents, grid, return_array: bool):
+        x = _vae_decode_f32(self.ae_params, self.spec.ae_params, latents, grid[0], grid[1])
         x = jnp.clip(x, -1.0, 1.0)
         arr = np.asarray(((x[0] + 1.0) * 127.5).transpose(1, 2, 0)).astype(np.uint8)
         if return_array:

@@ -27,10 +27,18 @@ from conceptattention_tpu.ops.packing import latent_noise_shape, make_img_ids, p
 
 
 def get_noise(
-    key: jax.Array, num_samples: int, height: int, width: int, dtype=jnp.bfloat16
+    key: jax.Array,
+    num_samples: int,
+    height: int,
+    width: int,
+    dtype=jnp.bfloat16,
+    channels: int = 16,
+    vae_factor: int = 8,
 ) -> jax.Array:
-    """Seeded latent noise in packed-compatible shape [B, 16, 2⌈h/16⌉, 2⌈w/16⌉]."""
-    return jax.random.normal(key, latent_noise_shape(num_samples, height, width), dtype)
+    """Seeded latent noise in packed-compatible shape [B, C, 2⌈h/16⌉, 2⌈w/16⌉]."""
+    return jax.random.normal(
+        key, latent_noise_shape(num_samples, height, width, channels, vae_factor), dtype
+    )
 
 
 def prepare_image_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -6,7 +6,7 @@ mesh-sharding tests).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env ships JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU plugin and resets
+# jax_platforms to "axon,cpu" — override it after import, before any backend
+# is initialized, so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 # Single-core CI: persist compiled executables across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,0 +1,148 @@
+"""Pallas fused dual-pass flash-attention kernel vs. the XLA reference path.
+
+Runs in interpreter mode on CPU (the driver benches the compiled kernel on
+real TPU hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conceptattention_tpu.kernels.flash_saliency import (
+    fused_concept_flash_attention,
+    pallas_joint_concept_attention,
+)
+from conceptattention_tpu.ops.attention import (
+    ConceptAttentionSpec,
+    joint_concept_attention,
+    sdpa,
+)
+from conceptattention_tpu.ops.packing import make_img_ids
+from conceptattention_tpu.ops.rope import embed_nd
+
+B, H, D = 1, 2, 32
+T, P, C = 8, 48, 3  # txt, img, concepts
+AXES = (8, 12, 12)
+BQ = BK = 16
+
+
+def make_qkv(key, l):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (B, H, l, D)) for k in ks)
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    txt_qkv = make_qkv(k1, T)
+    img_qkv = make_qkv(k2, P)
+    con_qkv = make_qkv(k3, C)
+    img_ids = make_img_ids(6, 8)  # 48 tokens
+    txt_ids = jnp.zeros((1, T, 3))
+    con_ids = jnp.zeros((1, C, 3))
+    pe = embed_nd(jnp.concatenate([txt_ids, img_ids], 1), AXES, 10_000)
+    cpe = embed_nd(jnp.concatenate([con_ids, img_ids], 1), AXES, 10_000)
+    return txt_qkv, img_qkv, con_qkv, pe, cpe
+
+
+class TestFusedKernelRaw:
+    def test_plain_flash_matches_sdpa(self):
+        """No concepts: the kernel is a vanilla flash attention."""
+        key = jax.random.PRNGKey(1)
+        s = T + P  # 56 -> pad to 64
+        q, k, v = make_qkv(key, s)
+        s_pad = 64
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        out = fused_concept_flash_attention(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            txt_len=T, img_len=P, concept_len=0,
+            block_q=BQ, block_k=BK, interpret=True,
+        )
+        want = sdpa(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, :s]), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+        # padded rows are exactly zero
+        np.testing.assert_array_equal(np.asarray(out[:, :, s:]), 0.0)
+
+    @pytest.mark.parametrize(
+        "cross,self_attn", [(True, True), (True, False), (False, True)]
+    )
+    def test_concept_mask_semantics(self, data, cross, self_attn):
+        """Concept rows see [img|concept] per the ablation flags; joint rows
+        never see concepts."""
+        txt_qkv, img_qkv, con_qkv, pe, cpe = data
+        got = pallas_joint_concept_attention(
+            txt_qkv, img_qkv, con_qkv, pe, cpe,
+            cross=cross, self_attention=self_attn,
+            block_q=BQ, block_k=BK, interpret=True,
+        )
+        want = joint_concept_attention(
+            txt_qkv, img_qkv, con_qkv, pe, cpe,
+            ConceptAttentionSpec(cross_attention=cross, self_attention=self_attn),
+        )
+        for g, w, name in zip(got[:3], want[:3], ("txt", "img", "concept")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-5,
+                err_msg=f"{name} cross={cross} self={self_attn}",
+            )
+
+    def test_no_concepts_path(self, data):
+        txt_qkv, img_qkv, _, pe, _ = data
+        got = pallas_joint_concept_attention(
+            txt_qkv, img_qkv, None, pe, None,
+            block_q=BQ, block_k=BK, interpret=True,
+        )
+        want = joint_concept_attention(txt_qkv, img_qkv, None, pe, None)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=5e-4, atol=5e-5)
+
+    def test_neither_ablation_passes_values(self, data):
+        txt_qkv, img_qkv, con_qkv, pe, cpe = data
+        got = pallas_joint_concept_attention(
+            txt_qkv, img_qkv, con_qkv, pe, cpe,
+            cross=False, self_attention=False,
+            block_q=BQ, block_k=BK, interpret=True,
+        )
+        want = joint_concept_attention(
+            txt_qkv, img_qkv, con_qkv, pe, cpe,
+            ConceptAttentionSpec(cross_attention=False, self_attention=False),
+        )
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]), rtol=1e-5)
+
+
+class TestKernelInBlock:
+    def test_double_block_pallas_backend_matches_xla(self, data):
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.blocks import double_block
+        from conceptattention_tpu.models.flux.params import _double_block
+
+        cfg = configs["flux-tiny"].params
+        key = jax.random.PRNGKey(5)
+        keys = jax.random.split(key, 6)
+        p = _double_block(keys[0], cfg, jnp.float32)
+        img = jax.random.normal(keys[1], (1, P, cfg.hidden_size)) * 0.5
+        txt = jax.random.normal(keys[2], (1, T, cfg.hidden_size)) * 0.5
+        vec = jax.random.normal(keys[3], (1, cfg.hidden_size)) * 0.5
+        concepts = jax.random.normal(keys[4], (1, C, cfg.hidden_size)) * 0.5
+        cvec = jax.random.normal(keys[5], (1, cfg.hidden_size)) * 0.5
+        _, _, _, pe, cpe = data
+
+        outs = {}
+        for backend in ("xla", "pallas_interpret"):
+            outs[backend] = double_block(
+                p, img, txt, vec, pe, cfg.num_heads,
+                concepts=concepts, concept_vec=cvec, concept_pe=cpe,
+                spec=ConceptAttentionSpec(backend=backend),
+            )
+        for i, name in [(0, "img"), (1, "txt"), (2, "concepts")]:
+            np.testing.assert_allclose(
+                np.asarray(outs["xla"][i]), np.asarray(outs["pallas_interpret"][i]),
+                rtol=1e-3, atol=1e-4, err_msg=name,
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs["xla"][3]["output"]),
+            np.asarray(outs["pallas_interpret"][3]["output"]),
+            rtol=1e-3, atol=1e-4,
+        )

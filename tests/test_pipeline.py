@@ -1,0 +1,247 @@
+"""End-to-end pipeline tests on the tiny config: generate_image,
+encode_image, segmentation models, metrics, and the weight converter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import conceptattention_tpu as cat
+from conceptattention_tpu.evals.metrics import (
+    average_precision,
+    batch_intersection_union,
+    batch_pix_accuracy,
+    get_ap_scores,
+)
+from conceptattention_tpu.evals.segmentation import (
+    FluxTapSegmentationModel,
+    gaussian_blur_3x3,
+)
+
+SIZE = 64  # pixels; flux-tiny VAE factor 2 -> 32x32 latents -> 16x16 tokens
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return cat.ConceptAttentionFluxPipeline("flux-tiny", dtype=jnp.float32)
+
+
+class TestGenerateImage:
+    def test_generate_with_heatmaps(self, pipe):
+        out = pipe.generate_image(
+            prompt="a dragon on a rock",
+            concepts=["dragon", "rock", "sky"],
+            width=SIZE, height=SIZE,
+            num_inference_steps=2,
+            layer_indices=[0, 1],
+            seed=3,
+        )
+        assert len(out.concept_heatmaps) == 3
+        assert len(out.cross_attention_maps) == 3
+        # heatmap PILs at token-grid resolution
+        assert out.concept_heatmaps[0].size == (16, 16)
+        assert out.image.size == (SIZE, SIZE)
+
+    def test_generate_deterministic(self, pipe):
+        kwargs = dict(
+            prompt="a cat", concepts=["cat"], width=SIZE, height=SIZE,
+            num_inference_steps=1, layer_indices=[0], seed=7,
+            return_pil_heatmaps=False, return_image_array=True,
+        )
+        out1 = pipe.generate_image(**kwargs)
+        out2 = pipe.generate_image(**kwargs)
+        np.testing.assert_array_equal(out1.image, out2.image)
+        np.testing.assert_allclose(out1.concept_heatmaps, out2.concept_heatmaps)
+
+    def test_attention_norms(self, pipe):
+        results = {}
+        for norm in ("softmax", "sparsemax", "entmax15"):
+            out = pipe.generate_image(
+                prompt="a cat", concepts=["cat", "dog"], width=SIZE, height=SIZE,
+                num_inference_steps=1, layer_indices=[0], seed=7,
+                softmax=(norm == "softmax"), attention_norm=norm,
+                return_pil_heatmaps=False,
+            )
+            results[norm] = out.concept_heatmaps
+        assert not np.allclose(results["softmax"], results["sparsemax"])
+
+
+class TestEncodeImage:
+    def test_encode_image_heatmaps(self, pipe):
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 255, size=(SIZE, SIZE, 3), dtype=np.uint8)
+        out = pipe.encode_image(
+            image=image,
+            concepts=["cat", "background"],
+            prompt="a cat",
+            width=SIZE, height=SIZE,
+            layer_indices=[0, 1],
+            num_samples=2,
+            return_pil_heatmaps=False,
+        )
+        assert out.concept_heatmaps.shape == (2, 16, 16)
+        assert np.isfinite(out.concept_heatmaps).all()
+
+
+class TestSegmentation:
+    def test_flux_tap_segmentation(self, pipe):
+        rng = np.random.default_rng(1)
+        image = rng.integers(0, 255, size=(SIZE, SIZE, 3), dtype=np.uint8)
+        model = FluxTapSegmentationModel(
+            pipe, tap="output", num_steps=2, noise_timestep=1,
+            width=SIZE, height=SIZE, layer_indices=[0, 1],
+        )
+        masks, coeffs, recon = model(
+            [image], target_concepts=["cat"], concepts=["cat", "background"],
+            captions=["a cat"],
+        )
+        assert masks[0].shape == (16, 16)
+        assert masks[0].dtype == bool
+        assert coeffs[0].shape == (16, 16)
+
+    def test_tap_points_differ(self, pipe):
+        rng = np.random.default_rng(2)
+        image = rng.integers(0, 255, size=(SIZE, SIZE, 3), dtype=np.uint8)
+        coeffs = {}
+        for tap in ("output", "cross_attention", "value"):
+            model = FluxTapSegmentationModel(
+                pipe, tap=tap, num_steps=2, noise_timestep=1,
+                width=SIZE, height=SIZE,
+            )
+            c, _ = model.segment_individual_image(image, ["cat", "sky"], "a cat")
+            coeffs[tap] = c
+        assert not np.allclose(coeffs["output"], coeffs["cross_attention"])
+        assert not np.allclose(coeffs["output"], coeffs["value"])
+
+    def test_gaussian_blur_preserves_mean(self):
+        x = np.random.default_rng(3).standard_normal((2, 8, 8))
+        blurred = gaussian_blur_3x3(x)
+        assert blurred.shape == x.shape
+        assert abs(blurred.mean() - x.mean()) < 0.1
+        assert blurred.var() < x.var()
+
+
+class TestMetrics:
+    def test_pix_accuracy(self):
+        pred = np.array([[1, 1], [0, 0]])
+        tgt = np.array([[1, 0], [0, 0]])
+        correct, labeled = batch_pix_accuracy(pred, tgt)
+        assert (correct, labeled) == (3, 4)
+
+    def test_iou(self):
+        pred = np.array([[1, 1], [2, 2]])
+        tgt = np.array([[1, 2], [2, 2]])
+        inter, union = batch_intersection_union(pred, tgt, nclass=3)
+        # class "2" (bin index 1): pred {2,2}, tgt {2,2,2? } -> tgt+1: [[2,3],[3,3]]
+        assert (inter <= union).all()
+
+    def test_average_precision_perfect(self):
+        t = np.array([0, 0, 1, 1])
+        p = np.array([0.1, 0.2, 0.8, 0.9])
+        assert average_precision(t, p) == pytest.approx(1.0)
+
+    def test_average_precision_matches_sklearn(self):
+        from sklearn.metrics import average_precision_score
+
+        rng = np.random.default_rng(4)
+        t = (rng.random(100) > 0.7).astype(float)
+        p = rng.random(100)
+        assert average_precision(t, p) == pytest.approx(
+            average_precision_score(t, p), rel=1e-6
+        )
+
+    def test_get_ap_scores_shape(self):
+        rng = np.random.default_rng(5)
+        pred = rng.random((2, 2, 8, 8))
+        tgt = rng.integers(0, 2, size=(2, 8, 8))
+        scores = get_ap_scores(pred, tgt)
+        assert len(scores) == 2
+        assert all(0 <= s <= 1 for s in scores)
+
+
+class TestWeightConverter:
+    def test_flux_roundtrip_structure(self):
+        """Synthesize a torch-style state dict with the official Flux key
+        names, convert, and check structure + matmul equivalence."""
+        import torch
+
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.weights.convert import convert_flux_state_dict
+
+        cfg = configs["flux-tiny"].params
+        d, m, hd = cfg.hidden_size, cfg.mlp_hidden_dim, cfg.head_dim
+        g = torch.Generator().manual_seed(0)
+
+        def lin(din, dout):
+            return torch.randn(dout, din, generator=g) * 0.02
+
+        sd = {
+            "img_in.weight": lin(cfg.in_channels, d), "img_in.bias": torch.zeros(d),
+            "txt_in.weight": lin(cfg.context_in_dim, d), "txt_in.bias": torch.zeros(d),
+            "time_in.in_layer.weight": lin(256, d), "time_in.in_layer.bias": torch.zeros(d),
+            "time_in.out_layer.weight": lin(d, d), "time_in.out_layer.bias": torch.zeros(d),
+            "vector_in.in_layer.weight": lin(cfg.vec_in_dim, d), "vector_in.in_layer.bias": torch.zeros(d),
+            "vector_in.out_layer.weight": lin(d, d), "vector_in.out_layer.bias": torch.zeros(d),
+            "final_layer.adaLN_modulation.1.weight": lin(d, 2 * d),
+            "final_layer.adaLN_modulation.1.bias": torch.zeros(2 * d),
+            "final_layer.linear.weight": lin(d, cfg.in_channels),
+            "final_layer.linear.bias": torch.zeros(cfg.in_channels),
+        }
+        for i in range(cfg.depth):
+            for stream, attn in (("img", "img_attn"), ("txt", "txt_attn")):
+                b = f"double_blocks.{i}"
+                sd[f"{b}.{stream}_mod.lin.weight"] = lin(d, 6 * d)
+                sd[f"{b}.{stream}_mod.lin.bias"] = torch.zeros(6 * d)
+                sd[f"{b}.{attn}.qkv.weight"] = lin(d, 3 * d)
+                sd[f"{b}.{attn}.qkv.bias"] = torch.randn(3 * d, generator=g) * 0.02
+                sd[f"{b}.{attn}.norm.query_norm.scale"] = torch.ones(hd)
+                sd[f"{b}.{attn}.norm.key_norm.scale"] = torch.ones(hd)
+                sd[f"{b}.{attn}.proj.weight"] = lin(d, d)
+                sd[f"{b}.{attn}.proj.bias"] = torch.zeros(d)
+                sd[f"{b}.{stream}_mlp.0.weight"] = lin(d, m)
+                sd[f"{b}.{stream}_mlp.0.bias"] = torch.zeros(m)
+                sd[f"{b}.{stream}_mlp.2.weight"] = lin(m, d)
+                sd[f"{b}.{stream}_mlp.2.bias"] = torch.zeros(d)
+        for i in range(cfg.depth_single_blocks):
+            b = f"single_blocks.{i}"
+            sd[f"{b}.modulation.lin.weight"] = lin(d, 3 * d)
+            sd[f"{b}.modulation.lin.bias"] = torch.zeros(3 * d)
+            sd[f"{b}.linear1.weight"] = lin(d, 3 * d + m)
+            sd[f"{b}.linear1.bias"] = torch.randn(3 * d + m, generator=g) * 0.02
+            sd[f"{b}.linear2.weight"] = lin(d + m, d)
+            sd[f"{b}.linear2.bias"] = torch.zeros(d)
+            sd[f"{b}.norm.query_norm.scale"] = torch.ones(hd)
+            sd[f"{b}.norm.key_norm.scale"] = torch.ones(hd)
+
+        params = convert_flux_state_dict(sd, cfg, dtype=jnp.float32)
+        assert params["double"]["img_qkv"]["w"].shape == (
+            cfg.depth, d, 3, cfg.num_heads, hd
+        )
+        # Matmul equivalence: torch fused qkv == our 4D einsum
+        x = torch.randn(1, 5, d, generator=g)
+        want = (x @ sd["double_blocks.0.img_attn.qkv.weight"].T + sd["double_blocks.0.img_attn.qkv.bias"]).numpy()
+        w4 = np.asarray(params["double"]["img_qkv"]["w"])[0]
+        b4 = np.asarray(params["double"]["img_qkv"]["b"])[0]
+        got = np.einsum("bld,dkhe->blkhe", x.numpy(), w4) + b4
+        np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-4, atol=1e-5)
+        # Single-block split: fused linear1 == qkv + mlp_in
+        l1w = sd["single_blocks.0.linear1.weight"].numpy().T
+        got_qkv = np.asarray(params["single"]["qkv"]["w"])[0].reshape(d, 3 * d)
+        np.testing.assert_allclose(got_qkv, l1w[:, : 3 * d], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(params["single"]["mlp_in"]["w"])[0], l1w[:, 3 * d :], rtol=1e-6
+        )
+        # Forward runs on the converted pytree
+        from conceptattention_tpu.models.flux.dit import flux_forward
+        from conceptattention_tpu.ops.packing import make_img_ids
+
+        pred, _ = flux_forward(
+            params, cfg,
+            img=jnp.ones((1, 16, cfg.in_channels)),
+            img_ids=make_img_ids(4, 4),
+            txt=jnp.ones((1, 4, cfg.context_in_dim)),
+            txt_ids=jnp.zeros((1, 4, 3)),
+            timesteps=jnp.asarray([0.5]),
+            y=jnp.ones((1, cfg.vec_in_dim)),
+        )
+        assert pred.shape == (1, 16, cfg.in_channels)
