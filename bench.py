@@ -36,18 +36,23 @@ def main():
     hbm_bytes = None
     try:
         stats = dev.memory_stats()
-        hbm_bytes = stats.get("bytes_limit")
+        if stats:
+            hbm_bytes = stats.get("bytes_limit")
     except Exception:
         pass
+    if hbm_bytes is None:
+        # memory_stats unavailable (e.g. the axon PJRT plugin): infer from the
+        # device kind. v5 lite (v5e) = 16 GB HBM; default conservatively.
+        kind = getattr(dev, "device_kind", "").lower()
+        hbm_bytes = 16e9 if ("lite" in kind or "v5e" in kind) else 16e9
 
     # Pick depth to fit HBM: full flux-schnell is ~11.9B params (23.8 GB bf16)
-    # -> needs ~>24GB. Scale double/single depth proportionally to fit.
+    # -> needs >24GB. Scale double/single depth proportionally to fit.
     depth, depth_single = FULL_DEPTH
     if hbm_bytes is not None and hbm_bytes < 26e9:
-        # ~620M params per (1 double + 2 single) slice at 3072 hidden.
-        budget = (hbm_bytes * 0.55) / 2  # bytes for bf16 params, leave room
-        slice_params = 0.62e9
-        n = max(1, int(budget / (slice_params * 2)))
+        # ~625M params per (1 double + 2 single) slice at 3072 hidden = 1.25GB bf16.
+        param_budget = hbm_bytes * 0.5  # leave headroom for activations
+        n = max(1, int(param_budget / 1.25e9))
         depth, depth_single = min(19, n), min(38, 2 * n)
 
     cfg = FluxConfig(
@@ -75,8 +80,10 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("with_concepts",))
-    def run(params, img, with_concepts):
+    from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+
+    @functools.partial(jax.jit, static_argnames=("with_concepts", "backend"))
+    def run(params, img, with_concepts, backend):
         out, sal = denoise(
             params, cfg,
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=y,
@@ -84,20 +91,30 @@ def main():
             concepts=concepts if with_concepts else None,
             concept_ids=concept_ids if with_concepts else None,
             concept_vec=concept_vec if with_concepts else None,
+            spec=ConceptAttentionSpec(taps=("output", "cross_attention"), backend=backend),
         )
         return out, sal
 
-    def timed(with_concepts, iters=3):
-        out, _ = run(params, img, with_concepts)
+    def timed(with_concepts, backend, iters=3):
+        out, _ = run(params, img, with_concepts, backend)
         jax.block_until_ready(out)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
-            out, sal = run(params, img, with_concepts)
+            out, sal = run(params, img, with_concepts, backend)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
-    t_with = timed(True)
-    t_plain = timed(False)
+    results = {}
+    for backend in ("xla", "pallas"):
+        try:
+            results[backend] = timed(True, backend)
+        except Exception as e:  # pallas may be unavailable on some backends
+            import sys
+
+            print(f"# backend {backend} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    backend = min(results, key=results.get)
+    t_with = results[backend]
+    t_plain = timed(False, backend)
     overhead_pct = 100.0 * (t_with - t_plain) / t_plain
 
     imgs_per_sec = b / t_with
@@ -109,7 +126,7 @@ def main():
     print(json.dumps({
         "metric": (
             f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step "
-            f"4-concept heatmaps, bf16, 1 chip "
+            f"4-concept heatmaps, bf16, 1 chip, attn={backend} "
             f"(full-depth-equiv {imgs_per_sec_full_equiv:.3f} img/s, "
             f"heatmap overhead {overhead_pct:.1f}%)"
         ),

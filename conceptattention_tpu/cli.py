@@ -1,0 +1,90 @@
+"""Command-line sampler: generate images + concept heatmaps from the terminal.
+
+Capability parity with the reference CLI (`flux/src/flux/cli.py:19-257` in
+manuragkhullar/ConceptAttention: fire-based one-shot/interactive sampler) plus
+the concept-heatmap output the reference CLI lacks. argparse instead of fire
+(not in this image); `--loop` gives the interactive mode.
+
+Usage:
+  python -m conceptattention_tpu.cli --prompt "a dragon on a rock" \
+      --concepts dragon rock sky --width 1024 --height 1024 --output out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ConceptAttention-TPU sampler")
+    p.add_argument("--model_name", default="flux-schnell", help="config registry key")
+    p.add_argument("--prompt", default="a photo of a dragon standing on a rock")
+    p.add_argument("--concepts", nargs="+", default=["dragon", "rock", "sky"])
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="default: 4 (schnell) / 50 (dev)")
+    p.add_argument("--guidance", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--attention_norm", default="softmax",
+                   choices=["softmax", "sparsemax", "entmax15"])
+    p.add_argument("--layers", type=int, nargs="+", default=None)
+    p.add_argument("--output", default="output.png")
+    p.add_argument("--heatmap_dir", default=None,
+                   help="directory for per-concept heatmap PNGs")
+    p.add_argument("--loop", action="store_true", help="interactive prompt loop")
+    return p
+
+
+def run_once(pipe, args) -> None:
+    num_steps = args.num_steps or (50 if "dev" in args.model_name else 4)
+    t0 = time.perf_counter()
+    out = pipe.generate_image(
+        prompt=args.prompt,
+        concepts=args.concepts,
+        width=args.width,
+        height=args.height,
+        num_inference_steps=num_steps,
+        guidance=args.guidance,
+        seed=args.seed,
+        layer_indices=args.layers,
+        softmax=(args.attention_norm == "softmax"),
+        attention_norm=args.attention_norm,
+    )
+    dt = time.perf_counter() - t0
+    out.image.save(args.output)
+    print(f"wrote {args.output} in {dt:.1f}s")
+    heatmap_dir = args.heatmap_dir or os.path.splitext(args.output)[0] + "_heatmaps"
+    os.makedirs(heatmap_dir, exist_ok=True)
+    for concept, hm in zip(args.concepts, out.concept_heatmaps):
+        path = os.path.join(heatmap_dir, f"{concept.replace(' ', '_')}.png")
+        hm.save(path)
+    print(f"wrote {len(args.concepts)} heatmaps to {heatmap_dir}/")
+
+
+def main():
+    args = build_parser().parse_args()
+    from conceptattention_tpu import ConceptAttentionFluxPipeline
+
+    pipe = ConceptAttentionFluxPipeline(args.model_name)
+    if not args.loop:
+        run_once(pipe, args)
+        return
+    while True:
+        try:
+            prompt = input("prompt> ").strip()
+        except EOFError:
+            break
+        if prompt in ("q", "quit", "exit", ""):
+            break
+        args.prompt = prompt
+        concepts = input("concepts (space-separated)> ").strip()
+        if concepts:
+            args.concepts = concepts.split()
+        run_once(pipe, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,6 +172,52 @@ class FluxTapSegmentationModel(SegmentationModel):
         return np.asarray(coeff, dtype=np.float32), None
 
 
+def RawOutputSpaceSegmentationModel(pipeline, **kw):
+    """The ConceptAttention method itself as a segmentation baseline
+    (reference raw_output_space.py:13-262)."""
+    return FluxTapSegmentationModel(pipeline, tap="output", **kw)
+
+
+def RawCrossAttentionSegmentationModel(pipeline, **kw):
+    """Raw q-space cross-attention baseline (reference raw_cross_attention.py)."""
+    return FluxTapSegmentationModel(pipeline, tap="cross_attention", **kw)
+
+
+def RawValueSpaceSegmentationModel(pipeline, **kw):
+    """Raw value-space baseline (reference raw_value_space.py; its cached-
+    vector API is stale upstream — here it is just the 'value' tap)."""
+    return FluxTapSegmentationModel(pipeline, tap="value", **kw)
+
+
+class DAAMFluxSegmentationModel(FluxTapSegmentationModel):
+    """DAAM-style baseline: the caption's own words act as the concept set and
+    per-word cross-attention maps give the saliency (reference
+    binary_segmentation_baselines/daam_flux.py:12-95)."""
+
+    def __init__(self, pipeline, **kw):
+        kw.setdefault("softmax", True)
+        super().__init__(pipeline, tap="cross_attention", **kw)
+
+    def segment_individual_image(self, image, concepts, caption, **kwargs):
+        words = [w for w in caption.replace(",", " ").split() if w]
+        coeff_words, recon = super().segment_individual_image(
+            image, words, caption, **kwargs
+        )
+        # Reduce word maps onto the requested concepts: a concept's map is the
+        # max over caption words that contain it (DAAM word-matching rule).
+        maps = []
+        for concept in concepts:
+            hits = [
+                coeff_words[i]
+                for i, w in enumerate(words)
+                if concept.lower() in w.lower() or w.lower() in concept.lower()
+            ]
+            maps.append(
+                np.maximum.reduce(hits) if hits else np.mean(coeff_words, axis=0)
+            )
+        return np.stack(maps), recon
+
+
 class FluxMultiClassSegmentationModel(FluxTapSegmentationModel):
     """Multi-class argmax segmentation over bg+target concepts (parity with
     experiments/pascal_voc_segmentation/multi_class_segmentation.py:7-79)."""

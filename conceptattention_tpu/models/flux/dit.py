@@ -82,7 +82,8 @@ def flux_forward(
 
     img = img @ params["img_in"]["w"] + params["img_in"]["b"]
     txt = txt @ params["txt_in"]["w"] + params["txt_in"]["b"]
-    vec = _conditioning_vector(params, cfg, timesteps, guidance, y)
+    # Conditioning vector in the stream compute dtype (timesteps arrive f32).
+    vec = _conditioning_vector(params, cfg, timesteps, guidance, y).astype(img.dtype)
 
     pe = embed_nd(jnp.concatenate([txt_ids, img_ids], axis=1), cfg.axes_dim, cfg.theta)
 
@@ -92,7 +93,7 @@ def flux_forward(
         # Concept modulation vector: timestep (+guidance) embedding plus
         # vector_in of the (zeroed) concept CLIP vector
         # (modified_flux_dit.py:112-120).
-        cvec = _conditioning_vector(params, cfg, timesteps, guidance, concept_vec)
+        cvec = _conditioning_vector(params, cfg, timesteps, guidance, concept_vec).astype(img.dtype)
         concepts = concepts @ params["txt_in"]["w"] + params["txt_in"]["b"]
         concept_pe = embed_nd(
             jnp.concatenate([concept_ids, img_ids], axis=1), cfg.axes_dim, cfg.theta

@@ -184,7 +184,9 @@ def video_dit_forward(
 
     video = _linear(video, params["video_in"])
     text = _linear(text, params["text_in"])
-    vec = mlp_embedder(timestep_embedding(timesteps, 256), params["time_in"])
+    vec = mlp_embedder(
+        timestep_embedding(timesteps, 256), params["time_in"]
+    ).astype(video.dtype)
 
     text_ids = jnp.zeros((b, t_len, 3), jnp.float32)
     pe = embed_nd(jnp.concatenate([text_ids, video_ids], 1), cfg.axes_dim, cfg.theta)

@@ -1,0 +1,114 @@
+"""Concept-basis extraction for real images.
+
+Parity target: `generate_concept_basis_and_image_representation`
+(`concept_attention/segmentation.py:156-340`) and
+`generate_concept_basis_and_image_queries`
+(`concept_attention/concept_encoding.py:7-66`) in the reference
+(manuragkhullar/ConceptAttention): run the DiT once on a noised real image and
+return raw concept / image vectors from a chosen representation space
+(`output`, `cross_attention`, `value`), optionally layer-selected,
+linearly-normalized over concepts, and flattened into a basis.
+
+Unlike the reference (which reads stale cached attributes off block objects —
+flagged broken in SURVEY.md §7), this taps the forward pass's raw-vector mode.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conceptattention_tpu.models.flux.dit import flux_forward
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec, merge_heads
+from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
+from conceptattention_tpu.ops.schedule import get_schedule
+from conceptattention_tpu.pipeline.heatmaps import normalize_concepts_linear
+from conceptattention_tpu.sampling.rectified_flow import forward_noise, get_noise
+
+_TAP_KEYS = {
+    "output": ("output_space_image_vectors", "output_space_concept_vectors"),
+    "cross_attention": (
+        "cross_attention_image_vectors", "cross_attention_concept_vectors",
+    ),
+}
+
+
+def generate_concept_basis_and_image_representation(
+    pipeline,
+    image,
+    caption: str,
+    concepts: List[str],
+    noise_timestep: int = 2,
+    layers: Optional[Sequence[int]] = None,
+    normalize_concepts: bool = True,
+    num_steps: int = 4,
+    seed: int = 63,
+    target_space: str = "output",
+    height: int = 1024,
+    width: int = 1024,
+    num_samples: int = 1,
+    reduce_dims: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (image_vectors, concept_vectors).
+
+    reduce_dims=True flattens to ([patches, layers*samples*dim],
+    [concepts, layers*samples*dim]) like the reference's basis layout.
+    """
+    assert target_space in _TAP_KEYS, target_space
+    z = pipeline._encode_pixels(image, height, width, seed)
+    b, _, lh, lw = z.shape
+    img_ids = make_img_ids(lh // 2, lw // 2, b)
+    schedule = get_schedule(
+        num_steps, (lh // 2) * (lw // 2), shift=(not pipeline.is_schnell)
+    )
+    t = schedule[noise_timestep]
+
+    txt, txt_ids, vec = pipeline._prepare_text(caption, 1)
+    c_emb, c_ids, c_vec = pipeline._prepare_concepts(concepts, 1)
+
+    img_key, con_key = _TAP_KEYS[target_space]
+    image_vecs, concept_vecs = [], []
+    for i in range(num_samples):
+        noise = get_noise(
+            jax.random.PRNGKey(seed + i), 1, height, width, pipeline.dtype,
+            channels=pipeline.spec.ae_params.z_channels,
+            vae_factor=pipeline.vae_factor,
+        )
+        noised = forward_noise(z, noise, t)
+        _, raw = flux_forward(
+            pipeline.params, pipeline.cfg,
+            img=pack_latents(noised), img_ids=img_ids,
+            txt=txt, txt_ids=txt_ids,
+            timesteps=jnp.full((b,), t, dtype=jnp.float32), y=vec,
+            guidance=jnp.zeros((b,)) if pipeline.cfg.guidance_embed else None,
+            concepts=c_emb, concept_ids=c_ids, concept_vec=c_vec,
+            stop_after_multimodal_attentions=True,
+            spec=ConceptAttentionSpec(return_raw_vectors=True),
+        )
+        iv, cv = raw[img_key], raw[con_key]
+        if iv.ndim == 5:  # [L, B, H, N, D] query vectors -> merge heads
+            l = iv.shape[0]
+            iv = jax.vmap(merge_heads)(iv.reshape(l, *iv.shape[1:]))
+            cv = jax.vmap(merge_heads)(cv.reshape(l, *cv.shape[1:]))
+        image_vecs.append(iv)
+        concept_vecs.append(cv)
+
+    image_vectors = jnp.stack(image_vecs, axis=1).astype(jnp.float32)  # [L, N_s, B, P, D]
+    concept_vectors = jnp.stack(concept_vecs, axis=1).astype(jnp.float32)
+    image_vectors = image_vectors[:, :, 0]  # drop batch
+    concept_vectors = concept_vectors[:, :, 0]
+
+    if layers is not None:
+        image_vectors = image_vectors[jnp.asarray(list(layers))]
+        concept_vectors = concept_vectors[jnp.asarray(list(layers))]
+    if normalize_concepts:
+        concept_vectors = normalize_concepts_linear(concept_vectors, axis=-2)
+    if reduce_dims:
+        l, s, p, d = image_vectors.shape
+        image_vectors = image_vectors.transpose(2, 0, 1, 3).reshape(p, l * s * d)
+        c = concept_vectors.shape[2]
+        concept_vectors = concept_vectors.transpose(2, 0, 1, 3).reshape(c, l * s * d)
+    return np.asarray(image_vectors), np.asarray(concept_vectors)

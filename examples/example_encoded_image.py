@@ -1,0 +1,33 @@
+"""Extract concept heatmaps from a real image.
+
+Parity target: `example_encoded_image.py:1-29` in the reference
+(manuragkhullar/ConceptAttention).
+"""
+
+import sys
+
+import PIL.Image
+
+from conceptattention_tpu import ConceptAttentionFluxPipeline
+
+
+def main():
+    image_path = sys.argv[1] if len(sys.argv) > 1 else "generated_image.png"
+    image = PIL.Image.open(image_path).convert("RGB")
+    pipeline = ConceptAttentionFluxPipeline(model_name="flux-schnell")
+    concepts = ["dragon", "rock", "sky", "cloud"]
+    out = pipeline.encode_image(
+        image=image,
+        concepts=concepts,
+        prompt="A dragon standing on a rock",
+        width=1024,
+        height=1024,
+        num_samples=4,
+    )
+    for concept, heatmap in zip(concepts, out.concept_heatmaps):
+        heatmap.save(f"encoded_{concept}_heatmap.png")
+    print("wrote per-concept heatmaps for", image_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""ImageNet-Segmentation zero-shot evaluation harness.
+
+Parity target: `experiments/imagenet_segmentation/run_experiment.py:31-256` in
+the reference (manuragkhullar/ConceptAttention): per-image binary segmentation
+with pixAcc / mIoU / mAP accumulation and running prints. Protocol constants
+match the reference (512^2 input, 224^2 labels, token-grid maps upsampled
+nearest-neighbor, mean-value threshold, layers 14..17, noise timestep 2/4).
+
+Usage:
+  python experiments/imagenet_segmentation/run_experiment.py \
+      --mat_path /data/gtsegs_ijcv.mat --model_name flux-schnell \
+      --tap output --num_images 100
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mat_path", required=True)
+    parser.add_argument("--model_name", default="flux-schnell")
+    parser.add_argument(
+        "--tap", default="output", choices=["output", "cross_attention", "value"]
+    )
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--label_size", type=int, default=224)
+    parser.add_argument("--num_steps", type=int, default=4)
+    parser.add_argument("--noise_timestep", type=int, default=2)
+    parser.add_argument("--layers", type=int, nargs="+", default=list(range(14, 18)))
+    parser.add_argument("--softmax", action="store_true")
+    parser.add_argument("--apply_blur", action="store_true")
+    parser.add_argument("--num_images", type=int, default=None)
+    parser.add_argument("--background_concepts", nargs="+",
+                        default=["background", "floor", "grass", "tree", "sky"])
+    args = parser.parse_args()
+
+    from conceptattention_tpu import ConceptAttentionFluxPipeline
+    from conceptattention_tpu.evals.datasets import ImagenetSegmentation
+    from conceptattention_tpu.evals.metrics import (
+        batch_intersection_union,
+        batch_pix_accuracy,
+        get_ap_scores,
+    )
+    from conceptattention_tpu.evals.segmentation import FluxTapSegmentationModel
+    from conceptattention_tpu.utils.plotting import upsample_nearest
+
+    if not ImagenetSegmentation.available(args.mat_path):
+        print(f"dataset not found at {args.mat_path}", file=sys.stderr)
+        sys.exit(2)
+
+    dataset = ImagenetSegmentation(args.mat_path)
+    pipe = ConceptAttentionFluxPipeline(args.model_name)
+    model = FluxTapSegmentationModel(
+        pipe, tap=args.tap, num_steps=args.num_steps,
+        noise_timestep=args.noise_timestep, layer_indices=args.layers,
+        softmax=args.softmax, width=args.width, height=args.width,
+    )
+
+    total_correct = total_labeled = 0
+    total_inter = np.zeros(2)
+    total_union = np.zeros(2)
+    ap_scores = []
+
+    n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
+    for i in range(n):
+        image, gt_mask, name = dataset[i]
+        target = name.split("_")[0].replace("-", " ")
+        concepts = [target] + [
+            c for c in args.background_concepts if c != target
+        ]
+        masks, coeffs, _ = model(
+            [image], target_concepts=[target], concepts=concepts,
+            captions=[target], apply_blur=args.apply_blur,
+        )
+        # Upsample token-grid prediction to label resolution
+        label = (gt_mask > 0).astype(np.int64)
+        label224 = label if label.shape == (args.label_size,) * 2 else (
+            upsample_nearest(label.astype(np.float64), args.label_size, args.label_size) > 0.5
+        ).astype(np.int64)
+        pred = (
+            upsample_nearest(masks[0].astype(np.float64), args.label_size, args.label_size)
+            > 0.5
+        ).astype(np.int64)
+        coeff224 = upsample_nearest(
+            coeffs[0].astype(np.float64), args.label_size, args.label_size
+        )
+
+        correct, labeled = batch_pix_accuracy(pred, label224)
+        inter, union = batch_intersection_union(pred, label224, nclass=2)
+        total_correct += correct
+        total_labeled += labeled
+        total_inter += inter
+        total_union += union
+        # soft AP over {bg, fg} channels
+        soft = np.stack([1.0 - coeff224, coeff224])[None]
+        ap_scores.extend(get_ap_scores(soft, label224[None]))
+
+        pix_acc = total_correct / max(total_labeled, 1)
+        miou = float(np.mean(total_inter / np.maximum(total_union, 1)))
+        print(
+            f"[{i+1}/{n}] {name}: pixAcc {pix_acc:.4f} mIoU {miou:.4f} "
+            f"mAP {np.mean(ap_scores):.4f}",
+            flush=True,
+        )
+
+    print(
+        f"FINAL pixAcc {total_correct / max(total_labeled,1):.4f} "
+        f"mIoU {float(np.mean(total_inter / np.maximum(total_union, 1))):.4f} "
+        f"mAP {np.mean(ap_scores):.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

