@@ -46,14 +46,19 @@ def main():
         kind = getattr(dev, "device_kind", "").lower()
         hbm_bytes = 16e9 if ("lite" in kind or "v5e" in kind) else 16e9
 
-    # Pick depth to fit HBM: full flux-schnell is ~11.9B params (23.8 GB bf16)
-    # -> needs >24GB. Scale double/single depth proportionally to fit.
+    # Full flux-schnell is ~11.9B params: 23.8 GB bf16 (needs >24 GB HBM) but
+    # ~12 GB with weight-only int8 — the TRUE full-depth architecture fits a
+    # 16 GB v5e chip quantized. Fall back to depth-scaling only if even int8
+    # doesn't fit.
     depth, depth_single = FULL_DEPTH
+    quantize = False
     if hbm_bytes is not None and hbm_bytes < 26e9:
-        # ~625M params per (1 double + 2 single) slice at 3072 hidden = 1.25GB bf16.
-        param_budget = hbm_bytes * 0.5  # leave headroom for activations
-        n = max(1, int(param_budget / 1.25e9))
-        depth, depth_single = min(19, n), min(38, 2 * n)
+        if hbm_bytes >= 14e9:
+            quantize = True
+        else:
+            param_budget = hbm_bytes * 0.5
+            n = max(1, int(param_budget / 1.25e9))
+            depth, depth_single = min(19, n), min(38, 2 * n)
 
     cfg = FluxConfig(
         depth=depth, depth_single_blocks=depth_single, guidance_embed=False
@@ -67,7 +72,13 @@ def main():
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 6)
-    params = init_flux_params(keys[0], cfg, dtype)
+    if quantize:
+        # Direct int8 init: the full model never materializes in bf16.
+        from conceptattention_tpu.ops.quant import init_flux_params_quantized
+
+        params = init_flux_params_quantized(keys[0], cfg, dtype)
+    else:
+        params = init_flux_params(keys[0], cfg, dtype)
     img = jax.random.normal(keys[1], (b, p_tokens, cfg.in_channels), dtype)
     img_ids = make_img_ids(*grid, batch_size=b)
     txt = jax.random.normal(keys[2], (b, t, cfg.context_in_dim), dtype)
@@ -126,7 +137,8 @@ def main():
     print(json.dumps({
         "metric": (
             f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step "
-            f"4-concept heatmaps, bf16, 1 chip, attn={backend} "
+            f"4-concept heatmaps, {'int8-weights' if quantize else 'bf16'}, "
+            f"1 chip, attn={backend} "
             f"(full-depth-equiv {imgs_per_sec_full_equiv:.3f} img/s, "
             f"heatmap overhead {overhead_pct:.1f}%)"
         ),

@@ -184,6 +184,13 @@ def fused_concept_flash_attention(
         cross=cross,
         self_attention=self_attention,
     )
+    nk = s // block_k
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+    except TypeError:  # older pallas without dimension_semantics
+        compiler_params = None
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -199,6 +206,12 @@ def fused_concept_flash_attention(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * s * d * b * h,
+            bytes_accessed=3 * bh * s * d * q.dtype.itemsize + bh * s * d * v.dtype.itemsize,
+            transcendentals=bh * s * s,
+        ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(q3, k3, v3)
     return out.reshape(b, h, s, d)

@@ -164,17 +164,42 @@ def single_block(
     pe: Tuple[jax.Array, jax.Array],
     num_heads: int,
     mlp_hidden_dim: int,
+    backend: str = "xla",
 ) -> jax.Array:
     """Single-stream block (parallel attention+MLP) — reference
     flux/src/flux/modules/layers.py:194-239. The reference's fused
     linear1/linear2 are held as separate qkv/mlp_in/proj/mlp_out leaves
-    (identical math, shardable); XLA fuses the sibling matmuls."""
+    (identical math, shardable); XLA fuses the sibling matmuls.
+
+    backend='pallas' runs the 4608-token self-attention through the blockwise
+    flash kernel (no [L, L] matrix in HBM — the XLA path materializes ~2 GB of
+    fp32 logits per block at 1024^2)."""
     mod, _ = modulation(vec, p["mod"]["w"], p["mod"]["b"], double=False)
     x_mod = (1 + mod.scale) * layer_norm(x) + mod.shift
     q, k, v = _qkv_heads(x_mod, p["qkv"], p["qnorm"], p["knorm"], num_heads)
     mlp = _linear(x_mod, p["mlp_in"])
     q, k = apply_rope(q, k, pe)
-    attn = merge_heads(sdpa(q, k, v))
+    if backend in ("pallas", "pallas_interpret"):
+        from conceptattention_tpu.kernels.flash_saliency import (
+            fused_concept_flash_attention,
+        )
+
+        l = q.shape[2]
+        block = 256 if l % 256 == 0 else 128
+        pad = (-l) % block
+        if pad:
+            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+            qp, kp, vp = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
+        else:
+            qp, kp, vp = q, k, v
+        out = fused_concept_flash_attention(
+            qp, kp, vp, txt_len=l, img_len=0, concept_len=0,
+            block_q=block, block_k=block,
+            interpret=(backend == "pallas_interpret"),
+        )
+        attn = merge_heads(out[:, :, :l])
+    else:
+        attn = merge_heads(sdpa(q, k, v))
     # linear2(concat([attn, gelu(mlp)])) == attn @ W_proj + gelu(mlp) @ W_mlp_out + b
     out = _linear(attn, p["proj"]) + jax.nn.gelu(mlp, approximate=True) @ p["mlp_out"]["w"]
     return x + mod.gate * out

@@ -99,8 +99,11 @@ def flux_forward(
             jnp.concatenate([concept_ids, img_ids], axis=1), cfg.axes_dim, cfg.theta
         )
 
+    from conceptattention_tpu.ops.quant import dequantize_tree
+
     def double_step(carry, layer_params):
         img, txt, concepts = carry
+        layer_params = dequantize_tree(layer_params)  # no-op if unquantized
         img, txt, concepts, saliency = double_block(
             layer_params, img, txt, vec, pe, cfg.num_heads,
             concepts=concepts, concept_vec=cvec, concept_pe=concept_pe,
@@ -119,7 +122,10 @@ def flux_forward(
 
     def single_step(x, layer_params):
         return (
-            single_block(layer_params, x, vec, pe, cfg.num_heads, cfg.mlp_hidden_dim),
+            single_block(
+                dequantize_tree(layer_params), x, vec, pe, cfg.num_heads,
+                cfg.mlp_hidden_dim, backend=spec.backend,
+            ),
             None,
         )
 

@@ -167,7 +167,7 @@ class TestPacking:
         x = jnp.arange(2 * 16 * 8 * 8, dtype=jnp.float32).reshape(2, 16, 8, 8)
         packed = pack_latents(x)
         assert packed.shape == (2, 16, 64)
-        unpacked = unpack_latents(packed, 64, 64)  # 8 = 2*ceil(64/16)
+        unpacked = unpack_latents(packed, 4, 4)  # token grid = latent dims / 2
         np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(x))
 
     def test_pack_matches_einops_reference_order(self):
