@@ -116,7 +116,10 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     results = {}
-    for backend in ("xla", "pallas"):
+    # At full depth + int8 the XLA attention path's materialized logits don't
+    # fit alongside the weights; only the flash kernel path is attempted.
+    backends = ("pallas",) if quantize else ("xla", "pallas")
+    for backend in backends:
         try:
             results[backend] = timed(True, backend)
         except Exception as e:  # pallas may be unavailable on some backends

@@ -101,9 +101,16 @@ def flux_forward(
 
     from conceptattention_tpu.ops.quant import dequantize_tree
 
+    def _dequant_layer(layer_params):
+        # The barrier pins dequantization INSIDE the scan body: without it XLA
+        # rewrites dequant(slice(stack)) -> slice(dequant(stack)) and hoists a
+        # full-depth bf16 copy of the weights (23 GB) out of the loop.
+        layer_params = jax.lax.optimization_barrier(layer_params)
+        return dequantize_tree(layer_params)
+
     def double_step(carry, layer_params):
         img, txt, concepts = carry
-        layer_params = dequantize_tree(layer_params)  # no-op if unquantized
+        layer_params = _dequant_layer(layer_params)  # no-op if unquantized
         img, txt, concepts, saliency = double_block(
             layer_params, img, txt, vec, pe, cfg.num_heads,
             concepts=concepts, concept_vec=cvec, concept_pe=concept_pe,
@@ -123,7 +130,7 @@ def flux_forward(
     def single_step(x, layer_params):
         return (
             single_block(
-                dequantize_tree(layer_params), x, vec, pe, cfg.num_heads,
+                _dequant_layer(layer_params), x, vec, pe, cfg.num_heads,
                 cfg.mlp_hidden_dim, backend=spec.backend,
             ),
             None,

@@ -84,9 +84,12 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnums=1)
-def _random_int8_impl(key, n4):
-    bits = jax.random.bits(key, (n4,), jnp.uint32)
-    return jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(-1)
+def _random_int8_impl(key, rows):
+    # (rows, 32) uint32 -> bitcast (rows, 32, 4) int8 -> (rows, 128): the
+    # 128-wide int8 minor dim matches the TPU lane tiling (a [n, 4] int8
+    # bitcast would be lane-padded 32x in HBM).
+    bits = jax.random.bits(key, (rows, 32), jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(rows, 128)
 
 
 def _random_int8(key: jax.Array, shape) -> jax.Array:
@@ -95,9 +98,12 @@ def _random_int8(key: jax.Array, shape) -> jax.Array:
     import numpy as _np
 
     n = int(_np.prod(shape))
-    n4 = (n + 3) // 4
-    flat = _random_int8_impl(key, n4)
+    rows = (n + 127) // 128
+    flat = _random_int8_impl(key, rows).reshape(-1)
     return flat[:n].reshape(shape)
+
+
+def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Random *already-quantized* Flux params: int8 weights + scales generated
     directly, so the full 11.9B model never materializes in bf16 (24 GB) on a
     16 GB chip. Weight distribution matches init_flux_params' 1/sqrt(in) std.

@@ -103,6 +103,7 @@ class ConceptAttentionFluxPipeline:
         text_encoders: Optional[TextEncoders] = None,
         mesh=None,
         init_seed: int = 0,
+        quantize: bool = False,  # weight-only int8: full flux fits a 16GB chip
         offload_model: bool = False,  # accepted for API parity; TPU HBM holds the model
         device: Optional[str] = None,  # API parity; placement is mesh-driven
     ):
@@ -124,6 +125,16 @@ class ConceptAttentionFluxPipeline:
                 )
 
                 params = convert_flux_state_dict(load_safetensors(ckpt), self.cfg, dtype)
+                if quantize:
+                    from conceptattention_tpu.ops.quant import quantize_flux_params
+
+                    params = quantize_flux_params(params)
+            elif quantize:
+                from conceptattention_tpu.ops.quant import init_flux_params_quantized
+
+                params = init_flux_params_quantized(
+                    jax.random.PRNGKey(init_seed), self.cfg, dtype
+                )
             else:
                 params = init_flux_params(jax.random.PRNGKey(init_seed), self.cfg, dtype)
         if ae_params is None:
