@@ -88,30 +88,31 @@ class ViTAttentionSegmentationModel(SegmentationModel):
             sal = rolled[:, 0, 1:]
         else:
             target = jnp.argmax(logits, axis=-1)
+            # dlogit/dA per layer via an additive zero perturbation on the
+            # attention probabilities — replaces the reference's backward
+            # hooks (ViT_explanation_generator.py:20-106).
+            b = x.shape[0]
+            n = cfg.num_patches + 1
+            zeros = jnp.zeros((cfg.depth, b, cfg.num_heads, n, n), x.dtype)
 
-            # Gradient of the target-class logit w.r.t. the input, reduced
-            # onto patch granularity — replaces the reference's backward
-            # hooks on attention modules.
-            def logit_fn(images):
-                lg, at = vit_forward(self.params, cfg, images, return_attn=True)
-                score = jnp.take_along_axis(lg, target[:, None], axis=-1).sum()
-                return score, at
+            def score_fn(deltas):
+                lg, at = vit_forward(
+                    self.params, cfg, x, return_attn=True, attn_deltas=deltas
+                )
+                return jnp.take_along_axis(lg, target[:, None], axis=-1).sum(), at
 
-            grads, _ = jax.grad(logit_fn, has_aux=True)(x)
-            last = attns[-1]  # [B, H, N, N]
-            # Weight last-layer CLS attention by the patch-level input-gradient
-            # magnitude (GradCAM analogue without torch hooks).
-            g = jnp.mean(jnp.abs(grads), axis=1)  # [B, H, W]
-            ps = cfg.patch_size
-            gpatch = g.reshape(
-                g.shape[0], cfg.grid, ps, cfg.grid, ps
-            ).mean(axis=(2, 4)).reshape(g.shape[0], -1)  # [B, N]
-            cls_attn = jnp.mean(last[:, :, 0, 1:], axis=1)  # [B, N]
+            grads, attns = jax.grad(score_fn, has_aux=True)(zeros)
+            cam = jnp.mean(jax.nn.relu(grads * attns), axis=2)  # [depth, B, N, N]
             if self.method == "gradcam":
-                sal = jax.nn.relu(cls_attn * gpatch)
-            else:  # transformer_attribution
-                rolled = attention_rollout(attns)[:, 0, 1:]
-                sal = jax.nn.relu(rolled * gpatch)
+                sal = cam[-1][:, 0, 1:]
+            else:  # transformer_attribution: grad-weighted relevance rollout
+                eye = jnp.eye(n)[None]
+
+                def roll(r, layer_cam):
+                    return (eye + layer_cam) @ r, None
+
+                r, _ = jax.lax.scan(roll, jnp.broadcast_to(eye, (b, n, n)), cam)
+                sal = r[:, 0, 1:]
 
         g = self.cfg.grid
         return np.asarray(sal.reshape(-1, g, g), dtype=np.float32)

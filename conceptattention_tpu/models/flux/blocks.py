@@ -43,7 +43,15 @@ from conceptattention_tpu.ops.rope import apply_rope
 
 
 def _linear(x, p):
-    y = x @ p["w"]
+    """Linear with optional weight-only int8: per-output-channel scales fold
+    into the OUTPUT (x @ (q*s) == (x @ q) * s), so dequantized weights never
+    materialize — the int8->bf16 convert fuses into the matmul operand."""
+    w = p["w"]
+    if isinstance(w, dict):  # {"q": int8, "scale": [1, out]}
+        y = x @ w["q"].astype(x.dtype)
+        y = y * w["scale"][0]
+    else:
+        y = x @ w
     if "b" in p:
         y = y + p["b"]
     return y
@@ -53,11 +61,20 @@ def _qkv_heads(x_mod, qkv_p, qnorm, knorm, num_heads):
     """Fused qkv projection -> QK-normalized per-head (q, k, v).
 
     Weight is [D, 3, H, head_dim] (head-axis shardable); one MXU matmul.
+    Quantized weights keep int8 in the dot, scales fold into the output.
     """
-    qkv = jnp.einsum(
-        "bld,dkhe->kbhle", x_mod, qkv_p["w"],
-        preferred_element_type=jnp.float32,
-    ).astype(x_mod.dtype)
+    w = qkv_p["w"]
+    if isinstance(w, dict):
+        qkv = jnp.einsum(
+            "bld,dkhe->kbhle", x_mod, w["q"].astype(x_mod.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x_mod.dtype)
+        qkv = qkv * w["scale"][0][:, None, :, None, :]
+    else:
+        qkv = jnp.einsum(
+            "bld,dkhe->kbhle", x_mod, w,
+            preferred_element_type=jnp.float32,
+        ).astype(x_mod.dtype)
     if "b" in qkv_p:
         qkv = qkv + qkv_p["b"][:, None, :, None, :]
     q, k, v = qkv[0], qkv[1], qkv[2]
@@ -201,7 +218,7 @@ def single_block(
     else:
         attn = merge_heads(sdpa(q, k, v))
     # linear2(concat([attn, gelu(mlp)])) == attn @ W_proj + gelu(mlp) @ W_mlp_out + b
-    out = _linear(attn, p["proj"]) + jax.nn.gelu(mlp, approximate=True) @ p["mlp_out"]["w"]
+    out = _linear(attn, p["proj"]) + _linear(jax.nn.gelu(mlp, approximate=True), p["mlp_out"])
     return x + mod.gate * out
 
 

@@ -99,18 +99,17 @@ def flux_forward(
             jnp.concatenate([concept_ids, img_ids], axis=1), cfg.axes_dim, cfg.theta
         )
 
-    from conceptattention_tpu.ops.quant import dequantize_tree
-
     def _dequant_layer(layer_params):
-        # The barrier pins dequantization INSIDE the scan body: without it XLA
-        # rewrites dequant(slice(stack)) -> slice(dequant(stack)) and hoists a
-        # full-depth bf16 copy of the weights (23 GB) out of the loop.
-        layer_params = jax.lax.optimization_barrier(layer_params)
-        return dequantize_tree(layer_params)
+        # int8 weights are consumed natively by the block matmuls (scales fold
+        # into outputs). The barrier pins the int8->bf16 operand converts
+        # INSIDE the scan body: without it XLA can rewrite convert(slice(x))
+        # -> slice(convert(x)) and hoist a full-depth bf16 weight copy
+        # (23 GB) out of the loop.
+        return jax.lax.optimization_barrier(layer_params)
 
     def double_step(carry, layer_params):
         img, txt, concepts = carry
-        layer_params = _dequant_layer(layer_params)  # no-op if unquantized
+        layer_params = _dequant_layer(layer_params)
         img, txt, concepts, saliency = double_block(
             layer_params, img, txt, vec, pe, cfg.num_heads,
             concepts=concepts, concept_vec=cvec, concept_pe=concept_pe,

@@ -75,23 +75,8 @@ def make_video_ids(
     return jnp.broadcast_to(ids, (batch_size, ids.shape[1], 3))
 
 
-def _linear(x, p):
-    y = x @ p["w"]
-    if "b" in p:
-        y = y + p["b"]
-    return y
-
-
-def _qkv_heads(x, qkv_p, qnorm, knorm, num_heads):
-    qkv = jnp.einsum(
-        "bld,dkhe->kbhle", x, qkv_p["w"], preferred_element_type=jnp.float32
-    ).astype(x.dtype)
-    if "b" in qkv_p:
-        qkv = qkv + qkv_p["b"][:, None, :, None, :]
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    q = rms_norm(q, qnorm).astype(v.dtype)
-    k = rms_norm(k, knorm).astype(v.dtype)
-    return q, k, v
+# Shared linear/qkv helpers (incl. weight-only int8 handling).
+from conceptattention_tpu.models.flux.blocks import _linear, _qkv_heads
 
 
 def _video_block(

@@ -53,20 +53,22 @@ def _ln(x, p, eps=1e-6):
     return layer_norm(x, eps=eps) * p["scale"] + p["bias"]
 
 
-def _attention(p, x, num_heads):
+def _attention(p, x, num_heads, delta=None):
     b, n, d = x.shape
     hd = d // num_heads
     qkv = _linear(x, p["qkv"]).reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits / (hd**0.5), axis=-1)
+    if delta is not None:
+        probs = probs + delta  # zero in forward; carries dlogit/dA in reverse
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     return _linear(out, p["proj"]), probs
 
 
-def vit_block(p, x, num_heads):
-    attn_out, probs = _attention(p["attn"], _ln(x, p["norm1"]), num_heads)
+def vit_block(p, x, num_heads, delta=None):
+    attn_out, probs = _attention(p["attn"], _ln(x, p["norm1"]), num_heads, delta)
     x = x + attn_out
     h = _linear(jax.nn.gelu(_linear(_ln(x, p["norm2"]), p["mlp_in"])), p["mlp_out"])
     return x + h, probs
@@ -77,9 +79,16 @@ def vit_forward(
     cfg: ViTConfig,
     images: jax.Array,
     return_attn: bool = False,
+    attn_deltas: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """images [B, 3, H, W] -> (logits [B, num_classes],
-    attn [depth, B, H, N+1, N+1] when return_attn)."""
+    attn [depth, B, H, N+1, N+1] when return_attn).
+
+    `attn_deltas` (same shape as the attention stack) is added to each layer's
+    attention probabilities — differentiating the target logit w.r.t. a zero
+    delta yields dlogit/dA per layer, the quantity the Chefer relevance
+    methods need (replaces the reference's backward hooks on attention
+    modules, chefer_vit_explainability/ViT_new.py)."""
     b = images.shape[0]
     # Patchify: conv == reshape + matmul for non-overlapping patches.
     ps = cfg.patch_size
@@ -92,11 +101,16 @@ def vit_forward(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"][:, : x.shape[1]]
 
-    def step(x, layer_params):
-        x, probs = vit_block(layer_params, x, cfg.num_heads)
+    def step(x, xs):
+        layer_params, delta = xs
+        x, probs = vit_block(layer_params, x, cfg.num_heads, delta)
         return x, probs if return_attn else None
 
-    x, attns = jax.lax.scan(step, x, params["blocks"])
+    deltas = attn_deltas
+    if deltas is None:
+        n = x.shape[1]
+        deltas = jnp.zeros((cfg.depth, b, cfg.num_heads, n, n), x.dtype)
+    x, attns = jax.lax.scan(step, x, (params["blocks"], deltas))
     x = _ln(x, params["norm"])
     logits = _linear(x[:, 0], params["head"])
     return logits, attns

@@ -40,10 +40,17 @@ class ModulationOut(NamedTuple):
 
 
 def modulation(
-    vec: jax.Array, w: jax.Array, b: jax.Array, double: bool
+    vec: jax.Array, w, b: jax.Array, double: bool
 ) -> Tuple[ModulationOut, ModulationOut | None]:
-    """AdaLN modulation: silu(vec) @ w + b -> 3 or 6 chunks of [B, 1, D]."""
-    out = jax.nn.silu(vec) @ w + b
+    """AdaLN modulation: silu(vec) @ w + b -> 3 or 6 chunks of [B, 1, D].
+
+    `w` may be a weight-only-int8 dict {"q", "scale"}; the per-output-channel
+    scale folds into the output."""
+    h = jax.nn.silu(vec)
+    if isinstance(w, dict):
+        out = (h @ w["q"].astype(vec.dtype)) * w["scale"][0] + b
+    else:
+        out = h @ w + b
     out = out[:, None, :]
     n = 6 if double else 3
     chunks = jnp.split(out, n, axis=-1)

@@ -84,23 +84,22 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnums=1)
-def _random_int8_impl(key, rows):
-    # (rows, 32) uint32 -> bitcast (rows, 32, 4) int8 -> (rows, 128): the
-    # 128-wide int8 minor dim matches the TPU lane tiling (a [n, 4] int8
-    # bitcast would be lane-padded 32x in HBM).
-    bits = jax.random.bits(key, (rows, 32), jnp.uint32)
-    return jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(rows, 128)
-
-
 def _random_int8(key: jax.Array, shape) -> jax.Array:
-    """Uniform int8 of `shape` with ~1 byte/elem peak memory — randint would
-    materialize 4-byte random bits (26 GB for the 6.5B-param double stack)."""
+    """Uniform int8 of `shape` at ~1 byte/elem peak memory.
+
+    One fused program: (rows, 32) uint32 bits -> bitcast (rows, 128) int8 ->
+    reshape — the 128-wide int8 minor dim matches the TPU lane tiling (a
+    [n, 4] bitcast would be lane-padded 32x in HBM), and jitting the whole
+    chain lets XLA fuse generation into the output buffer instead of
+    allocating per eager op (randint alone would materialize 4-byte random
+    bits: 26 GB for the 6.5B-param double stack)."""
     import numpy as _np
 
     n = int(_np.prod(shape))
     rows = (n + 127) // 128
-    flat = _random_int8_impl(key, rows).reshape(-1)
-    return flat[:n].reshape(shape)
+    bits = jax.random.bits(key, (rows, 32), jnp.uint32)
+    flat = jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(rows * 128)
+    return jax.lax.slice(flat, (0,), (n,)).reshape(shape)
 
 
 def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[str, Any]:
@@ -112,7 +111,14 @@ def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[
     from conceptattention_tpu.models.flux.params import init_flux_params
 
     tiny_like = cfg.__class__(**{**cfg.__dict__, "depth": 1, "depth_single_blocks": 1})
-    skeleton = init_flux_params(key, tiny_like, dtype)
+    # Build the depth-1 skeleton on host: keeping its ~1.3 GB on the chip
+    # during generation would push the 12 GB int8 init past a 16 GB HBM.
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            skeleton = init_flux_params(key, tiny_like, dtype)
+    except RuntimeError:
+        skeleton = init_flux_params(key, tiny_like, dtype)
 
     def expand(stack, depth):
         def visit(node, path=()):
@@ -134,7 +140,14 @@ def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[
                             "scale": jnp.full(scale_shape, s, dtype),
                         }
                     elif hasattr(v, "ndim"):
-                        out[k] = jnp.broadcast_to(v, (depth,) + v.shape[1:]).copy() if v.ndim >= 1 else v
+                        # small leaves: broadcast on host, then place on-chip
+                        out[k] = (
+                            jax.device_put(
+                                jnp.broadcast_to(v, (depth,) + v.shape[1:]).copy()
+                            )
+                            if v.ndim >= 1
+                            else v
+                        )
                     else:
                         out[k] = visit(v, path + (k,))
                 return out
@@ -142,7 +155,11 @@ def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[
 
         return visit(stack)
 
-    params = dict(skeleton)
+    params = {
+        k: jax.tree.map(jax.device_put, v)  # move host skeleton leaves on-chip
+        for k, v in skeleton.items()
+        if k not in ("double", "single")
+    }
     params["double"] = expand(skeleton["double"], cfg.depth)
     params["single"] = expand(skeleton["single"], cfg.depth_single_blocks)
     return params

@@ -41,6 +41,30 @@ def get_noise(
     )
 
 
+def get_noise_torch_parity(
+    seed: int,
+    num_samples: int,
+    height: int,
+    width: int,
+    dtype=jnp.bfloat16,
+    channels: int = 16,
+    vae_factor: int = 8,
+) -> jax.Array:
+    """Latent noise drawn from torch's CPU Philox stream — bit-identical to
+    the reference's `get_noise` (sampling.py:12-29) for the same seed, so
+    end-to-end outputs can be compared against the PyTorch implementation
+    when weights are shared. Production sampling uses the native JAX PRNG
+    (`get_noise`)."""
+    import numpy as np
+    import torch
+
+    shape = latent_noise_shape(num_samples, height, width, channels, vae_factor)
+    gen = torch.Generator(device="cpu").manual_seed(seed)
+    torch_dtype = torch.bfloat16 if dtype == jnp.bfloat16 else torch.float32
+    x = torch.randn(*shape, generator=gen, dtype=torch_dtype)
+    return jnp.asarray(x.float().numpy(), dtype=dtype)
+
+
 def prepare_image_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """[B, C, H, W] latents -> (packed [B, P, C*4] tokens, img_ids [B, P, 3])."""
     b, _, h, w = x.shape
