@@ -84,22 +84,21 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnums=1)
+def _randint8_layer(key, shape):
+    return jax.random.randint(key, shape, -127, 128, dtype=jnp.int8)
+
+
 def _random_int8(key: jax.Array, shape) -> jax.Array:
-    """Uniform int8 of `shape` at ~1 byte/elem peak memory.
+    """Uniform int8 of `shape` with bounded device transients.
 
-    One fused program: (rows, 32) uint32 bits -> bitcast (rows, 128) int8 ->
-    reshape — the 128-wide int8 minor dim matches the TPU lane tiling (a
-    [n, 4] bitcast would be lane-padded 32x in HBM), and jitting the whole
-    chain lets XLA fuse generation into the output buffer instead of
-    allocating per eager op (randint alone would materialize 4-byte random
-    bits: 26 GB for the 6.5B-param double stack)."""
-    import numpy as _np
-
-    n = int(_np.prod(shape))
-    rows = (n + 127) // 128
-    bits = jax.random.bits(key, (rows, 32), jnp.uint32)
-    flat = jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(rows * 128)
-    return jax.lax.slice(flat, (0,), (n,)).reshape(shape)
+    randint over a whole [depth, ...] stack materializes 4-byte random bits
+    (48 GB for 12B params) and uint32->int8 bitcasts hit 32x lane-padding;
+    host generation is bandwidth-bound through the device tunnel. So: randint
+    per LAYER (4x transient on <=75 MB slices) and stack on device."""
+    depth = shape[0]
+    keys = jax.random.split(key, depth)
+    layers = [_randint8_layer(keys[i], tuple(shape[1:])) for i in range(depth)]
+    return jnp.stack(layers)
 
 
 def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[str, Any]:
