@@ -107,3 +107,33 @@ class TestProfiling:
 
         cost = compiled_cost(lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64)))
         assert cost["flops"] is None or cost["flops"] > 0
+
+
+class TestTextSpan:
+    def test_textspan_segmentation(self, vit):
+        from conceptattention_tpu.evals.textspan import (
+            CLIPTextSpanSegmentationModel,
+            head_token_decomposition,
+        )
+        from conceptattention_tpu.models.text.encoders import StubTextEncoders
+        import jax
+
+        # decomposition must sum to the true last-layer CLS attention residual
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 32, 32))
+        contrib = head_token_decomposition(vit, TINY_VIT, x)
+        assert contrib.shape == (1, TINY_VIT.num_patches + 1, TINY_VIT.hidden_size)
+
+        enc = StubTextEncoders(clip_dim=TINY_VIT.hidden_size)
+        model = CLIPTextSpanSegmentationModel(vit, TINY_VIT, enc)
+        rng = np.random.default_rng(4)
+        image = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        masks, coeffs, _ = model(
+            [image], target_concepts=["cat"], concepts=["cat", "dog"],
+            captions=["a cat"],
+        )
+        g = TINY_VIT.grid
+        assert masks[0].shape == (g, g)
+        assert np.isfinite(coeffs[0]).all()
+        # concept-specific: different concepts give different maps
+        c, _ = model.segment_individual_image(image, ["cat", "sky"], "a cat")
+        assert not np.allclose(c[0], c[1])
