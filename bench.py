@@ -37,7 +37,7 @@ def hbm_limit() -> float:
     return 16e9  # v5e default; memory_stats absent under the axon plugin
 
 
-def attempt(depth: int, depth_single: int, quantize: bool, backends):
+def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int = 1):
     from conceptattention_tpu.config import FluxConfig
     from conceptattention_tpu.models.flux.params import init_flux_params
     from conceptattention_tpu.ops.attention import ConceptAttentionSpec
@@ -47,7 +47,7 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends):
 
     cfg = FluxConfig(depth=depth, depth_single_blocks=depth_single, guidance_embed=False)
     dtype = jnp.bfloat16
-    b, t, c = 1, 256, 4
+    b, t, c = batch, 256, 4
     grid = (64, 64)  # 1024x1024 pixels -> 4096 image tokens
     p_tokens = grid[0] * grid[1]
 
@@ -83,7 +83,7 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends):
             spec=ConceptAttentionSpec(taps=("output", "cross_attention"), backend=backend),
         )
 
-    def timed(with_concepts, backend, iters=3):
+    def timed(with_concepts, backend, iters=4):
         out, _ = run(params, img, with_concepts, backend)
         jax.block_until_ready(out)  # compile + warm
         t0 = time.perf_counter()
@@ -103,26 +103,28 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends):
     backend = min(results, key=results.get)
     t_with = results[backend]
     t_plain = timed(False, backend)
-    return b / t_with, 100.0 * (t_with - t_plain) / t_plain, backend
+    overhead = max(0.0, 100.0 * (t_with - t_plain) / t_plain)
+    return b / t_with, overhead, backend
 
 
 def main():
     hbm = hbm_limit()
     if hbm >= 26e9:
-        ladder = [(19, 38, False, ("xla", "pallas"))]
+        ladder = [(19, 38, False, ("xla", "pallas"), 1)]
     else:
         # int8 full depth first (XLA attention's materialized logits don't fit
         # alongside the weights -> flash kernel only), then depth-scaled bf16.
         n = max(1, int(hbm * 0.5 / 1.25e9))
         ladder = [
-            (19, 38, True, ("pallas",)),
-            (min(19, n), min(38, 2 * n), False, ("xla", "pallas")),
+            (19, 38, True, ("pallas",), 4),   # full arch, int8, batched serving
+            (19, 38, True, ("pallas",), 1),   # full arch, int8, single image
+            (min(19, n), min(38, 2 * n), False, ("xla", "pallas"), 1),
         ]
 
-    for depth, depth_single, quantize, backends in ladder:
+    for depth, depth_single, quantize, backends, batch in ladder:
         try:
             imgs_per_sec, overhead_pct, backend = attempt(
-                depth, depth_single, quantize, backends
+                depth, depth_single, quantize, backends, batch
             )
         except Exception as e:
             print(f"# config d{depth}/{depth_single} q={quantize} failed: "
@@ -133,7 +135,7 @@ def main():
         vs_baseline = full_equiv / A100_FULL_FLUX_IMGS_PER_SEC
         print(json.dumps({
             "metric": (
-                f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step "
+                f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step b{batch} "
                 f"4-concept heatmaps, {'int8-weights' if quantize else 'bf16'}, "
                 f"1 chip, attn={backend} "
                 f"(full-depth-equiv {full_equiv:.3f} img/s, "

@@ -40,12 +40,17 @@ class VideoConceptPipelineOutput:
     concept_heatmaps: np.ndarray  # [concepts, frames, h, w]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spec", "guidance_scale", "num_train_timesteps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "guidance_scale", "num_train_timesteps", "scheduler"),
+)
 def _cfg_denoise(
     params, cfg, latents, video_ids, text_cond, text_uncond,
     concepts, timesteps_idx, sched_alphas, final_alpha,
-    guidance_scale, spec, num_train_timesteps,
+    guidance_scale, spec, num_train_timesteps, scheduler="ddim",
 ):
+    from conceptattention_tpu.sampling.dpm import dpm_init, dpm_step
+
     sched = DDIMSchedule(
         timesteps=timesteps_idx, alphas_cumprod=sched_alphas,
         final_alpha_cumprod=final_alpha,
@@ -54,7 +59,7 @@ def _cfg_denoise(
     b = latents.shape[0]
     step_gap = num_train_timesteps // timesteps_idx.shape[0]
 
-    def step(x, t):
+    def guided_pred(x, t):
         x2 = jnp.concatenate([x, x], axis=0)
         t_norm = t.astype(jnp.float32) / num_train_timesteps
         t_vec = jnp.full((2 * b,), t_norm, dtype=jnp.float32)
@@ -67,9 +72,21 @@ def _cfg_denoise(
         )
         uncond, cond = jnp.split(pred, 2, axis=0)
         guided = uncond + guidance_scale * (cond - uncond)
-        x = ddim_step(sched, guided, t, t - step_gap, x)
-        # keep the conditional half of the maps
         saliency = {k: v[:, b:] for k, v in saliency.items()}
+        return guided, saliency
+
+    if scheduler == "dpm":
+        def step(state, t):
+            guided, saliency = guided_pred(state.sample, t)
+            state = dpm_step(sched, state, guided, t, t - step_gap)
+            return state, saliency
+
+        state, saliency = jax.lax.scan(step, dpm_init(latents), timesteps_idx)
+        return state.sample, saliency
+
+    def step(x, t):
+        guided, saliency = guided_pred(x, t)
+        x = ddim_step(sched, guided, t, t - step_gap, x)
         return x, saliency
 
     latents, saliency = jax.lax.scan(step, latents, timesteps_idx)
@@ -109,6 +126,7 @@ class VideoConceptAttentionPipeline:
         concept_timesteps: Optional[Sequence[int]] = None,
         layer_indices: Optional[Sequence[int]] = None,
         attention_norm: str = "softmax",
+        scheduler: str = "ddim",  # "ddim" | "dpm" (DPM-Solver++ 2M)
         seed: int = 0,
     ) -> VideoConceptPipelineOutput:
         """Run CFG DDIM sampling; returns latents + [C, F, h, w] heatmaps."""
@@ -134,7 +152,7 @@ class VideoConceptAttentionPipeline:
             self.params, cfg, latents, video_ids, text_cond, text_uncond,
             concepts_emb, sched.timesteps, sched.alphas_cumprod,
             sched.final_alpha_cumprod, guidance_scale,
-            ConceptAttentionSpec(taps=("output",)), 1000,
+            ConceptAttentionSpec(taps=("output",)), 1000, scheduler,
         )
 
         maps = saliency["output"]  # [S, depth, B, C, F*P]

@@ -112,3 +112,28 @@ class TestVideoPipeline:
         assert out.concept_heatmaps.shape == (2, F, H, W)
         assert np.isfinite(out.concept_heatmaps).all()
         assert out.video_latents.shape == (1, F, H, W, TINY.in_channels)
+
+
+class TestDPM:
+    def test_dpm_epsilon_roundtrip_one_step(self):
+        from conceptattention_tpu.sampling.dpm import dpm_init, dpm_step, make_dpm_schedule
+        from conceptattention_tpu.sampling.ddim import add_noise
+
+        s = make_dpm_schedule(1, prediction_type="epsilon")
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8))
+        eps = jax.random.normal(jax.random.PRNGKey(1), (1, 8))
+        t = s.timesteps[0]
+        x_t = add_noise(s, x0, eps, t)
+        state = dpm_init(x_t)
+        state = dpm_step(s, state, eps, t, t - 1000)
+        # at the final boundary alpha->1, sigma->~0: recovers x0
+        np.testing.assert_allclose(np.asarray(state.sample), np.asarray(x0), rtol=1e-2, atol=1e-2)
+
+    def test_video_pipeline_dpm(self):
+        pipe = VideoConceptAttentionPipeline(cfg=TINY, dtype=jnp.float32)
+        out = pipe.generate_video(
+            prompt="a dog", concepts=["dog"],
+            num_frames=F, height_tokens=H, width_tokens=W,
+            num_inference_steps=4, scheduler="dpm", seed=2,
+        )
+        assert np.isfinite(out.concept_heatmaps).all()
