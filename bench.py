@@ -127,8 +127,17 @@ def main():
                 depth, depth_single, quantize, backends, batch
             )
         except Exception as e:
-            print(f"# config d{depth}/{depth_single} q={quantize} failed: "
+            import gc
+            import traceback
+
+            traceback.print_exc(limit=3, file=sys.stderr)
+            print(f"# config d{depth}/{depth_single} q={quantize} b{batch} failed: "
                   f"{type(e).__name__}", file=sys.stderr)
+            # Drop the traceback: its frames pin the attempt's 12 GB of
+            # device buffers, OOMing every later ladder entry.
+            e.__traceback__ = None
+            del e
+            gc.collect()
             continue
         flop_scale = (depth + 0.5 * depth_single) / (FULL_DEPTH[0] + 0.5 * FULL_DEPTH[1])
         full_equiv = imgs_per_sec * flop_scale
