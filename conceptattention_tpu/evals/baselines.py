@@ -64,13 +64,19 @@ class ViTAttentionSegmentationModel(SegmentationModel):
 
     method: 'dino_attention' (last-layer CLS attention, head mean),
             'rollout' (attention rollout),
-            'gradcam' (grad x attention of the last layer),
-            'transformer_attribution' (Chefer grad-weighted relevance rollout).
+            'gradcam' (grad-GAP-weighted last-layer attention),
+            'transformer_attribution' (Chefer grad-weighted relevance rollout),
+            'last_layer_lrp' (relevance of the last attention layer only),
+            'lrp' / 'full_lrp' (epsilon-LRP approximated by gradient x input —
+            exact for linear/ReLU chains; the reference's hand-written LRP
+            stack is ~1k LoC of torch autograd rules, chefer_vit_explainability/
+            modules/layers_ours.py).
     """
 
     def __init__(self, params, cfg: ViTConfig, method: str = "dino_attention"):
         assert method in (
             "dino_attention", "rollout", "gradcam", "transformer_attribution",
+            "last_layer_lrp", "lrp", "full_lrp",
         )
         self.params = params
         self.cfg = cfg
@@ -86,6 +92,23 @@ class ViTAttentionSegmentationModel(SegmentationModel):
         elif self.method == "rollout":
             rolled = attention_rollout(attns)
             sal = rolled[:, 0, 1:]
+        elif self.method in ("lrp", "full_lrp"):
+            target = jnp.argmax(logits, axis=-1)
+
+            def input_score(images):
+                lg, _ = vit_forward(self.params, cfg, images, return_attn=True)
+                return jnp.take_along_axis(lg, target[:, None], axis=-1).sum()
+
+            grads = jax.grad(input_score)(x)
+            # epsilon-LRP via gradient x input, pooled to patch granularity
+            rel = grads * x if self.method == "lrp" else jnp.abs(grads * x)
+            ps = cfg.patch_size
+            sal = jax.nn.relu(
+                rel.sum(axis=1)
+                .reshape(x.shape[0], cfg.grid, ps, cfg.grid, ps)
+                .sum(axis=(2, 4))
+                .reshape(x.shape[0], -1)
+            )
         else:
             target = jnp.argmax(logits, axis=-1)
             # dlogit/dA per layer via an additive zero perturbation on the
@@ -102,10 +125,16 @@ class ViTAttentionSegmentationModel(SegmentationModel):
                 return jnp.take_along_axis(lg, target[:, None], axis=-1).sum(), at
 
             grads, attns = jax.grad(score_fn, has_aux=True)(zeros)
-            cam = jnp.mean(jax.nn.relu(grads * attns), axis=2)  # [depth, B, N, N]
             if self.method == "gradcam":
-                sal = cam[-1][:, 0, 1:]
+                # CAM-style: GAP the gradient per head, weight head-mean attention
+                weights = jnp.mean(grads[-1], axis=(2, 3), keepdims=True)
+                cam_last = jax.nn.relu(jnp.mean(weights * attns[-1], axis=1))
+                sal = cam_last[:, 0, 1:]
+            elif self.method == "last_layer_lrp":
+                cam_last = jnp.mean(jax.nn.relu(grads[-1] * attns[-1]), axis=1)
+                sal = cam_last[:, 0, 1:]
             else:  # transformer_attribution: grad-weighted relevance rollout
+                cam = jnp.mean(jax.nn.relu(grads * attns), axis=2)  # [depth, B, N, N]
                 eye = jnp.eye(n)[None]
 
                 def roll(r, layer_cam):

@@ -42,7 +42,7 @@ class TestViT:
         np.testing.assert_allclose(np.asarray(rolled.sum(-1)), 1.0, rtol=1e-4)
 
     @pytest.mark.parametrize(
-        "method", ["dino_attention", "rollout", "gradcam", "transformer_attribution"]
+        "method", ["dino_attention", "rollout", "gradcam", "transformer_attribution", "last_layer_lrp", "lrp", "full_lrp"]
     )
     def test_segmentation_methods(self, vit, method):
         model = ViTAttentionSegmentationModel(vit, TINY_VIT, method=method)
