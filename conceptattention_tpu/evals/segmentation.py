@@ -218,6 +218,83 @@ class DAAMFluxSegmentationModel(FluxTapSegmentationModel):
         return np.stack(maps), recon
 
 
+class DAAMStableDiffusionSegmentationModel(SegmentationModel):
+    """DAAM over an SD-style latent-diffusion UNet: encode the image, noise
+    to a late timestep, one UNet forward, aggregate per-word cross-attention
+    heatmaps across layers/heads (reference daam_sd2.py:21-158 /
+    daam_sdxl.py:10-190, which drive the external `daam.trace` hooks; here the
+    UNet returns its cross-attention maps directly)."""
+
+    def __init__(
+        self,
+        unet_params,
+        unet_cfg,
+        text_encoders,
+        latent_size: int = 32,
+        noise_timestep: float = 0.98,
+        seed: int = 0,
+    ):
+        self.params = unet_params
+        self.cfg = unet_cfg
+        self.text_encoders = text_encoders
+        self.latent_size = latent_size
+        self.noise_timestep = noise_timestep
+        self.seed = seed
+
+    def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):
+        from conceptattention_tpu.models.sd_unet import unet_forward
+
+        words = [w for w in caption.replace(",", " ").split() if w] or list(concepts)
+        # token t <-> word t: per-word embeddings from the text provider
+        ctx = jnp.stack(
+            [self.text_encoders.encode_t5([w])[0, 0] for w in words]
+        )[None][..., : self.cfg.context_dim]
+        if ctx.shape[-1] < self.cfg.context_dim:
+            ctx = jnp.pad(ctx, ((0, 0), (0, 0), (0, self.cfg.context_dim - ctx.shape[-1])))
+
+        # image -> pseudo-latents (avg-pooled channels; a VAE encoder slots in
+        # here when SD checkpoints are available)
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+            arr = arr[..., :3].transpose(2, 0, 1)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        x = jax.image.resize(
+            jnp.asarray(arr)[None], (1, 3, self.latent_size, self.latent_size), "bilinear"
+        )
+        z = jnp.concatenate([x, jnp.mean(x, axis=1, keepdims=True)], axis=1) * 2 - 1
+        noise = jax.random.normal(jax.random.PRNGKey(self.seed), z.shape)
+        t = self.noise_timestep
+        z_t = (1 - t) * z + t * noise
+
+        _, maps = unet_forward(
+            self.params, self.cfg, z_t.astype(jnp.float32),
+            jnp.asarray([t]), ctx.astype(jnp.float32),
+        )
+        # Aggregate per-word: mean over heads, upsample each level to the
+        # finest map resolution, mean over layers (DAAM's aggregation).
+        finest = max(int(m.shape[2]) for m in maps)
+        side = int(round(finest**0.5))
+        per_word = np.zeros((len(words), side, side), np.float32)
+        for m in maps:
+            mm = np.asarray(jnp.mean(m, axis=1))[0]  # [hw, T]
+            s = int(round(mm.shape[0] ** 0.5))
+            grid = mm.reshape(s, s, -1)
+            reps = side // s
+            grid = np.repeat(np.repeat(grid, reps, axis=0), reps, axis=1)
+            per_word += grid.transpose(2, 0, 1) / len(maps)
+
+        coeff = []
+        for concept in concepts:
+            hits = [
+                per_word[i]
+                for i, w in enumerate(words)
+                if concept.lower() in w.lower() or w.lower() in concept.lower()
+            ]
+            coeff.append(np.maximum.reduce(hits) if hits else per_word.mean(axis=0))
+        return np.stack(coeff), None
+
+
 class FluxMultiClassSegmentationModel(FluxTapSegmentationModel):
     """Multi-class argmax segmentation over bg+target concepts (parity with
     experiments/pascal_voc_segmentation/multi_class_segmentation.py:7-79)."""
