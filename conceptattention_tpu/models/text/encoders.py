@@ -115,6 +115,49 @@ class HFTextEncoders:
         return jnp.asarray(out.float().numpy())
 
 
+class JAXTextEncoders:
+    """Fully on-TPU text conditioning: the JAX T5 encoder + CLIP text tower
+    (models/text/t5.py, clip.py — HF-parity tested) with converted
+    checkpoints. Tokenization stays on host (HF tokenizers); every matmul
+    jits/shards with the rest of the pipeline."""
+
+    def __init__(
+        self,
+        t5_params, t5_cfg, t5_tokenizer,
+        clip_params, clip_cfg, clip_tokenizer,
+        t5_max_length: int = 256,
+        dtype=None,
+    ):
+        from conceptattention_tpu.models.text.clip import clip_text_encode
+        from conceptattention_tpu.models.text.t5 import t5_encode
+
+        self._t5_encode = jax.jit(
+            lambda ids: t5_encode(t5_params, t5_cfg, ids)
+        )
+        self._clip_encode = jax.jit(
+            lambda ids: clip_text_encode(clip_params, clip_cfg, ids)["pooler_output"]
+        )
+        self.t5_tokenizer = t5_tokenizer
+        self.clip_tokenizer = clip_tokenizer
+        self.t5_max_length = t5_max_length
+        self.t5_dim = t5_cfg.d_model
+        self.clip_dim = clip_cfg.hidden_size
+
+    def encode_t5(self, prompts: List[str]) -> jax.Array:
+        tok = self.t5_tokenizer(
+            prompts, truncation=True, max_length=self.t5_max_length,
+            padding="max_length", return_tensors="np",
+        )
+        return self._t5_encode(jnp.asarray(tok["input_ids"]))
+
+    def encode_clip(self, prompts: List[str]) -> jax.Array:
+        tok = self.clip_tokenizer(
+            prompts, truncation=True, max_length=77,
+            padding="max_length", return_tensors="np",
+        )
+        return self._clip_encode(jnp.asarray(tok["input_ids"]))
+
+
 def embed_concepts(
     encoders: TextEncoders, concepts: List[str], batch_size: int = 1
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
