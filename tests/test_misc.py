@@ -1,0 +1,98 @@
+"""Coverage for concept-basis encoding, CLI parsing, torch-parity noise, and
+the API client's offline behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import conceptattention_tpu as cat
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return cat.ConceptAttentionFluxPipeline("flux-tiny", dtype=jnp.float32)
+
+
+class TestConceptBasis:
+    def test_generate_concept_basis(self, pipe):
+        from conceptattention_tpu.pipeline.concept_encoding import (
+            generate_concept_basis_and_image_representation,
+        )
+
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 255, size=(SIZE, SIZE, 3), dtype=np.uint8)
+        img_vecs, con_vecs = generate_concept_basis_and_image_representation(
+            pipe, image, "a cat", ["cat", "sky"],
+            width=SIZE, height=SIZE, num_steps=2, noise_timestep=1,
+            layers=[0, 1], num_samples=2,
+        )
+        # reduced: [patches, layers*samples*dim], [concepts, ...]
+        assert img_vecs.shape[0] == 256  # 16x16 tokens
+        assert con_vecs.shape[0] == 2
+        assert img_vecs.shape[1] == con_vecs.shape[1]
+        assert np.isfinite(img_vecs).all()
+
+    def test_target_spaces_differ(self, pipe):
+        from conceptattention_tpu.pipeline.concept_encoding import (
+            generate_concept_basis_and_image_representation,
+        )
+
+        rng = np.random.default_rng(1)
+        image = rng.integers(0, 255, size=(SIZE, SIZE, 3), dtype=np.uint8)
+        outs = {}
+        for space in ("output", "cross_attention"):
+            _, cv = generate_concept_basis_and_image_representation(
+                pipe, image, "a cat", ["cat"],
+                width=SIZE, height=SIZE, num_steps=2, noise_timestep=1,
+                target_space=space, normalize_concepts=False,
+            )
+            outs[space] = cv
+        assert not np.allclose(outs["output"], outs["cross_attention"])
+
+
+class TestCLI:
+    def test_parser_defaults(self):
+        from conceptattention_tpu.cli import build_parser
+
+        args = build_parser().parse_args([])
+        assert args.model_name == "flux-schnell"
+        assert args.width == 1024
+        args = build_parser().parse_args(
+            ["--concepts", "a", "b", "--attention_norm", "sparsemax"]
+        )
+        assert args.concepts == ["a", "b"]
+        assert args.attention_norm == "sparsemax"
+
+
+class TestTorchParityNoise:
+    def test_matches_torch_bitstream(self):
+        import torch
+
+        from conceptattention_tpu.sampling.rectified_flow import get_noise_torch_parity
+
+        got = get_noise_torch_parity(7, 1, 64, 64, dtype=jnp.float32)
+        gen = torch.Generator(device="cpu").manual_seed(7)
+        want = torch.randn(1, 16, 8, 8, generator=gen, dtype=torch.float32)
+        np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+    def test_deterministic(self):
+        from conceptattention_tpu.sampling.rectified_flow import get_noise_torch_parity
+
+        a = get_noise_torch_parity(3, 1, 64, 64)
+        b = get_noise_torch_parity(3, 1, 64, 64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestApiClient:
+    def test_validation_without_network(self):
+        from conceptattention_tpu.api import ApiException, ImageRequest
+
+        with pytest.raises(ValueError):
+            ImageRequest("x", name="nope", launch=False)
+        with pytest.raises(ValueError):
+            ImageRequest("x", width=100, launch=False)  # not multiple of 32
+        req = ImageRequest("a dragon", name="flux.1-dev", launch=False)
+        assert req.request_json["prompt"] == "a dragon"
+        assert req.request_id is None
