@@ -199,11 +199,16 @@ class ConceptAttentionFluxPipeline:
         attention_norm: str = "sparsemax",
         cmap: str = "plasma",
         return_image_array: bool = False,
+        init_image=None,
+        image2image_strength: float = 0.0,
     ) -> ConceptAttentionPipelineOutput:
         """Generate an image and per-concept heatmaps.
 
         Defaults mirror the reference (concept_attention_pipeline.py:116-132):
-        layers 15..18, all timesteps, softmax normalization.
+        layers 15..18, all timesteps, softmax normalization. `init_image` +
+        `image2image_strength` enable image-to-image (reference
+        image_generator.py:121-152: start denoising from a partially-noised
+        VAE encoding of the input).
         """
         depth = self.cfg.depth
         if layer_indices is None:
@@ -222,6 +227,18 @@ class ConceptAttentionFluxPipeline:
         schedule = get_schedule(
             num_inference_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)
         )
+
+        if init_image is not None:
+            # image-to-image: blend forward-noised init latents and shorten
+            # the schedule (reference image_generator.py:148-152).
+            z0 = self._encode_pixels(init_image, height, width, seed)
+            t_idx = int((1.0 - image2image_strength) * num_inference_steps)
+            t_idx = min(max(t_idx, 0), num_inference_steps - 1)
+            t = schedule[t_idx]
+            schedule = schedule[t_idx:]
+            noise = (t * noise.astype(jnp.float32) + (1.0 - t) * z0.astype(jnp.float32)).astype(noise.dtype)
+            if timesteps == list(range(num_inference_steps)):
+                timesteps = list(range(len(schedule) - 1))
 
         txt, txt_ids, vec = self._prepare_text(prompt, b)
         c_emb, c_ids, c_vec = self._prepare_concepts(concepts, b)

@@ -245,3 +245,36 @@ class TestWeightConverter:
             y=jnp.ones((1, cfg.vec_in_dim)),
         )
         assert pred.shape == (1, 16, cfg.in_channels)
+
+
+class TestImageToImage:
+    def test_img2img_differs_from_scratch(self, pipe):
+        rng = np.random.default_rng(7)
+        init = rng.integers(0, 255, size=(SIZE, SIZE, 3), dtype=np.uint8)
+        kwargs = dict(
+            prompt="a cat", concepts=["cat"], width=SIZE, height=SIZE,
+            num_inference_steps=2, layer_indices=[0], seed=5,
+            return_pil_heatmaps=False, return_image_array=True,
+        )
+        out_scratch = pipe.generate_image(**kwargs)
+        out_i2i = pipe.generate_image(
+            **kwargs, init_image=init, image2image_strength=0.5
+        )
+        assert not np.array_equal(out_scratch.image, out_i2i.image)
+        assert np.isfinite(out_i2i.concept_heatmaps).all()
+
+
+class TestQuantizedPipeline:
+    def test_tiny_quantized_generate(self):
+        import conceptattention_tpu as cat
+
+        qpipe = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, quantize=True
+        )
+        assert "q" in qpipe.params["double"]["img_mod"]["w"]
+        out = qpipe.generate_image(
+            prompt="a cat", concepts=["cat"], width=SIZE, height=SIZE,
+            num_inference_steps=1, layer_indices=[0],
+            return_pil_heatmaps=False, return_image_array=True,
+        )
+        assert np.isfinite(np.asarray(out.image, dtype=np.float64)).all()
