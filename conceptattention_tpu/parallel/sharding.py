@@ -89,9 +89,26 @@ def flux_param_sharding(mesh: Mesh, cfg=None) -> Dict[str, Any]:
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]:
-    """Place a param pytree onto the mesh with the TP sharding rules."""
+    """Place a param pytree onto the mesh with the TP sharding rules.
+
+    Weight-only-int8 leaves ({"q", "scale"} dicts in place of a "w" array)
+    inherit the weight's spec for q (same shape) and replicate the tiny
+    per-channel scales."""
     shardings = flux_param_sharding(mesh, cfg)
-    return jax.tree.map(jax.device_put, params, shardings)
+
+    def place(p, s):
+        if isinstance(p, dict) and set(p.keys()) == {"q", "scale"}:
+            return {
+                "q": jax.device_put(p["q"], s),
+                "scale": jax.device_put(p["scale"], NamedSharding(mesh, P())),
+            }
+        if isinstance(p, dict):
+            return {k: place(p[k], s[k] if isinstance(s, dict) else s) for k in p}
+        if isinstance(p, (list, tuple)):
+            return type(p)(place(a, b) for a, b in zip(p, s))
+        return jax.device_put(p, s)
+
+    return place(params, shardings)
 
 
 def activation_sharding(mesh: Mesh, seq_sharded: bool = False) -> NamedSharding:

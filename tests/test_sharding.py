@@ -112,3 +112,35 @@ def test_sharded_train_step_runs_and_reduces_loss(batch):
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
     # Same batch + same key twice: the update must reduce that loss.
     assert float(loss1) < float(loss0)
+
+
+def test_quantized_params_shard_and_match(batch):
+    from conceptattention_tpu.ops.quant import quantize_flux_params
+
+    params = init_flux_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    qparams = quantize_flux_params(params)
+    pred_single, _ = flux_forward(
+        qparams, CFG,
+        img=batch["img"], img_ids=batch["img_ids"],
+        txt=batch["txt"], txt_ids=batch["txt_ids"],
+        timesteps=jnp.full((B,), 0.7), y=batch["y"],
+    )
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(qparams, mesh, CFG)
+    assert sharded["double"]["img_qkv"]["w"]["q"].sharding.spec == P(
+        None, None, None, AXES.model, None
+    )
+
+    @jax.jit
+    def fwd(p):
+        pred, _ = flux_forward(
+            p, CFG, img=batch["img"], img_ids=batch["img_ids"],
+            txt=batch["txt"], txt_ids=batch["txt_ids"],
+            timesteps=jnp.full((B,), 0.7), y=batch["y"],
+        )
+        return pred
+
+    pred_sharded = fwd(sharded)
+    np.testing.assert_allclose(
+        np.asarray(pred_single), np.asarray(pred_sharded), rtol=5e-4, atol=5e-5
+    )
