@@ -182,6 +182,7 @@ def single_block(
     num_heads: int,
     mlp_hidden_dim: int,
     backend: str = "xla",
+    block: int = 256,
 ) -> jax.Array:
     """Single-stream block (parallel attention+MLP) — reference
     flux/src/flux/modules/layers.py:194-239. The reference's fused
@@ -202,7 +203,8 @@ def single_block(
         )
 
         l = q.shape[2]
-        block = 256 if l % 256 == 0 else 128
+        if l % block != 0:
+            block = 256 if l % 256 == 0 else 128
         pad = (-l) % block
         if pad:
             padw = ((0, 0), (0, 0), (0, pad), (0, 0))

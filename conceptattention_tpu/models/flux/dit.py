@@ -130,7 +130,7 @@ def flux_forward(
         return (
             single_block(
                 _dequant_layer(layer_params), x, vec, pe, cfg.num_heads,
-                cfg.mlp_hidden_dim, backend=spec.backend,
+                cfg.mlp_hidden_dim, backend=spec.backend, block=spec.block_q,
             ),
             None,
         )

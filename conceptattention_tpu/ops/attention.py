@@ -44,6 +44,10 @@ class ConceptAttentionSpec:
     # flash kernel, kernels/flash_saliency.py), or "pallas_interpret"
     # (kernel in interpreter mode, for CPU tests).
     backend: str = "xla"
+    # Flash-kernel tile sizes (pallas backends only). 512/1024 measured ~11%
+    # faster than 256/256 at 4.6k tokens on v5e.
+    block_q: int = 512
+    block_k: int = 1024
 
 
 def merge_heads(x: jax.Array) -> jax.Array:
@@ -114,6 +118,8 @@ def joint_concept_attention(
             txt_qkv, img_qkv, concept_qkv, pe, concept_pe,
             cross=spec.cross_attention,
             self_attention=spec.self_attention,
+            block_q=spec.block_q,
+            block_k=spec.block_k,
             interpret=(spec.backend == "pallas_interpret"),
         )
 
