@@ -130,7 +130,8 @@ def flux_forward(
         return (
             single_block(
                 _dequant_layer(layer_params), x, vec, pe, cfg.num_heads,
-                cfg.mlp_hidden_dim, backend=spec.backend, block=spec.block_q,
+                cfg.mlp_hidden_dim, backend=spec.backend,
+                block_q=spec.block_q, block_k=spec.block_k,
             ),
             None,
         )
