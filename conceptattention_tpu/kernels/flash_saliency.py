@@ -39,10 +39,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _pair_swap(x_f32):
+    """swap(x)[2i] = x[2i+1], swap(x)[2i+1] = x[2i] on the VPU: two lane rolls
+    + select (a permutation matmul would steal MXU cycles from the main dots —
+    measured ~3% slower end to end)."""
+    rows, d = x_f32.shape
+    left = pltpu.roll(x_f32, d - 1, 1)  # left[j]  = x[j+1]  (shift must be >= 0)
+    right = pltpu.roll(x_f32, 1, 1)     # right[j] = x[j-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, d), 1)
+    return jnp.where(lane % 2 == 0, left, right)
+
+
+def _rot(x, cosf, sinf):
+    """Interleaved-pair RoPE rotation with expanded [rows, D] tables:
+    cosf[2i] = cosf[2i+1] = cos_i; sinf[2i] = -sin_i, sinf[2i+1] = +sin_i."""
+    xf = x.astype(jnp.float32)
+    return (xf * cosf + _pair_swap(xf) * sinf).astype(x.dtype)
+
+
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref,
-    m_scratch, l_scratch, acc_scratch,
-    *,
+    q_ref, k_ref, v_ref, *rest,
     scale: float,
     txt_len: int,
     img_len: int,
@@ -51,7 +67,13 @@ def _flash_kernel(
     block_k: int,
     cross: bool,
     self_attention: bool,
+    fuse_rope: bool = False,
 ):
+    if fuse_rope:
+        (cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
+         m_scratch, l_scratch, acc_scratch, qrot_scratch) = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -61,6 +83,22 @@ def _flash_kernel(
         m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        if fuse_rope:
+            # rotate the q tile once per q-block, reuse across all k tiles
+            qrot_scratch[...] = _rot(q_ref[0], cosq_ref[...], sinq_ref[...])
+
+    if fuse_rope:
+        def q_tile():
+            return qrot_scratch[...]
+
+        def k_tile():
+            return _rot(k_ref[0], cosk_ref[...], sink_ref[...])
+    else:
+        def q_tile():
+            return q_ref[0]
+
+        def k_tile():
+            return k_ref[0]
 
     joint_end = txt_len + img_len  # start of the concept segment
     concept_end = joint_end + concept_len
@@ -111,7 +149,7 @@ def _flash_kernel(
 
     def _scores():
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            q_tile(), k_tile(), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return s * scale
@@ -165,13 +203,19 @@ def fused_concept_flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    rope_cos: jax.Array = None,
+    rope_sin: jax.Array = None,
 ) -> jax.Array:
     """Fused dual-pass attention over S = [txt | img | concept | pad].
 
     Args:
       q/k/v: [B, H, S, D] with S = txt_len + img_len + padded concept block
-        (S divisible by block sizes; rope already applied).
+        (S divisible by block sizes).
       concept_len: number of REAL concept tokens (<= padded block).
+      rope_cos/rope_sin: optional expanded [S, D] float32 rotation tables —
+        when given, RoPE is applied INSIDE the kernel (q once per tile row,
+        k per tile) and q/k must be passed unroped; the XLA-level rotation
+        and its f32 copies (~7% of a DiT step) disappear.
 
     Returns [B, H, S, D]; padded rows are zero.
     """
@@ -193,6 +237,7 @@ def fused_concept_flash_attention(
         block_k=block_k,
         cross=cross,
         self_attention=self_attention,
+        fuse_rope=rope_cos is not None,
     )
     nk = s // block_k
     try:
@@ -201,21 +246,34 @@ def fused_concept_flash_attention(
         )
     except TypeError:  # older pallas without dimension_semantics
         compiler_params = None
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    operands = [q3, k3, v3]
+    if rope_cos is not None:
+        assert rope_cos.shape == (s, d), (rope_cos.shape, s, d)
+        in_specs += [
+            pl.BlockSpec((block_q, d), lambda bh, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_q, d), lambda bh, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_k, d), lambda bh, qi, ki: (ki, 0)),
+            pl.BlockSpec((block_k, d), lambda bh, qi, ki: (ki, 0)),
+        ]
+        operands += [rope_cos, rope_sin, rope_cos, rope_sin]
+        scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), v.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=4 * s * s * d * b * h,
             bytes_accessed=3 * bh * s * d * q.dtype.itemsize + bh * s * d * v.dtype.itemsize,
@@ -223,12 +281,32 @@ def fused_concept_flash_attention(
         ),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(q3, k3, v3)
+    )(*operands)
     return out.reshape(b, h, s, d)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def expand_rope_tables(segments, total_len: int):
+    """Build the kernel's expanded [total_len, D] float32 rotation tables from
+    per-segment (cos, sin) pairs of shape [B, 1, N, D/2] (batch-invariant ids,
+    as built by ops.rope.embed_nd). Pad rows get the identity rotation."""
+    cos_parts, sin_parts = [], []
+    n_done = 0
+    for c, s in segments:
+        c0 = c[0, 0].astype(jnp.float32)  # [N, D/2]
+        s0 = s[0, 0].astype(jnp.float32)
+        cos_parts.append(jnp.repeat(c0, 2, axis=-1))
+        sin_parts.append(jnp.stack([-s0, s0], axis=-1).reshape(s0.shape[0], -1))
+        n_done += c0.shape[0]
+    d = cos_parts[0].shape[-1]
+    if n_done < total_len:
+        pad = total_len - n_done
+        cos_parts.append(jnp.ones((pad, d), jnp.float32))
+        sin_parts.append(jnp.zeros((pad, d), jnp.float32))
+    return jnp.concatenate(cos_parts), jnp.concatenate(sin_parts)
 
 
 def pallas_joint_concept_attention(
@@ -247,40 +325,34 @@ def pallas_joint_concept_attention(
     attention core. Returns (txt_attn, img_attn, concept_attn, extras) with
     merged-head [B, L, H*D] outputs."""
     from conceptattention_tpu.ops.attention import merge_heads
-    from conceptattention_tpu.ops.rope import apply_rope
 
     txt_q, txt_k, txt_v = txt_qkv
     img_q, img_k, img_v = img_qkv
     b, h, t, d = txt_q.shape
     p = img_q.shape[2]
 
-    cos, sin = pe
-    txt_pe = (cos[:, :, :t], sin[:, :, :t])
-    img_pe = (cos[:, :, t:], sin[:, :, t:])
-    txt_q_r, txt_k_r = apply_rope(txt_q, txt_k, txt_pe)
-    img_q_r, img_k_r = apply_rope(img_q, img_k, img_pe)
+    cos, sin = pe  # RoPE happens inside the kernel; q/k stay unroped here
 
     if concept_qkv is None:
-        seqs_q = [txt_q_r, img_q_r]
-        seqs_k = [txt_k_r, img_k_r]
+        seqs_q = [txt_q, img_q]
+        seqs_k = [txt_k, img_k]
         seqs_v = [txt_v, img_v]
         c_real = 0
-        c_pad = 0
+        segments = [(cos, sin)]
     else:
         con_q, con_k, con_v = concept_qkv
         c_real = con_q.shape[2]
         ccos, csin = concept_pe
-        con_pe = (ccos[:, :, :c_real], csin[:, :, :c_real])
-        con_q_r, con_k_r = apply_rope(con_q, con_k, con_pe)
         c_pad = _round_up(t + p + c_real, block_q)
         c_pad = _round_up(c_pad, block_k) - (t + p)
 
         def pad_c(x):
             return jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c_real), (0, 0)))
 
-        seqs_q = [txt_q_r, img_q_r, pad_c(con_q_r)]
-        seqs_k = [txt_k_r, img_k_r, pad_c(con_k_r)]
+        seqs_q = [txt_q, img_q, pad_c(con_q)]
+        seqs_k = [txt_k, img_k, pad_c(con_k)]
         seqs_v = [txt_v, img_v, pad_c(con_v)]
+        segments = [(cos, sin), ((ccos[:, :, :c_real], csin[:, :, :c_real]))]
 
     q = jnp.concatenate(seqs_q, axis=2)
     k = jnp.concatenate(seqs_k, axis=2)
@@ -292,11 +364,13 @@ def pallas_joint_concept_attention(
         padw = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
 
+    rope_cos, rope_sin = expand_rope_tables(segments, q.shape[2])
     out = fused_concept_flash_attention(
         q, k, v,
         txt_len=t, img_len=p, concept_len=c_real,
         cross=cross, self_attention=self_attention,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        rope_cos=rope_cos, rope_sin=rope_sin,
     )
 
     txt_attn = merge_heads(out[:, :, :t])

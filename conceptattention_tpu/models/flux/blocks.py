@@ -204,9 +204,9 @@ def single_block(
     x_mod = (1 + mod.scale) * layer_norm(x) + mod.shift
     q, k, v = _qkv_heads(x_mod, p["qkv"], p["qnorm"], p["knorm"], num_heads)
     mlp = _linear(x_mod, p["mlp_in"])
-    q, k = apply_rope(q, k, pe)
     if backend in ("pallas", "pallas_interpret"):
         from conceptattention_tpu.kernels.flash_saliency import (
+            expand_rope_tables,
             fused_concept_flash_attention,
         )
 
@@ -222,13 +222,16 @@ def single_block(
             qp, kp, vp = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
         else:
             qp, kp, vp = q, k, v
+        rope_cos, rope_sin = expand_rope_tables([pe], qp.shape[2])
         out = fused_concept_flash_attention(
             qp, kp, vp, txt_len=l, img_len=0, concept_len=0,
             block_q=bq, block_k=bk,
             interpret=(backend == "pallas_interpret"),
+            rope_cos=rope_cos, rope_sin=rope_sin,
         )
         attn = merge_heads(out[:, :, :l])
     else:
+        q, k = apply_rope(q, k, pe)
         attn = merge_heads(sdpa(q, k, v))
     # linear2(concat([attn, gelu(mlp)])) == attn @ W_proj + gelu(mlp) @ W_mlp_out + b
     out = _linear(attn, p["proj"]) + _linear(jax.nn.gelu(mlp, approximate=True), p["mlp_out"])
