@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
 from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
 from conceptattention_tpu.ops.schedule import get_schedule
 from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm
@@ -160,7 +160,7 @@ class FluxTapSegmentationModel(SegmentationModel):
                 pipe.params, pipe.cfg, pack_latents(noised), img_ids,
                 txt, txt_ids, vec, c_emb, c_ids, c_vec,
                 jnp.full((b,), t, dtype=jnp.float32),
-                ConceptAttentionSpec(taps=(self.tap,)),
+                ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
             )
             maps.append(saliency[self.tap])  # [L, B, C, P]
         stacked = jnp.stack(maps)  # [N, L, B, C, P]

@@ -50,6 +50,15 @@ class ConceptAttentionSpec:
     block_k: int = 1024
 
 
+def default_backend() -> str:
+    """'pallas' on TPU-like backends (incl. the axon plugin), else 'xla'."""
+    try:
+        name = jax.default_backend().lower()
+    except Exception:
+        return "xla"
+    return "pallas" if ("tpu" in name or "axon" in name) else "xla"
+
+
 def merge_heads(x: jax.Array) -> jax.Array:
     """[B, H, L, D] -> [B, L, H*D]."""
     b, h, l, d = x.shape

@@ -77,7 +77,11 @@ def ring_attention(
 def make_ring_attention(mesh, axis_name: str = "seq"):
     """shard_map-wrapped ring attention over [B, H, L, D] inputs sharded on L."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     spec = P(None, None, axis_name, None)
     return shard_map(

@@ -37,7 +37,7 @@ from conceptattention_tpu.models.text.encoders import (
     TextEncoders,
     embed_concepts,
 )
-from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
 from conceptattention_tpu.ops.packing import make_img_ids, pack_latents, unpack_latents
 from conceptattention_tpu.ops.schedule import get_schedule
 from conceptattention_tpu.pipeline.heatmaps import heatmaps_to_pil, reduce_maps
@@ -249,7 +249,9 @@ class ConceptAttentionFluxPipeline:
         latents, saliency = _generate_latents(
             self.params, self.cfg, img, img_ids, txt, txt_ids, vec,
             c_emb, c_ids, c_vec, jnp.asarray(schedule), guidance,
-            ConceptAttentionSpec(taps=("output", "cross_attention")),
+            ConceptAttentionSpec(
+                taps=("output", "cross_attention"), backend=default_backend()
+            ),
             self.cfg.guidance_embed,
         )
 
@@ -320,7 +322,9 @@ class ConceptAttentionFluxPipeline:
             saliency = _encode_forward(
                 self.params, self.cfg, pack_latents(noised), img_ids,
                 txt, txt_ids, vec, c_emb, c_ids, c_vec, t_vec,
-                ConceptAttentionSpec(taps=("output", "cross_attention")),
+                ConceptAttentionSpec(
+                    taps=("output", "cross_attention"), backend=default_backend()
+                ),
             )
             per_sample.append(saliency)
         # Stack samples as the "time" axis: [N, L, B, C, P]

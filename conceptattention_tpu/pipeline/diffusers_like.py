@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from conceptattention_tpu.models.flux.dit import flux_forward
-from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
 from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
 from conceptattention_tpu.ops.schedule import get_schedule
 from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm, heatmaps_to_pil
@@ -119,7 +119,9 @@ class FluxWithConceptAttentionPipeline:
             make_img_ids(lh // 2, lw // 2, b),
             txt, txt_ids, vec, neg_txt, neg_vec,
             c_emb, c_ids, c_vec, jnp.asarray(schedule), guidance_scale,
-            true_cfg, ConceptAttentionSpec(taps=("output",)), use_true_cfg,
+            true_cfg,
+            ConceptAttentionSpec(taps=("output",), backend=default_backend()),
+            use_true_cfg,
         )
 
         maps = saliency["output"]  # [S, L, B, C, P]

@@ -29,7 +29,7 @@ from conceptattention_tpu.models.video.dit import (
     make_video_ids,
     video_dit_forward,
 )
-from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
 from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm
 from conceptattention_tpu.sampling.ddim import DDIMSchedule, ddim_step, make_ddim_schedule
 
@@ -152,7 +152,7 @@ class VideoConceptAttentionPipeline:
             self.params, cfg, latents, video_ids, text_cond, text_uncond,
             concepts_emb, sched.timesteps, sched.alphas_cumprod,
             sched.final_alpha_cumprod, guidance_scale,
-            ConceptAttentionSpec(taps=("output",)), 1000, scheduler,
+            ConceptAttentionSpec(taps=("output",), backend=default_backend()), 1000, scheduler,
         )
 
         maps = saliency["output"]  # [S, depth, B, C, F*P]
