@@ -84,10 +84,16 @@ def make_ring_attention(mesh, axis_name: str = "seq"):
         from jax.experimental.shard_map import shard_map
 
     spec = P(None, None, axis_name, None)
-    return shard_map(
-        functools.partial(ring_attention, axis_name=axis_name),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_rep=False,
+    kwargs = dict(
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
     )
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        return shard_map(
+            functools.partial(ring_attention, axis_name=axis_name),
+            check_vma=False, **kwargs,
+        )
+    except TypeError:
+        return shard_map(
+            functools.partial(ring_attention, axis_name=axis_name),
+            check_rep=False, **kwargs,
+        )
