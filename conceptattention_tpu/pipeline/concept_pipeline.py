@@ -201,6 +201,8 @@ class ConceptAttentionFluxPipeline:
         return_image_array: bool = False,
         init_image=None,
         image2image_strength: float = 0.0,
+        watermark: bool = False,  # DWT-DCT invisible watermark (reference
+        # embeds it unconditionally, image_generator.py:201; opt-in here)
     ) -> ConceptAttentionPipelineOutput:
         """Generate an image and per-concept heatmaps.
 
@@ -266,6 +268,16 @@ class ConceptAttentionFluxPipeline:
         )
 
         image = self._decode_to_image(latents, grid, return_image_array)
+        if watermark:
+            from conceptattention_tpu.utils.watermark import embed_watermark
+
+            arr = embed_watermark(np.asarray(image))
+            if return_image_array:
+                image = arr
+            else:
+                import PIL.Image
+
+                image = PIL.Image.fromarray(arr)
         return self._package_output(
             image, concept_heatmaps, cross_attention_maps, return_pil_heatmaps, cmap
         )
