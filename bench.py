@@ -73,7 +73,7 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
 
     @functools.partial(jax.jit, static_argnames=("with_concepts", "backend"))
     def run(params, img, with_concepts, backend):
-        return denoise(
+        out, sal = denoise(
             params, cfg,
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=y,
             timesteps=schedule,
@@ -82,14 +82,23 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
             concept_vec=concept_vec if with_concepts else None,
             spec=ConceptAttentionSpec(taps=("output", "cross_attention"), backend=backend),
         )
+        # Scalar checksum: fetching it to host forces the full computation.
+        # (On the axon backend block_until_ready does NOT synchronize device
+        # compute — only a host fetch does.)
+        chk = jnp.sum(out.astype(jnp.float32))
+        if with_concepts:
+            chk = chk + sal["output"].mean()
+        return chk
 
     def timed(with_concepts, backend, iters=4):
-        out, _ = run(params, img, with_concepts, backend)
-        jax.block_until_ready(out)  # compile + warm
+        float(run(params, img, with_concepts, backend))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out, sal = run(params, img, with_concepts, backend)
-        jax.block_until_ready(out)
+        chks = [
+            run(params, img * (1.0 + 1e-4 * i), with_concepts, backend)
+            for i in range(iters)
+        ]
+        for c in chks:  # deferred fetch: throughput semantics, true sync
+            float(c)
         return (time.perf_counter() - t0) / iters
 
     results = {}

@@ -71,6 +71,33 @@ def prepare_image_tokens(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pack_latents(x), make_img_ids(h // 2, w // 2, batch_size=b)
 
 
+def prepare(text_encoders, img: jax.Array, prompt) -> Dict[str, jax.Array]:
+    """Build the DiT input dict from latents + a prompt (API parity with the
+    reference's `prepare(t5, clip, img, prompt)`, sampling.py:31-65).
+
+    Returns {img, img_ids, txt, txt_ids, vec} with img 2x2-packed.
+    """
+    prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+    b = max(img.shape[0], len(prompts))
+    packed, img_ids = prepare_image_tokens(img)
+    if packed.shape[0] == 1 and b > 1:
+        packed = jnp.broadcast_to(packed, (b, *packed.shape[1:]))
+        img_ids = jnp.broadcast_to(img_ids, (b, *img_ids.shape[1:]))
+    txt = text_encoders.encode_t5(prompts)
+    if txt.shape[0] == 1 and b > 1:
+        txt = jnp.broadcast_to(txt, (b, *txt.shape[1:]))
+    vec = text_encoders.encode_clip(prompts)
+    if vec.shape[0] == 1 and b > 1:
+        vec = jnp.broadcast_to(vec, (b, *vec.shape[1:]))
+    return {
+        "img": packed.astype(img.dtype),
+        "img_ids": img_ids,
+        "txt": txt.astype(img.dtype),
+        "txt_ids": jnp.zeros((b, txt.shape[1], 3), jnp.float32),
+        "vec": vec.astype(img.dtype),
+    }
+
+
 def denoise(
     params: Dict[str, Any],
     cfg: FluxConfig,
