@@ -67,6 +67,7 @@ def _flash_kernel(
     block_k: int,
     cross: bool,
     self_attention: bool,
+    seq_len: int,
     fuse_rope: bool = False,
 ):
     if fuse_rope:
@@ -142,8 +143,14 @@ def _flash_kernel(
         )
         m_scratch[...] = m_new
         l_scratch[...] = l_new
+        v = v_ref[0]
+        if seq_len % block_k:
+            # tail tiles read past the array: zero the garbage rows, else a
+            # masked p (0) times a NaN v row poisons the whole accumulator
+            rows = k_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(rows < seq_len, v, 0)
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -220,13 +227,12 @@ def fused_concept_flash_attention(
     Returns [B, H, S, D]; padded rows are zero.
     """
     b, h, s, d = q.shape
-    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
     bh = b * h
     q3 = q.reshape(bh, s, d)
     k3 = k.reshape(bh, s, d)
     v3 = v.reshape(bh, s, d)
 
-    grid = (bh, s // block_q, s // block_k)
+    grid = (bh, pl.cdiv(s, block_q), pl.cdiv(s, block_k))
     kernel = functools.partial(
         _flash_kernel,
         scale=1.0 / (d**0.5),
@@ -237,9 +243,9 @@ def fused_concept_flash_attention(
         block_k=block_k,
         cross=cross,
         self_attention=self_attention,
+        seq_len=s,
         fuse_rope=rope_cos is not None,
     )
-    nk = s // block_k
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -343,8 +349,9 @@ def pallas_joint_concept_attention(
         con_q, con_k, con_v = concept_qkv
         c_real = con_q.shape[2]
         ccos, csin = concept_pe
-        c_pad = _round_up(t + p + c_real, block_q)
-        c_pad = _round_up(c_pad, block_k) - (t + p)
+        # concepts padded only to a small lane-friendly multiple; the kernel
+        # handles non-divisible total lengths with masked tail tiles.
+        c_pad = _round_up(c_real, 256)
 
         def pad_c(x):
             return jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c_real), (0, 0)))
@@ -357,13 +364,6 @@ def pallas_joint_concept_attention(
     q = jnp.concatenate(seqs_q, axis=2)
     k = jnp.concatenate(seqs_k, axis=2)
     v = jnp.concatenate(seqs_v, axis=2)
-    s = q.shape[2]
-    # The no-concept path may still need padding to the block size.
-    s_pad = _round_up(s, max(block_q, block_k))
-    if s_pad != s:
-        padw = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
-        q, k, v = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
-
     rope_cos, rope_sin = expand_rope_tables(segments, q.shape[2])
     out = fused_concept_flash_attention(
         q, k, v,

@@ -211,20 +211,13 @@ def single_block(
         )
 
         l = q.shape[2]
-        # Pad up to the tile grid rather than shrinking tiles: profiling shows
-        # 256-tiles run ~3x slower than 512/1024 at 4k tokens, far more than
-        # the padded tiles cost (the kernel skips fully-padded tiles).
+        # Large tiles (512/1024 measured ~3x faster than 256 at 4k tokens);
+        # the kernel handles non-divisible lengths with masked tail tiles.
         bq = min(block_q, _round_up_pow2(l))
         bk = min(block_k, _round_up_pow2(l))
-        pad = (-l) % max(bq, bk)
-        if pad:
-            padw = ((0, 0), (0, 0), (0, pad), (0, 0))
-            qp, kp, vp = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
-        else:
-            qp, kp, vp = q, k, v
-        rope_cos, rope_sin = expand_rope_tables([pe], qp.shape[2])
+        rope_cos, rope_sin = expand_rope_tables([pe], l)
         out = fused_concept_flash_attention(
-            qp, kp, vp, txt_len=l, img_len=0, concept_len=0,
+            q, k, v, txt_len=l, img_len=0, concept_len=0,
             block_q=bq, block_k=bk,
             interpret=(backend == "pallas_interpret"),
             rope_cos=rope_cos, rope_sin=rope_sin,
