@@ -66,8 +66,19 @@ def reduce_maps(
     """
     norm = "softmax" if (softmax or attention_norm == "softmax") else attention_norm
     maps = apply_attention_norm(maps, norm, axis=-2)
+    # Validate statically: JAX gather clamps out-of-range indices silently,
+    # which would average duplicated steps instead of erroring (e.g. user
+    # timesteps=[0..3] after init_image shortened the schedule).
     if timesteps is not None:
+        bad = [int(t) for t in timesteps if not 0 <= int(t) < maps.shape[0]]
+        if bad:
+            raise ValueError(
+                f"timesteps {bad} out of range for {maps.shape[0]} sampled steps"
+            )
         maps = maps[jnp.asarray(timesteps)]
+    bad = [int(l) for l in layer_indices if not 0 <= int(l) < maps.shape[1]]
+    if bad:
+        raise ValueError(f"layer_indices {bad} out of range for {maps.shape[1]} layers")
     maps = maps[:, jnp.asarray(layer_indices)]
     maps = jnp.mean(maps, axis=(0, 1))  # [B, C, P]
     b, c, p = maps.shape

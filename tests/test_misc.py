@@ -96,3 +96,21 @@ class TestApiClient:
         req = ImageRequest("a dragon", name="flux.1-dev", launch=False)
         assert req.request_json["prompt"] == "a dragon"
         assert req.request_id is None
+
+
+class TestReduceMapsValidation:
+    def test_out_of_range_indices_raise(self):
+        """JAX gather clamps silently; reduce_maps must error instead
+        (ADVICE r1: stale user timesteps after init_image shortens the
+        schedule would silently average duplicated steps)."""
+        import jax.numpy as jnp
+
+        from conceptattention_tpu.pipeline.heatmaps import reduce_maps
+
+        maps = jnp.zeros((2, 3, 1, 4, 16))  # [T, L, B, C, P]
+        with pytest.raises(ValueError, match="timesteps"):
+            reduce_maps(maps, layer_indices=[0], timesteps=[0, 1, 2, 3])
+        with pytest.raises(ValueError, match="layer_indices"):
+            reduce_maps(maps, layer_indices=[3], timesteps=[0])
+        out = reduce_maps(maps, layer_indices=[0, 2], timesteps=[1])
+        assert out.shape == (1, 4, 4, 4)
