@@ -385,6 +385,7 @@ def pallas_joint_concept_attention(
         concept_attn = merge_heads(out[:, :, t + p : t + p + c_real])
     extras = {
         "concept_q": concept_qkv[0],
+        "concept_k": concept_qkv[1],
         "img_q": img_q,
         "concept_v": concept_qkv[2],
         "img_v": img_v,

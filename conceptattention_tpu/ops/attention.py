@@ -176,6 +176,7 @@ def joint_concept_attention(
     concept_attn = merge_heads(concept_attn)
     extras = {
         "concept_q": con_q,
+        "concept_k": con_k,
         "img_q": img_q,
         "concept_v": con_v,
         "img_v": img_v,

@@ -1,15 +1,22 @@
 """Video concept-attention pipeline: generate a video + per-frame heatmaps.
 
-Capability parity with `ModifiedCogVideoXPipeline`
-(`experiments/video_model/cogvideox/pipeline.py:15-435` in
-manuragkhullar/ConceptAttention): classifier-free-guidance DDIM denoising of a
-3D video DiT with concept tokens, producing per-frame concept heatmaps
-`[concepts, frames, h, w]` (post-proc at :378-419).
+Parity with `ModifiedCogVideoXPipeline`
+(`experiments/video_model/cogvideox/pipeline.py:15-434` in
+manuragkhullar/ConceptAttention):
 
-TPU-first: the whole CFG loop is one lax.scan under jit; saliency maps come
-out as `[steps, depth, B, C, F*P]` reductions, never full vector stashes. CFG
-doubles the batch (cond/uncond) exactly like the reference, but concept maps
-are taken from the conditional half only.
+  - `encode_concepts` (:38-87): first T5 token per concept, zero-padded to
+    `max_text_seq_length` (226) so the concept stream matches the text
+    stream's sequence length — the padding slots participate in the concept
+    softmax exactly as upstream;
+  - CFG batch-doubling (:315), concept maps taken from the conditional half
+    (modified_dit.py:398 `[1]` batch index);
+  - per-step in-model reduction (modified_dit.py:395-425): select layers,
+    softmax over ALL padded concept slots, slice the real concepts, mean
+    over layers; then at pipeline level select steps and mean (:381-419 —
+    including the reference's second softmax on the cross-attention maps).
+
+TPU-first: the whole CFG loop is one lax.scan under jit; the per-step map
+reduction runs inside the scan so only `[steps, C, F*P]` leaves the device.
 """
 
 from __future__ import annotations
@@ -24,30 +31,45 @@ import numpy as np
 
 from conceptattention_tpu.models.text.encoders import StubTextEncoders, TextEncoders
 from conceptattention_tpu.models.video.dit import (
-    VideoDiTConfig,
+    CogVideoXConfig,
     init_video_dit_params,
-    make_video_ids,
     video_dit_forward,
 )
 from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
-from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm
 from conceptattention_tpu.sampling.ddim import DDIMSchedule, ddim_step, make_ddim_schedule
+
+VideoDiTConfig = CogVideoXConfig  # round-1 alias
 
 
 @dataclasses.dataclass
 class VideoConceptPipelineOutput:
     video_latents: jax.Array  # [B, F, C, H, W]
     concept_heatmaps: np.ndarray  # [concepts, frames, h, w]
+    cross_attention_maps: Optional[np.ndarray] = None
+
+
+def _reduce_step_maps(maps: jax.Array, layer_indices, n_concepts: int) -> jax.Array:
+    """Per-step reduction (modified_dit.py:398-425): [L, B, C_pad, P] ->
+    [C, P]: conditional batch half, layer select, softmax over ALL padded
+    concept slots, slice, mean over layers."""
+    cond = maps[:, -1]  # [L, C_pad, P]; batch index 1 of the CFG pair
+    sel = cond[jnp.asarray(layer_indices)]
+    sel = jax.nn.softmax(sel, axis=-2)
+    return jnp.mean(sel[:, :n_concepts], axis=0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "guidance_scale", "num_train_timesteps", "scheduler"),
+    static_argnames=(
+        "cfg", "spec", "guidance_scale", "num_train_timesteps", "scheduler",
+        "layer_indices", "n_concepts",
+    ),
 )
 def _cfg_denoise(
-    params, cfg, latents, video_ids, text_cond, text_uncond,
+    params, cfg, latents, text_cond, text_uncond,
     concepts, timesteps_idx, sched_alphas, final_alpha,
-    guidance_scale, spec, num_train_timesteps, scheduler="ddim",
+    guidance_scale, spec, num_train_timesteps, scheduler,
+    layer_indices, n_concepts,
 ):
     from conceptattention_tpu.sampling.dpm import dpm_init, dpm_step
 
@@ -61,19 +83,19 @@ def _cfg_denoise(
 
     def guided_pred(x, t):
         x2 = jnp.concatenate([x, x], axis=0)
-        t_norm = t.astype(jnp.float32) / num_train_timesteps
-        t_vec = jnp.full((2 * b,), t_norm, dtype=jnp.float32)
-        # Concepts ride only on the conditional half; maps sliced after.
+        t_vec = jnp.full((2 * b,), t, dtype=jnp.float32)
         pred, saliency = video_dit_forward(
-            params, cfg, x2, jnp.concatenate([video_ids, video_ids], 0),
-            text, t_vec,
+            params, cfg, x2, text, t_vec,
             concepts=jnp.concatenate([concepts, concepts], 0),
             spec=spec,
         )
         uncond, cond = jnp.split(pred, 2, axis=0)
         guided = uncond + guidance_scale * (cond - uncond)
-        saliency = {k: v[:, b:] for k, v in saliency.items()}
-        return guided, saliency
+        reduced = {
+            k: _reduce_step_maps(v, layer_indices, n_concepts)
+            for k, v in saliency.items()
+        }
+        return guided, reduced
 
     if scheduler == "dpm":
         def step(state, t):
@@ -98,20 +120,47 @@ class VideoConceptAttentionPipeline:
 
     def __init__(
         self,
-        cfg: Optional[VideoDiTConfig] = None,
+        cfg: Optional[CogVideoXConfig] = None,
         params: Optional[Dict[str, Any]] = None,
         text_encoders: Optional[TextEncoders] = None,
         dtype=jnp.bfloat16,
         init_seed: int = 0,
     ):
-        self.cfg = cfg or VideoDiTConfig()
+        self.cfg = cfg or CogVideoXConfig()
         self.dtype = dtype
         self.params = params or init_video_dit_params(
             jax.random.PRNGKey(init_seed), self.cfg, dtype
         )
         self.text_encoders = text_encoders or StubTextEncoders(
-            t5_dim=self.cfg.text_dim, clip_dim=768, t5_max_length=226
+            t5_dim=self.cfg.text_embed_dim, clip_dim=768,
+            t5_max_length=self.cfg.max_text_seq_length,
         )
+
+    def encode_concepts(self, concepts: List[str], seq_length: Optional[int] = None):
+        """First T5 token per concept, zero-padded to seq_length
+        (reference pipeline.py:38-87)."""
+        seq_length = seq_length or self.cfg.max_text_seq_length
+        if len(concepts) > seq_length:
+            raise ValueError(
+                f"{len(concepts)} concepts exceed max_text_seq_length="
+                f"{seq_length} (the concept stream shares the text slots)"
+            )
+        tokens = [self.text_encoders.encode_t5([c])[0, 0] for c in concepts]
+        emb = jnp.stack(tokens)[None].astype(self.dtype)  # [1, C, D]
+        pad = jnp.zeros(
+            (1, seq_length - len(concepts), emb.shape[-1]), self.dtype
+        )
+        return jnp.concatenate([emb, pad], axis=1)
+
+    def _encode_text(self, prompt: str) -> jax.Array:
+        emb = self.text_encoders.encode_t5([prompt]).astype(self.dtype)
+        t = self.cfg.max_text_seq_length
+        if emb.shape[1] < t:
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((emb.shape[0], t - emb.shape[1], emb.shape[-1]), self.dtype)],
+                axis=1,
+            )
+        return emb[:, :t]
 
     def generate_video(
         self,
@@ -119,52 +168,68 @@ class VideoConceptAttentionPipeline:
         concepts: List[str],
         negative_prompt: str = "",
         num_frames: int = 4,
-        height_tokens: int = 8,
-        width_tokens: int = 8,
+        height: int = 32,
+        width: int = 32,
         num_inference_steps: int = 10,
         guidance_scale: float = 6.0,
         concept_timesteps: Optional[Sequence[int]] = None,
         layer_indices: Optional[Sequence[int]] = None,
-        attention_norm: str = "softmax",
+        return_cross_attention: bool = False,
         scheduler: str = "ddim",  # "ddim" | "dpm" (DPM-Solver++ 2M)
         seed: int = 0,
     ) -> VideoConceptPipelineOutput:
-        """Run CFG DDIM sampling; returns latents + [C, F, h, w] heatmaps."""
+        """Run CFG DDIM/DPM sampling; returns latents + [C, F, h, w] maps.
+
+        height/width are LATENT pixel sizes (pre-patchify)."""
         cfg = self.cfg
+        if height % cfg.patch_size or width % cfg.patch_size:
+            raise ValueError(
+                f"latent height/width ({height}x{width}) must be divisible "
+                f"by patch_size={cfg.patch_size}"
+            )
         if layer_indices is None:
-            layer_indices = list(range(cfg.depth))
+            layer_indices = list(range(cfg.num_layers))
 
-        text_cond = self.text_encoders.encode_t5([prompt]).astype(self.dtype)
-        text_uncond = self.text_encoders.encode_t5([negative_prompt]).astype(self.dtype)
-        concept_tokens = []
-        for c in concepts:
-            concept_tokens.append(self.text_encoders.encode_t5([c])[0, 0])
-        concepts_emb = jnp.stack(concept_tokens)[None].astype(self.dtype)
+        text_cond = self._encode_text(prompt)
+        text_uncond = self._encode_text(negative_prompt)
+        concepts_emb = self.encode_concepts(concepts)
 
-        f, h, w = num_frames, height_tokens, width_tokens
+        f, h, w = num_frames, height, width
         latents = jax.random.normal(
-            jax.random.PRNGKey(seed), (1, f * h * w, cfg.in_channels), self.dtype
+            jax.random.PRNGKey(seed), (1, f, cfg.in_channels, h, w), self.dtype
         )
-        video_ids = make_video_ids(f, h, w, batch_size=1)
 
+        taps = ("output", "cross_attention") if return_cross_attention else ("output",)
         sched = make_ddim_schedule(num_inference_steps)
         latents, saliency = _cfg_denoise(
-            self.params, cfg, latents, video_ids, text_cond, text_uncond,
+            self.params, cfg, latents, text_cond, text_uncond,
             concepts_emb, sched.timesteps, sched.alphas_cumprod,
             sched.final_alpha_cumprod, guidance_scale,
-            ConceptAttentionSpec(taps=("output",), backend=default_backend()), 1000, scheduler,
+            ConceptAttentionSpec(taps=taps, backend=default_backend()),
+            1000, scheduler, tuple(layer_indices), len(concepts),
         )
 
-        maps = saliency["output"]  # [S, depth, B, C, F*P]
-        if concept_timesteps is not None:
-            maps = maps[jnp.asarray(concept_timesteps)]
-        maps = apply_attention_norm(maps, attention_norm, axis=-2)
-        maps = maps[:, jnp.asarray(layer_indices)]
-        maps = jnp.mean(maps, axis=(0, 1))[0]  # [C, F*P]
-        maps = maps.reshape(len(concepts), f, h, w)
+        p = cfg.patch_size
+        gh, gw = h // p, w // p
 
-        latents = latents.reshape(1, f, h, w, cfg.in_channels)
+        def finalize(maps, extra_softmax):
+            # maps: [S, C, F*P] already per-step reduced.
+            if concept_timesteps is not None:
+                maps = maps[jnp.asarray(concept_timesteps)]
+            if extra_softmax:
+                # The reference re-softmaxes the (already softmaxed, sliced)
+                # cross maps at pipeline level (pipeline.py:404-406).
+                maps = jax.nn.softmax(maps, axis=-2)
+            maps = jnp.mean(maps, axis=0)  # [C, F*P]
+            return np.asarray(
+                maps.reshape(len(concepts), f, gh, gw), dtype=np.float32
+            )
+
         return VideoConceptPipelineOutput(
             video_latents=latents,
-            concept_heatmaps=np.asarray(maps, dtype=np.float32),
+            concept_heatmaps=finalize(saliency["output"], extra_softmax=False),
+            cross_attention_maps=(
+                finalize(saliency["cross_attention"], extra_softmax=True)
+                if return_cross_attention else None
+            ),
         )

@@ -220,3 +220,68 @@ def convert_autoencoder_state_dict(
     dec["conv_out"] = _conv(s, "decoder.conv_out")
 
     return {"encoder": enc, "decoder": dec}
+
+
+def convert_cogvideox_state_dict(
+    sd: Mapping[str, Any], cfg, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """diffusers `CogVideoXTransformer3DModel` state dict -> our param pytree
+    (models/video/dit.py). Key layout per the reference's base class
+    (experiments/video_model/cogvideox/modified_dit.py:122-196):
+    `patch_embed.proj` (2x2 conv), `patch_embed.text_proj`,
+    `time_embedding.linear_{1,2}`, `transformer_blocks.{i}.{norm1,norm2}.
+    {norm,linear}`, `.attn1.{to_q,to_k,to_v,norm_q,norm_k,to_out.0}`,
+    `.ff.net.{0.proj,2}`, `norm_final`, `norm_out.{norm,linear}`, `proj_out`.
+    """
+    s = _SD(sd, dtype)
+
+    def ln(key):
+        return {"w": s(f"{key}.weight"), "b": s(f"{key}.bias")}
+
+    def block(i):
+        base = f"transformer_blocks.{i}"
+        # Separate q/k/v [D, D] each (transposed) -> fused [D, 3D] laid out
+        # (3, H, hd): plain concat along the output axis.
+        wq = s(f"{base}.attn1.to_q.weight", transpose=True)
+        wk = s(f"{base}.attn1.to_k.weight", transpose=True)
+        wv = s(f"{base}.attn1.to_v.weight", transpose=True)
+        qkv = {"w": jnp.concatenate([wq, wk, wv], axis=1)}
+        if f"{base}.attn1.to_q.bias" in s.sd:
+            qkv["b"] = jnp.concatenate(
+                [s(f"{base}.attn1.to_{x}.bias") for x in ("q", "k", "v")]
+            )
+        return {
+            "norm1": {"ln": ln(f"{base}.norm1.norm"), "lin": s.linear(f"{base}.norm1.linear")},
+            "norm2": {"ln": ln(f"{base}.norm2.norm"), "lin": s.linear(f"{base}.norm2.linear")},
+            "qkv": qkv,
+            "qnorm": ln(f"{base}.attn1.norm_q"),
+            "knorm": ln(f"{base}.attn1.norm_k"),
+            "proj": s.linear(f"{base}.attn1.to_out.0"),
+            "ff_in": s.linear(f"{base}.ff.net.0.proj"),
+            "ff_out": s.linear(f"{base}.ff.net.2"),
+        }
+
+    # Conv patch kernel [D, C, p, p] -> matmul weight [C*p*p, D]; the
+    # (c, dy, dx) flatten order matches patchify_latents.
+    conv_w = _np(sd["patch_embed.proj.weight"]).astype(np.float32)
+    d_out = conv_w.shape[0]
+    s.used.add("patch_embed.proj.weight")
+    patch_proj = {
+        "w": jnp.asarray(conv_w.reshape(d_out, -1).T, dtype=dtype),
+        "b": s("patch_embed.proj.bias"),
+    }
+
+    import jax
+
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    return {
+        "patch_proj": patch_proj,
+        "text_proj": s.linear("patch_embed.text_proj"),
+        "time_lin1": s.linear("time_embedding.linear_1"),
+        "time_lin2": s.linear("time_embedding.linear_2"),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm_final": ln("norm_final"),
+        "norm_out_ln": ln("norm_out.norm"),
+        "norm_out_lin": s.linear("norm_out.linear"),
+        "proj_out": s.linear("proj_out"),
+    }

@@ -17,8 +17,8 @@ def main():
     parser.add_argument("--prompt", default="a dog running through a field")
     parser.add_argument("--concepts", nargs="+", default=["dog", "grass", "sky"])
     parser.add_argument("--num_frames", type=int, default=13)
-    parser.add_argument("--height_tokens", type=int, default=30)
-    parser.add_argument("--width_tokens", type=int, default=45)
+    parser.add_argument("--height", type=int, default=60, help="latent px")
+    parser.add_argument("--width", type=int, default=90, help="latent px")
     parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=6.0)
     parser.add_argument("--seed", type=int, default=0)
@@ -28,27 +28,28 @@ def main():
 
     import jax.numpy as jnp
 
-    from conceptattention_tpu.models.video.dit import VideoDiTConfig
+    from conceptattention_tpu.models.video.dit import CogVideoXConfig, cogvideox_5b_config
     from conceptattention_tpu.pipeline.video_pipeline import VideoConceptAttentionPipeline
     from conceptattention_tpu.utils.video_utils import make_concept_attention_video
 
     if args.tiny:
-        cfg = VideoDiTConfig(
-            in_channels=16, text_dim=64, hidden_size=128, num_heads=4, depth=2,
-            axes_dim=(8, 12, 12),
+        cfg = CogVideoXConfig(
+            num_attention_heads=4, attention_head_dim=16, time_embed_dim=32,
+            text_embed_dim=64, num_layers=2, max_text_seq_length=16,
+            use_rotary_positional_embeddings=True,
         )
-        args.num_frames, args.height_tokens, args.width_tokens = 4, 8, 8
+        args.num_frames, args.height, args.width = 4, 8, 8
         args.num_steps = min(args.num_steps, 5)
     else:
-        cfg = VideoDiTConfig()
+        cfg = cogvideox_5b_config()
 
     pipe = VideoConceptAttentionPipeline(cfg=cfg, dtype=jnp.bfloat16)
     out = pipe.generate_video(
         prompt=args.prompt,
         concepts=args.concepts,
         num_frames=args.num_frames,
-        height_tokens=args.height_tokens,
-        width_tokens=args.width_tokens,
+        height=args.height,
+        width=args.width,
         num_inference_steps=args.num_steps,
         guidance_scale=args.guidance_scale,
         seed=args.seed,
