@@ -63,14 +63,15 @@ class ViTAttentionSegmentationModel(SegmentationModel):
     """Concept-agnostic ViT saliency baselines.
 
     method: 'dino_attention' (last-layer CLS attention, head mean),
-            'rollout' (attention rollout),
+            'rollout' (raw attention rollout, generate_rollout's normalized
+            variant),
             'gradcam' (grad-GAP-weighted last-layer attention),
-            'transformer_attribution' (Chefer grad-weighted relevance rollout),
-            'last_layer_lrp' (relevance of the last attention layer only),
-            'lrp' / 'full_lrp' (epsilon-LRP approximated by gradient x input —
-            exact for linear/ReLU chains; the reference's hand-written LRP
-            stack is ~1k LoC of torch autograd rules, chefer_vit_explainability/
-            modules/layers_ours.py).
+            'transformer_attribution' (Chefer grad-weighted relevance rollout
+            via TRUE epsilon-LRP relevance, evals/lrp.py),
+            'last_layer_lrp' (epsilon-LRP relevance of the last attention),
+            'lrp' / 'full_lrp' (full epsilon-LRP propagation to the input
+            pixels with the zB first-layer rule — parity-tested against the
+            reference engine in tests/test_lrp_parity.py).
     """
 
     def __init__(self, params, cfg: ViTConfig, method: str = "dino_attention"):
@@ -93,27 +94,28 @@ class ViTAttentionSegmentationModel(SegmentationModel):
             rolled = attention_rollout(attns)
             sal = rolled[:, 0, 1:]
         elif self.method in ("lrp", "full_lrp"):
-            target = jnp.argmax(logits, axis=-1)
+            from conceptattention_tpu.evals.lrp import vit_relprop
 
-            def input_score(images):
-                lg, _ = vit_forward(self.params, cfg, images, return_attn=True)
-                return jnp.take_along_axis(lg, target[:, None], axis=-1).sum()
-
-            grads = jax.grad(input_score)(x)
-            # epsilon-LRP via gradient x input, pooled to patch granularity
-            rel = grads * x if self.method == "lrp" else jnp.abs(grads * x)
+            # TRUE epsilon-LRP to the input pixels (zB first-layer rule),
+            # pooled to patch granularity for the segmentation protocol.
+            rel = vit_relprop(self.params, cfg, x, method="full")  # [B, H, W]
             ps = cfg.patch_size
             sal = jax.nn.relu(
-                rel.sum(axis=1)
-                .reshape(x.shape[0], cfg.grid, ps, cfg.grid, ps)
+                rel.reshape(x.shape[0], cfg.grid, ps, cfg.grid, ps)
                 .sum(axis=(2, 4))
                 .reshape(x.shape[0], -1)
             )
-        else:
+        elif self.method in ("transformer_attribution", "last_layer_lrp"):
+            from conceptattention_tpu.evals.lrp import vit_relprop
+
+            m = ("transformer_attribution" if self.method == "transformer_attribution"
+                 else "last_layer")
+            sal = vit_relprop(self.params, cfg, x, method=m)
+        else:  # gradcam
             target = jnp.argmax(logits, axis=-1)
-            # dlogit/dA per layer via an additive zero perturbation on the
-            # attention probabilities — replaces the reference's backward
-            # hooks (ViT_explanation_generator.py:20-106).
+            # dlogit/dA for the last layer via an additive zero perturbation
+            # on the attention probabilities — replaces the reference's
+            # backward hooks (ViT_explanation_generator.py:50-73).
             b = x.shape[0]
             n = cfg.num_patches + 1
             zeros = jnp.zeros((cfg.depth, b, cfg.num_heads, n, n), x.dtype)
@@ -125,23 +127,10 @@ class ViTAttentionSegmentationModel(SegmentationModel):
                 return jnp.take_along_axis(lg, target[:, None], axis=-1).sum(), at
 
             grads, attns = jax.grad(score_fn, has_aux=True)(zeros)
-            if self.method == "gradcam":
-                # CAM-style: GAP the gradient per head, weight head-mean attention
-                weights = jnp.mean(grads[-1], axis=(2, 3), keepdims=True)
-                cam_last = jax.nn.relu(jnp.mean(weights * attns[-1], axis=1))
-                sal = cam_last[:, 0, 1:]
-            elif self.method == "last_layer_lrp":
-                cam_last = jnp.mean(jax.nn.relu(grads[-1] * attns[-1]), axis=1)
-                sal = cam_last[:, 0, 1:]
-            else:  # transformer_attribution: grad-weighted relevance rollout
-                cam = jnp.mean(jax.nn.relu(grads * attns), axis=2)  # [depth, B, N, N]
-                eye = jnp.eye(n)[None]
-
-                def roll(r, layer_cam):
-                    return (eye + layer_cam) @ r, None
-
-                r, _ = jax.lax.scan(roll, jnp.broadcast_to(eye, (b, n, n)), cam)
-                sal = r[:, 0, 1:]
+            # CAM-style: GAP the gradient per head, weight head-mean attention
+            weights = jnp.mean(grads[-1], axis=(2, 3), keepdims=True)
+            cam_last = jax.nn.relu(jnp.mean(weights * attns[-1], axis=1))
+            sal = cam_last[:, 0, 1:]
 
         g = self.cfg.grid
         return np.asarray(sal.reshape(-1, g, g), dtype=np.float32)

@@ -35,6 +35,10 @@ class ViTConfig:
     num_heads: int = 12
     mlp_ratio: float = 4.0
     num_classes: int = 1000
+    # The Chefer explainability ViT leaves the FINAL LayerNorm at torch's
+    # default eps 1e-5 while blocks use 1e-6 (ViT_LRP.py:267); DINO uses 1e-6
+    # everywhere. Configurable for exact checkpoint parity.
+    final_norm_eps: float = 1e-6
 
     @property
     def grid(self) -> int:
@@ -111,7 +115,7 @@ def vit_forward(
         n = x.shape[1]
         deltas = jnp.zeros((cfg.depth, b, cfg.num_heads, n, n), x.dtype)
     x, attns = jax.lax.scan(step, x, (params["blocks"], deltas))
-    x = _ln(x, params["norm"])
+    x = _ln(x, params["norm"], eps=cfg.final_norm_eps)
     logits = _linear(x[:, 0], params["head"])
     return logits, attns
 

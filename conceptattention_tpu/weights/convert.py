@@ -285,3 +285,47 @@ def convert_cogvideox_state_dict(
         "norm_out_lin": s.linear("norm_out.linear"),
         "proj_out": s.linear("proj_out"),
     }
+
+
+def convert_vit_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) -> Dict[str, Any]:
+    """timm/chefer/DINO ViT state dict -> our param pytree (models/vit.py).
+    Key layout per the reference's vendored ViTs
+    (chefer_vit_explainability/ViT_LRP.py:245-303, dino_src ViTs share it):
+    `patch_embed.proj` (conv), `cls_token`, `pos_embed`,
+    `blocks.{i}.{norm1,norm2}`, `.attn.{qkv,proj}`, `.mlp.{fc1,fc2}`,
+    `norm`, `head`."""
+    s = _SD(sd, dtype)
+
+    def ln(key):
+        return {"scale": s(f"{key}.weight"), "bias": s(f"{key}.bias")}
+
+    def block(i):
+        base = f"blocks.{i}"
+        return {
+            "norm1": ln(f"{base}.norm1"),
+            "attn": {
+                "qkv": s.linear(f"{base}.attn.qkv"),
+                "proj": s.linear(f"{base}.attn.proj"),
+            },
+            "norm2": ln(f"{base}.norm2"),
+            "mlp_in": s.linear(f"{base}.mlp.fc1"),
+            "mlp_out": s.linear(f"{base}.mlp.fc2"),
+        }
+
+    conv_w = _np(sd["patch_embed.proj.weight"]).astype(np.float32)
+    s.used.add("patch_embed.proj.weight")
+
+    import jax
+
+    blocks = [block(i) for i in range(cfg.depth)]
+    return {
+        "patch_embed": {
+            "w": jnp.asarray(conv_w.reshape(conv_w.shape[0], -1).T, dtype=dtype),
+            "b": s("patch_embed.proj.bias"),
+        },
+        "cls_token": s("cls_token"),
+        "pos_embed": s("pos_embed"),
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm": ln("norm"),
+        "head": s.linear("head"),
+    }

@@ -16,7 +16,6 @@ implementations written fresh from the sparsemax / 1.5-entmax closed forms
 both the entmax package and our JAX ops/sparse.py.
 """
 
-import importlib.machinery
 import sys
 import types
 
@@ -30,62 +29,12 @@ import jax.numpy as jnp
 REFERENCE = "/root/reference"
 
 
-# ---------------------------------------------------------------- stubs ----
-def _torch_sparsemax(x: torch.Tensor, dim: int = -1) -> torch.Tensor:
-    x = x.transpose(dim, -1)
-    z, _ = torch.sort(x, dim=-1, descending=True)
-    k = torch.arange(1, x.shape[-1] + 1, dtype=x.dtype, device=x.device)
-    cum = torch.cumsum(z, dim=-1)
-    support = 1 + k * z > cum
-    k_max = support.sum(dim=-1, keepdim=True).to(x.dtype)
-    tau = (torch.gather(cum, -1, support.sum(-1, keepdim=True) - 1) - 1) / k_max
-    return torch.clamp(x - tau, min=0).transpose(dim, -1)
-
-
-def _torch_entmax15(x: torch.Tensor, dim: int = -1) -> torch.Tensor:
-    x = x.transpose(dim, -1) / 2.0
-    z, _ = torch.sort(x, dim=-1, descending=True)
-    k = torch.arange(1, x.shape[-1] + 1, dtype=x.dtype, device=x.device)
-    mean = torch.cumsum(z, dim=-1) / k
-    mean_sq = torch.cumsum(z**2, dim=-1) / k
-    delta = (1.0 - k * (mean_sq - mean**2)) / k
-    delta = torch.clamp(delta, min=0)
-    tau = mean - torch.sqrt(delta)
-    support = (tau <= z).sum(dim=-1, keepdim=True)
-    tau_star = torch.gather(tau, -1, support - 1)
-    return (torch.clamp(x - tau_star, min=0) ** 2).transpose(dim, -1)
-
-
-def _install_stubs():
-    def stub(name):
-        m = types.ModuleType(name)
-        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-        sys.modules.setdefault(name, m)
-        return sys.modules[name]
-
-    ent = stub("entmax")
-    ent.sparsemax = _torch_sparsemax
-    ent.entmax15 = _torch_entmax15
-    tv = stub("torchvision")
-    tvt = stub("torchvision.transforms")
-    tvf = stub("torchvision.transforms.functional")
-    tv.transforms = tvt
-    tvt.functional = tvf
-    fire = stub("fire")  # CLI-only dep pulled in via flux.cli import chain
-    fire.Fire = lambda *a, **k: None
-    iw = stub("imwatermark")
-    iw.WatermarkEncoder = type(
-        "WatermarkEncoder", (),
-        {"__getattr__": lambda self, name: (lambda *a, **k: None)},
-    )
-
-
 @pytest.fixture(scope="module")
 def ref():
     """Imported reference modules (skip the whole file if unavailable)."""
-    _install_stubs()
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+    from tests._ref_compat import install_reference
+
+    install_reference()
     try:
         from concept_attention import concept_attention_pipeline
         from concept_attention.modified_double_stream_block import (
