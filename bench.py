@@ -132,9 +132,22 @@ def main():
 
     for depth, depth_single, quantize, backends, batch in ladder:
         try:
-            imgs_per_sec, overhead_pct, backend = attempt(
-                depth, depth_single, quantize, backends, batch
-            )
+            try:
+                imgs_per_sec, overhead_pct, backend = attempt(
+                    depth, depth_single, quantize, backends, batch
+                )
+            except Exception as first:
+                # The remote-compile relay occasionally 500s transiently;
+                # one retry before falling down the ladder.
+                print(f"# retrying after {type(first).__name__}", file=sys.stderr)
+                first.__traceback__ = None
+                del first
+                import gc as _gc
+
+                _gc.collect()
+                imgs_per_sec, overhead_pct, backend = attempt(
+                    depth, depth_single, quantize, backends, batch
+                )
         except Exception as e:
             import gc
             import traceback

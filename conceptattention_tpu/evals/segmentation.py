@@ -230,19 +230,51 @@ class DAAMStableDiffusionSegmentationModel(SegmentationModel):
         unet_params,
         unet_cfg,
         text_encoders,
+        vae_params=None,
+        ae_cfg=None,
         latent_size: int = 32,
-        noise_timestep: float = 0.98,
+        timestep_idx: int = 49,  # reference daam_sd2.py:136: timesteps[49] of 50
+        num_inference_steps: int = 50,
         seed: int = 0,
     ):
         self.params = unet_params
         self.cfg = unet_cfg
         self.text_encoders = text_encoders
+        self.vae_params = vae_params
+        self.ae_cfg = ae_cfg
         self.latent_size = latent_size
-        self.noise_timestep = noise_timestep
+        self.timestep_idx = timestep_idx
+        self.num_inference_steps = num_inference_steps
         self.seed = seed
+
+    def _encode_latents(self, image) -> jnp.ndarray:
+        """Image -> SD latents (reference daam_sd2.py:30-48: VAE encode x
+        scaling_factor). Falls back to channel-stacked pseudo-latents when no
+        VAE weights are provided (random-weight test configs)."""
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+            arr = arr[..., :3].transpose(2, 0, 1)
+        if np.issubdtype(np.asarray(image).dtype, np.integer) or arr.max() > 1.5:
+            arr = arr / 255.0
+        if self.vae_params is not None:
+            from conceptattention_tpu.models.flux.autoencoder import encode
+
+            f = 2 ** (len(self.ae_cfg.ch_mult) - 1)
+            x = jax.image.resize(
+                jnp.asarray(arr)[None],
+                (1, 3, self.latent_size * f, self.latent_size * f), "bilinear",
+            )
+            # diffusers preprocess normalizes to [-1, 1]; mode (posterior
+            # mean) rather than a sampled latent for determinism.
+            return encode(self.vae_params, self.ae_cfg, x * 2 - 1)
+        x = jax.image.resize(
+            jnp.asarray(arr)[None], (1, 3, self.latent_size, self.latent_size), "bilinear"
+        )
+        return jnp.concatenate([x, jnp.mean(x, axis=1, keepdims=True)], axis=1) * 2 - 1
 
     def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):
         from conceptattention_tpu.models.sd_unet import unet_forward
+        from conceptattention_tpu.sampling.ddim import add_noise, make_ddim_schedule
 
         words = [w for w in caption.replace(",", " ").split() if w] or list(concepts)
         # token t <-> word t: per-word embeddings from the text provider
@@ -252,24 +284,22 @@ class DAAMStableDiffusionSegmentationModel(SegmentationModel):
         if ctx.shape[-1] < self.cfg.context_dim:
             ctx = jnp.pad(ctx, ((0, 0), (0, 0), (0, self.cfg.context_dim - ctx.shape[-1])))
 
-        # image -> pseudo-latents (avg-pooled channels; a VAE encoder slots in
-        # here when SD checkpoints are available)
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
-            arr = arr[..., :3].transpose(2, 0, 1)
-        if arr.max() > 1.5:
-            arr = arr / 255.0
-        x = jax.image.resize(
-            jnp.asarray(arr)[None], (1, 3, self.latent_size, self.latent_size), "bilinear"
-        )
-        z = jnp.concatenate([x, jnp.mean(x, axis=1, keepdims=True)], axis=1) * 2 - 1
+        z = self._encode_latents(image)
+        # Scheduler-faithful forward noising at timesteps[idx]
+        # (reference daam_sd2.py:44-46, 64-66).
+        sched = make_ddim_schedule(self.num_inference_steps)
+        if not 0 <= self.timestep_idx < self.num_inference_steps:
+            raise ValueError(
+                f"timestep_idx {self.timestep_idx} out of range for "
+                f"{self.num_inference_steps} inference steps"
+            )
+        t = sched.timesteps[self.timestep_idx]
         noise = jax.random.normal(jax.random.PRNGKey(self.seed), z.shape)
-        t = self.noise_timestep
-        z_t = (1 - t) * z + t * noise
+        z_t = add_noise(sched, z, noise, t)
 
         _, maps = unet_forward(
             self.params, self.cfg, z_t.astype(jnp.float32),
-            jnp.asarray([t]), ctx.astype(jnp.float32),
+            jnp.asarray([t], jnp.float32), ctx.astype(jnp.float32),
         )
         # Aggregate per-word: mean over heads, upsample each level to the
         # finest map resolution, mean over layers (DAAM's aggregation).

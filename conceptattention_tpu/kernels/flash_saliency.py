@@ -295,6 +295,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Measured-best tile sizes per total sequence length (v5e, b4 x 24 heads,
+# d=128, fused rope): exact-divisor tiles eliminate the masked-tail pad waste
+# (512/1024 on S=4352 padded to 4608x5120 = ~24% wasted MXU work).
+_BEST_TILES = {
+    4352: (544, 2176),  # flux singles (256 txt + 4096 img): 11.9 vs 14.9 ms
+    4608: (512, 1536),  # flux doubles (+256 concept pad):   13.7 vs 15.2 ms
+}
+
+
+def _auto_tiles(s: int) -> Tuple[int, int]:
+    """Pick (block_q, block_k) for sequence length s: known-best if measured,
+    else the largest exact divisors within VMEM-safe bounds, else the generic
+    512/1024 (masked tails handle non-divisible lengths)."""
+    if s in _BEST_TILES:
+        return _BEST_TILES[s]
+    bq = max(
+        (x for x in range(16, 545, 16) if s % x == 0), default=512
+    )
+    bk = max(
+        (x for x in range(128, 1537, 128) if s % x == 0 and x * bq <= 1_200_000),
+        default=1024,
+    )
+    return bq, bk
+
+
 def expand_rope_tables(segments, total_len: int):
     """Build the kernel's expanded [total_len, D] float32 rotation tables from
     per-segment (cos, sin) pairs of shape [B, 1, N, D/2] (batch-invariant ids,
@@ -323,8 +348,8 @@ def pallas_joint_concept_attention(
     concept_pe,
     cross: bool = True,
     self_attention: bool = True,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = None,
+    block_k: int = None,
     interpret: bool = False,
 ):
     """Drop-in fused replacement for ops.attention.joint_concept_attention's
@@ -364,6 +389,10 @@ def pallas_joint_concept_attention(
     q = jnp.concatenate(seqs_q, axis=2)
     k = jnp.concatenate(seqs_k, axis=2)
     v = jnp.concatenate(seqs_v, axis=2)
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _auto_tiles(q.shape[2])
+        block_q = block_q or auto_q
+        block_k = block_k or auto_k
     rope_cos, rope_sin = expand_rope_tables(segments, q.shape[2])
     out = fused_concept_flash_attention(
         q, k, v,
@@ -380,14 +409,18 @@ def pallas_joint_concept_attention(
     if not cross and not self_attention:
         # "Neither" ablation: the concept stream passes its values through
         # (reference modified_double_stream_block.py:157-159).
-        concept_attn = merge_heads(concept_qkv[2])
+        concept_out_h = concept_qkv[2]
     else:
-        concept_attn = merge_heads(out[:, :, t + p : t + p + c_real])
+        concept_out_h = out[:, :, t + p : t + p + c_real]
     extras = {
         "concept_q": concept_qkv[0],
         "concept_k": concept_qkv[1],
         "img_q": img_q,
         "concept_v": concept_qkv[2],
         "img_v": img_v,
+        # Head-form outputs for saliency taps (see ops/attention.py: keeps
+        # the residual carry row-major through the scan).
+        "concept_out_h": concept_out_h,
+        "img_out_h": out[:, :, t : t + p],
     }
-    return txt_attn, img_attn, concept_attn, extras
+    return txt_attn, img_attn, merge_heads(concept_out_h), extras

@@ -35,6 +35,7 @@ from conceptattention_tpu.ops.attention import (
     ConceptAttentionSpec,
     joint_concept_attention,
     merge_heads,
+    similarity_map_heads,
     sdpa,
     similarity_map,
 )
@@ -149,15 +150,20 @@ def double_block(
                 "cross_attention_image_vectors": extras["img_q"],
             }
         else:
+            # Head-form similarity == merged-head similarity (sum over h, d);
+            # avoids feeding the merged residual tensors into an einsum that
+            # would flip the scan carry's layout (ops/attention.py).
             if "output" in spec.taps:
-                saliency["output"] = similarity_map(concept_attn, img_attn)
+                saliency["output"] = similarity_map_heads(
+                    extras["concept_out_h"], extras["img_out_h"]
+                )
             if "cross_attention" in spec.taps:
-                saliency["cross_attention"] = similarity_map(
-                    merge_heads(extras["concept_q"]), merge_heads(extras["img_q"])
+                saliency["cross_attention"] = similarity_map_heads(
+                    extras["concept_q"], extras["img_q"]
                 )
             if "value" in spec.taps:
-                saliency["value"] = similarity_map(
-                    merge_heads(extras["concept_v"]), merge_heads(extras["img_v"])
+                saliency["value"] = similarity_map_heads(
+                    extras["concept_v"], extras["img_v"]
                 )
 
     # Residual + MLP updates.
@@ -189,8 +195,8 @@ def single_block(
     num_heads: int,
     mlp_hidden_dim: int,
     backend: str = "xla",
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jax.Array:
     """Single-stream block (parallel attention+MLP) — reference
     flux/src/flux/modules/layers.py:194-239. The reference's fused
@@ -211,10 +217,14 @@ def single_block(
         )
 
         l = q.shape[2]
-        # Large tiles (512/1024 measured ~3x faster than 256 at 4k tokens);
-        # the kernel handles non-divisible lengths with masked tail tiles.
-        bq = min(block_q, _round_up_pow2(l))
-        bk = min(block_k, _round_up_pow2(l))
+        # None = exact-divisor auto tiles (kernels/flash_saliency._auto_tiles;
+        # masked-tail pad waste at 512/1024 cost ~20% MXU on S=4352). The
+        # kernel still handles non-divisible lengths with masked tail tiles.
+        from conceptattention_tpu.kernels.flash_saliency import _auto_tiles
+
+        auto_q, auto_k = _auto_tiles(l)
+        bq = min(block_q or auto_q, _round_up_pow2(l))
+        bk = min(block_k or auto_k, _round_up_pow2(l))
         rope_cos, rope_sin = expand_rope_tables([pe], l)
         out = fused_concept_flash_attention(
             q, k, v, txt_len=l, img_len=0, concept_len=0,

@@ -1,17 +1,34 @@
-"""Stable-Diffusion-style UNet with traced cross-attention, in functional JAX.
+"""Stable-Diffusion 2 UNet (diffusers `UNet2DConditionModel` subset) with
+traced cross-attention, in functional JAX.
 
-Capability parity target: the DAAM-SD2 / DAAM-SDXL baselines
+Checkpoint-level parity target: the DAAM-SD2 / DAAM-SDXL baselines
 (`binary_segmentation_baselines/daam_sd2.py:21-158`, `daam_sdxl.py:10-190` in
-manuragkhullar/ConceptAttention), which hook the diffusers SD UNet's
-cross-attention with the external `daam.trace` context manager and aggregate
-per-word attention heatmaps.
+manuragkhullar/ConceptAttention) run the real `stable-diffusion-2-base`
+pipeline and hook its UNet's cross-attentions with `daam.trace`. This module
+reproduces that UNet's architecture exactly (so `stable-diffusion-2-base`
+checkpoints load through `weights/convert.py::convert_sd_unet_state_dict`):
 
-This is a from-scratch latent-diffusion UNet (resnet + spatial-transformer
-blocks, down/mid/up with skip connections, sinusoidal time embedding) whose
-forward RETURNS the cross-attention probability maps — tracing is a return
-value, not a hook. Checkpoint import from diffusers-format state dicts is a
-follow-up; the architecture, the DAAM aggregation, and the eval wiring are
-complete and tested at a reduced width.
+  - `CrossAttnDownBlock2D`/`DownBlock2D` stack with `layers_per_block`
+    resnets, one skip saved after EVERY resnet and after every downsampler
+    (diffusers pops one skip per up-block resnet — 3 per level);
+  - `Transformer2DModel` with `use_linear_projection=True` (SD2): GroupNorm
+    (eps 1e-6) -> linear proj_in -> BasicTransformerBlock (LN -> self-attn ->
+    LN -> cross-attn -> LN -> GEGLU ff) -> linear proj_out, residual;
+  - attention: bias-free to_q/to_k/to_v, to_out.0 with bias, head counts per
+    level (SD2-base: 5/10/20/20 heads of 64);
+  - resnets: GroupNorm(32, eps 1e-5) -> silu -> conv3x3, time_emb_proj added
+    after conv1, 1x1 conv_shortcut on channel change;
+  - `Timesteps(320, flip_sin_to_cos) -> TimestepEmbedding(1280)`;
+  - mid: resnet -> transformer -> resnet; up blocks upsample (nearest 2x +
+    conv) at the END of each non-final level.
+
+Tracing is a return value, not a hook: the forward returns every
+cross-attention probability map (what `daam.trace` collects via monkey-patched
+processors).
+
+The reference's own classes cannot run here (diffusers + daam are not
+installed); parity is tested against a from-scratch torch oracle of the
+diffusers math in tests/test_sd_unet.py, through the converter.
 """
 
 from __future__ import annotations
@@ -22,18 +39,24 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from conceptattention_tpu.ops.embeddings import timestep_embedding
-
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
+    """SD2-base values as defaults (model_index: unet/config.json)."""
+
     in_channels: int = 4
-    model_channels: int = 64
     out_channels: int = 4
-    ch_mult: Tuple[int, ...] = (1, 2, 4)
-    num_heads: int = 4
-    context_dim: int = 1024  # SD2 text width
-    num_groups: int = 8
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # heads per level (diffusers' legacy `attention_head_dim` for SD2 —
+    # 64-dim heads: 320/5, 640/10, 1280/20).
+    attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    # which levels carry cross-attention transformers (SD2: all but deepest
+    # down / first up == DownBlock2D at level 3).
+    cross_attention_levels: Tuple[bool, ...] = (True, True, True, False)
+    context_dim: int = 1024  # OpenCLIP-H penultimate width
+    num_groups: int = 32
+    norm_eps: float = 1e-5
 
 
 def _conv(x, p, stride=1, padding=1):
@@ -45,7 +68,7 @@ def _conv(x, p, stride=1, padding=1):
     return y + p["b"][None, :, None, None]
 
 
-def _gn(x, p, groups):
+def _gn(x, p, groups, eps=1e-5):
     import math
 
     b, c, h, w = x.shape
@@ -53,26 +76,43 @@ def _gn(x, p, groups):
     xf = x.astype(jnp.float32).reshape(b, g, c // g, h, w)
     mean = jnp.mean(xf, axis=(2, 3, 4), keepdims=True)
     var = jnp.var(xf, axis=(2, 3, 4), keepdims=True)
-    xf = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, c, h, w).astype(x.dtype)
+    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, h, w).astype(x.dtype)
     return xf * p["scale"][None, :, None, None] + p["bias"][None, :, None, None]
+
+
+def _ln(x, p, eps=1e-5):
+    mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+    var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+    out = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _resblock(p, x, temb, groups):
-    h = _conv(_silu(_gn(x, p["norm1"], groups)), p["conv1"])
-    h = h + (_silu(temb) @ p["temb"]["w"] + p["temb"]["b"])[:, :, None, None]
-    h = _conv(_silu(_gn(h, p["norm2"], groups)), p["conv2"])
+def _timesteps_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """diffusers Timesteps(dim, flip_sin_to_cos=True, shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(10_000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _resblock(p, x, temb, groups, eps):
+    h = _conv(_silu(_gn(x, p["norm1"], groups, eps)), p["conv1"])
+    h = h + (_silu(temb) @ p["time_emb"]["w"] + p["time_emb"]["b"])[:, :, None, None]
+    h = _conv(_silu(_gn(h, p["norm2"], groups, eps)), p["conv2"])
     if "shortcut" in p:
         x = _conv(x, p["shortcut"], padding=0)
     return x + h
 
 
-def _cross_attention(p, x_seq, context, num_heads):
-    """x_seq [B, N, C] queries over context [B, T, C_ctx]; returns
-    (out, probs [B, H, N, T])."""
+def _attention(p, x_seq, context, num_heads):
+    """diffusers Attention: bias-free q/k/v, to_out with bias.
+    Returns (out, probs [B, H, N, T])."""
     b, n, c = x_seq.shape
     hd = c // num_heads
     q = (x_seq @ p["q"]["w"]).reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
@@ -85,17 +125,28 @@ def _cross_attention(p, x_seq, context, num_heads):
     return out @ p["proj"]["w"] + p["proj"]["b"], probs
 
 
+def _geglu_ff(p, x):
+    """GEGLU: net.0.proj -> split -> x * gelu(gate) -> net.2."""
+    h = x @ p["ff_in"]["w"] + p["ff_in"]["b"]
+    val, gate = jnp.split(h, 2, axis=-1)
+    return (val * jax.nn.gelu(gate)) @ p["ff_out"]["w"] + p["ff_out"]["b"]
+
+
 def _transformer_block(p, x, context, num_heads, groups):
-    """Spatial transformer: self-attn, cross-attn (traced), ff."""
+    """Transformer2DModel(use_linear_projection=True) with one
+    BasicTransformerBlock; returns (x, cross-attn probs)."""
     b, c, h, w = x.shape
-    seq = _gn(x, p["norm"], groups).reshape(b, c, h * w).transpose(0, 2, 1)
-    sa, _ = _cross_attention(p["self_attn"], seq, seq, num_heads)
+    residual = x
+    seq = _gn(x, p["norm"], groups, eps=1e-6).reshape(b, c, h * w).transpose(0, 2, 1)
+    seq = seq @ p["proj_in"]["w"] + p["proj_in"]["b"]
+    normed = _ln(seq, p["norm1"])
+    sa, _ = _attention(p["attn1"], normed, normed, num_heads)
     seq = seq + sa
-    ca, probs = _cross_attention(p["cross_attn"], seq, context, num_heads)
+    ca, probs = _attention(p["attn2"], _ln(seq, p["norm2"]), context, num_heads)
     seq = seq + ca
-    ff = jax.nn.gelu(seq @ p["ff_in"]["w"] + p["ff_in"]["b"], approximate=True)
-    seq = seq + (ff @ p["ff_out"]["w"] + p["ff_out"]["b"])
-    return x + seq.transpose(0, 2, 1).reshape(b, c, h, w), probs
+    seq = seq + _geglu_ff(p, _ln(seq, p["norm3"]))
+    seq = seq @ p["proj_out"]["w"] + p["proj_out"]["b"]
+    return residual + seq.transpose(0, 2, 1).reshape(b, c, h, w), probs
 
 
 def unet_forward(
@@ -105,45 +156,60 @@ def unet_forward(
     timesteps: jax.Array,
     context: jax.Array,
 ) -> Tuple[jax.Array, List[jax.Array]]:
-    """latents [B, 4, H, W], context [B, T, ctx] -> (eps-pred, cross-attn maps
-    per transformer block, each [B, heads, hw, T] at that level's resolution)."""
-    temb = timestep_embedding(timesteps, cfg.model_channels * 4)
-    temb = _silu(temb @ params["temb1"]["w"] + params["temb1"]["b"])
-    temb = temb @ params["temb2"]["w"] + params["temb2"]["b"]
+    """latents [B, 4, H, W], context [B, T, ctx] -> (eps-pred, cross-attn
+    probability maps per transformer, each [B, heads, hw, T] at that level's
+    resolution — what daam.trace hooks collect)."""
+    groups, eps = cfg.num_groups, cfg.norm_eps
+    temb = _timesteps_embedding(timesteps, cfg.block_out_channels[0])
+    temb = _silu(temb @ params["time1"]["w"] + params["time1"]["b"])
+    temb = temb @ params["time2"]["w"] + params["time2"]["b"]
 
     maps: List[jax.Array] = []
     h = _conv(latents, params["conv_in"])
-    skips = []
-    for lp in params["down"]:
-        h = _resblock(lp["res"], h, temb, cfg.num_groups)
-        if "attn" in lp:
-            h, probs = _transformer_block(lp["attn"], h, context, cfg.num_heads, cfg.num_groups)
-            maps.append(probs)
-        skips.append(h)  # one skip per level, pre-downsample resolution
-        if "downsample" in lp:
-            h = _conv(h, lp["downsample"], stride=2)
+    skips = [h]
+    n_levels = len(cfg.block_out_channels)
+    for i, block in enumerate(params["down"]):
+        heads = cfg.attention_heads[i]
+        for j in range(cfg.layers_per_block):
+            h = _resblock(block["resnets"][j], h, temb, groups, eps)
+            if cfg.cross_attention_levels[i]:
+                h, probs = _transformer_block(
+                    block["attentions"][j], h, context, heads, groups
+                )
+                maps.append(probs)
+            skips.append(h)
+        if i < n_levels - 1:
+            h = _conv(h, block["downsample"], stride=2)
+            skips.append(h)
 
-    h = _resblock(params["mid"]["res1"], h, temb, cfg.num_groups)
-    h, probs = _transformer_block(params["mid"]["attn"], h, context, cfg.num_heads, cfg.num_groups)
+    h = _resblock(params["mid"]["res1"], h, temb, groups, eps)
+    h, probs = _transformer_block(
+        params["mid"]["attn"], h, context, cfg.attention_heads[-1], groups
+    )
     maps.append(probs)
-    h = _resblock(params["mid"]["res2"], h, temb, cfg.num_groups)
+    h = _resblock(params["mid"]["res2"], h, temb, groups, eps)
 
-    for lp in params["up"]:
-        if "upsample" in lp:  # return to this level's skip resolution first
+    for k, block in enumerate(params["up"]):
+        i = n_levels - 1 - k  # level index
+        heads = cfg.attention_heads[i]
+        for j in range(cfg.layers_per_block + 1):
+            h = jnp.concatenate([h, skips.pop()], axis=1)
+            h = _resblock(block["resnets"][j], h, temb, groups, eps)
+            if cfg.cross_attention_levels[i]:
+                h, probs = _transformer_block(
+                    block["attentions"][j], h, context, heads, groups
+                )
+                maps.append(probs)
+        if k < n_levels - 1:
             h = jnp.repeat(jnp.repeat(h, 2, axis=2), 2, axis=3)
-            h = _conv(h, lp["upsample"])
-        h = jnp.concatenate([h, skips.pop()], axis=1)
-        h = _resblock(lp["res"], h, temb, cfg.num_groups)
-        if "attn" in lp:
-            h, probs = _transformer_block(lp["attn"], h, context, cfg.num_heads, cfg.num_groups)
-            maps.append(probs)
+            h = _conv(h, block["upsample"])
 
-    h = _conv(_silu(_gn(h, params["norm_out"], cfg.num_groups)), params["conv_out"])
+    h = _conv(_silu(_gn(h, params["norm_out"], groups, eps)), params["conv_out"])
     return h, maps
 
 
 def init_unet_params(key: jax.Array, cfg: UNetConfig, dtype=jnp.float32) -> Dict[str, Any]:
-    keys = iter(jax.random.split(key, 128))
+    keys = iter(jax.random.split(key, 512))
 
     def conv(cin, cout, k=3):
         fan = cin * k * k
@@ -152,21 +218,24 @@ def init_unet_params(key: jax.Array, cfg: UNetConfig, dtype=jnp.float32) -> Dict
             "b": jnp.zeros((cout,), dtype),
         }
 
-    def lin(cin, cout):
-        return {
-            "w": (jax.random.normal(next(keys), (cin, cout), jnp.float32) / cin**0.5).astype(dtype),
-            "b": jnp.zeros((cout,), dtype),
-        }
+    def lin(cin, cout, bias=True):
+        p = {"w": (jax.random.normal(next(keys), (cin, cout), jnp.float32) / cin**0.5).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((cout,), dtype)
+        return p
 
     def gn(c):
         return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
 
-    tdim = cfg.model_channels * 4
+    def ln(c):
+        return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    tdim = cfg.block_out_channels[0] * 4
 
     def res(cin, cout):
         p = {
             "norm1": gn(cin), "conv1": conv(cin, cout),
-            "temb": lin(tdim, cout),
+            "time_emb": lin(tdim, cout),
             "norm2": gn(cout), "conv2": conv(cout, cout),
         }
         if cin != cout:
@@ -176,49 +245,65 @@ def init_unet_params(key: jax.Array, cfg: UNetConfig, dtype=jnp.float32) -> Dict
     def attn(c):
         return {
             "norm": gn(c),
-            "self_attn": {"q": lin(c, c), "k": lin(c, c), "v": lin(c, c), "proj": lin(c, c)},
-            "cross_attn": {
-                "q": lin(c, c), "k": lin(cfg.context_dim, c),
-                "v": lin(cfg.context_dim, c), "proj": lin(c, c),
-            },
-            "ff_in": lin(c, 4 * c),
+            "proj_in": lin(c, c),
+            "norm1": ln(c),
+            "attn1": {"q": lin(c, c, False), "k": lin(c, c, False),
+                      "v": lin(c, c, False), "proj": lin(c, c)},
+            "norm2": ln(c),
+            "attn2": {"q": lin(c, c, False), "k": lin(cfg.context_dim, c, False),
+                      "v": lin(cfg.context_dim, c, False), "proj": lin(c, c)},
+            "norm3": ln(c),
+            "ff_in": lin(c, 8 * c),
             "ff_out": lin(4 * c, c),
+            "proj_out": lin(c, c),
         }
 
-    ch = cfg.model_channels
+    chans = cfg.block_out_channels
+    n_levels = len(chans)
     down = []
-    c_prev = ch
-    for i, mult in enumerate(cfg.ch_mult):
-        c_out = ch * mult
-        level: Dict[str, Any] = {"res": res(c_prev, c_out)}
-        if i > 0:  # attention at the deeper levels, like SD
-            level["attn"] = attn(c_out)
-        if i < len(cfg.ch_mult) - 1:
-            level["downsample"] = conv(c_out, c_out)
-        down.append(level)
+    c_prev = chans[0]
+    for i in range(n_levels):
+        c_out = chans[i]
+        block: Dict[str, Any] = {
+            "resnets": [res(c_prev if j == 0 else c_out, c_out)
+                        for j in range(cfg.layers_per_block)],
+        }
+        if cfg.cross_attention_levels[i]:
+            block["attentions"] = [attn(c_out) for _ in range(cfg.layers_per_block)]
+        if i < n_levels - 1:
+            block["downsample"] = conv(c_out, c_out)
+        down.append(block)
         c_prev = c_out
 
     mid = {"res1": res(c_prev, c_prev), "attn": attn(c_prev), "res2": res(c_prev, c_prev)}
 
-    # Up path: one skip per level (pre-downsample resolution); upsample FIRST
-    # on every level except the deepest, then concat the level's skip.
-    up = []
-    n_levels = len(cfg.ch_mult)
-    for i in reversed(range(n_levels)):
-        c_skip = ch * cfg.ch_mult[i]
-        level = {}
+    # Up path: diffusers pops one skip per resnet. Skip channels at level i,
+    # walking backward: the skips stack holds [conv_in] + per-level
+    # [resnet x layers] + [downsample] entries.
+    skip_chans = [chans[0]]
+    for i in range(n_levels):
+        skip_chans += [chans[i]] * cfg.layers_per_block
         if i < n_levels - 1:
-            level["upsample"] = conv(c_prev, c_prev)
-        level["res"] = res(c_prev + c_skip, c_skip)
-        if i > 0:
-            level["attn"] = attn(c_skip)
-        up.append(level)
-        c_prev = c_skip
+            skip_chans.append(chans[i])
+    up = []
+    for k in range(n_levels):
+        i = n_levels - 1 - k
+        c_out = chans[i]
+        block = {"resnets": []}
+        for j in range(cfg.layers_per_block + 1):
+            c_skip = skip_chans.pop()
+            block["resnets"].append(res(c_prev + c_skip, c_out))
+            c_prev = c_out
+        if cfg.cross_attention_levels[i]:
+            block["attentions"] = [attn(c_out) for _ in range(cfg.layers_per_block + 1)]
+        if k < n_levels - 1:
+            block["upsample"] = conv(c_out, c_out)
+        up.append(block)
 
     return {
-        "temb1": lin(tdim, tdim),
-        "temb2": lin(tdim, tdim),
-        "conv_in": conv(cfg.in_channels, ch),
+        "time1": lin(chans[0], tdim),
+        "time2": lin(tdim, tdim),
+        "conv_in": conv(cfg.in_channels, chans[0]),
         "down": down,
         "mid": mid,
         "up": up,

@@ -50,7 +50,7 @@ from conceptattention_tpu.ops.attention import (
     ConceptAttentionSpec,
     joint_concept_attention,
     merge_heads,
-    similarity_map,
+    similarity_map_heads,
 )
 from conceptattention_tpu.ops.rope import apply_rope, embed_nd
 
@@ -274,8 +274,11 @@ def _video_block(
     if concepts is not None:
         if "output" in spec.taps:
             # concept_attention_maps: merged-head outputs dot product
-            # (modified_attention_layer.py:125-131).
-            saliency["output"] = similarity_map(concept_attn, video_attn)
+            # (modified_attention_layer.py:125-131); computed head-form
+            # (== merged, summed over h and d) to keep the carry row-major.
+            saliency["output"] = similarity_map_heads(
+                extras["concept_out_h"], extras["img_out_h"]
+            )
         if "cross_attention" in spec.taps:
             # cross_attention_maps: ROPED image queries x un-roped concept
             # keys, mean over heads (modified_attention_layer.py:108-122).

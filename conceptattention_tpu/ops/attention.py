@@ -44,10 +44,11 @@ class ConceptAttentionSpec:
     # flash kernel, kernels/flash_saliency.py), or "pallas_interpret"
     # (kernel in interpreter mode, for CPU tests).
     backend: str = "xla"
-    # Flash-kernel tile sizes (pallas backends only). 512/1024 measured ~11%
-    # faster than 256/256 at 4.6k tokens on v5e.
-    block_q: int = 512
-    block_k: int = 1024
+    # Flash-kernel tile sizes (pallas backends only). None = auto-select
+    # exact-divisor tiles per sequence length (kernels/flash_saliency.py:
+    # _auto_tiles; masked-tail pad waste at 512/1024 cost ~20% on S=4352).
+    block_q: int = None
+    block_k: int = None
 
 
 def default_backend() -> str:
@@ -173,14 +174,21 @@ def joint_concept_attention(
     else:
         concept_attn = con_v
 
-    concept_attn = merge_heads(concept_attn)
     extras = {
         "concept_q": con_q,
         "concept_k": con_k,
         "img_q": img_q,
         "concept_v": con_v,
         "img_v": img_v,
+        # Head-form outputs for the saliency taps: computing the similarity
+        # from [B, H, L, D] (sum over h and d == merged dot product) keeps
+        # XLA from propagating a transposed layout preference onto the
+        # residual-stream scan carry (measured 6.9 ms/layer of elementwise
+        # work in {1,2,0} layout vs 1.8 ms row-major on v5e).
+        "concept_out_h": concept_attn,
+        "img_out_h": attn[:, :, t:],
     }
+    concept_attn = merge_heads(concept_attn)
     return txt_attn, img_attn, concept_attn, extras
 
 
@@ -196,5 +204,19 @@ def similarity_map(
     """
     return jnp.einsum(
         "bcd,bpd->bcp", concept_vectors, image_vectors,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def similarity_map_heads(
+    concept_vectors: jax.Array, image_vectors: jax.Array
+) -> jax.Array:
+    """similarity_map on HEAD-FORM [B, H, L, D] tensors: summing the per-head
+    dot products over heads equals the merged-head [B, L, H*D] dot product
+    exactly, but reads the attention outputs in their natural layout (so the
+    merged residual-stream tensors keep a row-major layout through the scan).
+    """
+    return jnp.einsum(
+        "bhcd,bhpd->bcp", concept_vectors, image_vectors,
         preferred_element_type=jnp.float32,
     )

@@ -329,3 +329,98 @@ def convert_vit_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) -> Dic
         "norm": ln("norm"),
         "head": s.linear("head"),
     }
+
+
+def convert_sd_unet_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) -> Dict[str, Any]:
+    """diffusers `UNet2DConditionModel` (SD2 layout, use_linear_projection)
+    state dict -> our param pytree (models/sd_unet.py). Reference runs this
+    model via StableDiffusionPipeline (daam_sd2.py:26-27)."""
+    s = _SD(sd, dtype)
+
+    def conv(key):
+        return {"w": s(f"{key}.weight"), "b": s(f"{key}.bias")}
+
+    def gn(key):
+        return {"scale": s(f"{key}.weight"), "bias": s(f"{key}.bias")}
+
+    def res(key):
+        p = {
+            "norm1": gn(f"{key}.norm1"), "conv1": conv(f"{key}.conv1"),
+            "time_emb": s.linear(f"{key}.time_emb_proj"),
+            "norm2": gn(f"{key}.norm2"), "conv2": conv(f"{key}.conv2"),
+        }
+        if f"{key}.conv_shortcut.weight" in s.sd:
+            p["shortcut"] = conv(f"{key}.conv_shortcut")
+        return p
+
+    def attn_inner(key):
+        return {
+            "q": s.linear(f"{key}.to_q"),
+            "k": s.linear(f"{key}.to_k"),
+            "v": s.linear(f"{key}.to_v"),
+            "proj": s.linear(f"{key}.to_out.0"),
+        }
+
+    def transformer(key):
+        tb = f"{key}.transformer_blocks.0"
+        return {
+            "norm": gn(f"{key}.norm"),
+            "proj_in": s.linear(f"{key}.proj_in"),
+            "norm1": gn(f"{tb}.norm1"),
+            "attn1": attn_inner(f"{tb}.attn1"),
+            "norm2": gn(f"{tb}.norm2"),
+            "attn2": attn_inner(f"{tb}.attn2"),
+            "norm3": gn(f"{tb}.norm3"),
+            "ff_in": s.linear(f"{tb}.ff.net.0.proj"),
+            "ff_out": s.linear(f"{tb}.ff.net.2"),
+            "proj_out": s.linear(f"{key}.proj_out"),
+        }
+
+    n_levels = len(cfg.block_out_channels)
+    down = []
+    for i in range(n_levels):
+        base = f"down_blocks.{i}"
+        block: Dict[str, Any] = {
+            "resnets": [res(f"{base}.resnets.{j}") for j in range(cfg.layers_per_block)],
+        }
+        if cfg.cross_attention_levels[i]:
+            block["attentions"] = [
+                transformer(f"{base}.attentions.{j}")
+                for j in range(cfg.layers_per_block)
+            ]
+        if f"{base}.downsamplers.0.conv.weight" in s.sd:
+            block["downsample"] = conv(f"{base}.downsamplers.0.conv")
+        down.append(block)
+
+    up = []
+    for k in range(n_levels):
+        i = n_levels - 1 - k
+        base = f"up_blocks.{k}"
+        block = {
+            "resnets": [
+                res(f"{base}.resnets.{j}") for j in range(cfg.layers_per_block + 1)
+            ],
+        }
+        if cfg.cross_attention_levels[i]:
+            block["attentions"] = [
+                transformer(f"{base}.attentions.{j}")
+                for j in range(cfg.layers_per_block + 1)
+            ]
+        if f"{base}.upsamplers.0.conv.weight" in s.sd:
+            block["upsample"] = conv(f"{base}.upsamplers.0.conv")
+        up.append(block)
+
+    return {
+        "time1": s.linear("time_embedding.linear_1"),
+        "time2": s.linear("time_embedding.linear_2"),
+        "conv_in": conv("conv_in"),
+        "down": down,
+        "mid": {
+            "res1": res("mid_block.resnets.0"),
+            "attn": transformer("mid_block.attentions.0"),
+            "res2": res("mid_block.resnets.1"),
+        },
+        "up": up,
+        "norm_out": gn("conv_norm_out"),
+        "conv_out": conv("conv_out"),
+    }
