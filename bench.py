@@ -38,10 +38,11 @@ def hbm_limit() -> float:
 
 
 def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int = 1):
-    from conceptattention_tpu.config import FluxConfig
+    from conceptattention_tpu.config import AutoEncoderConfig, FluxConfig
+    from conceptattention_tpu.models.flux import autoencoder as vae
     from conceptattention_tpu.models.flux.params import init_flux_params
     from conceptattention_tpu.ops.attention import ConceptAttentionSpec
-    from conceptattention_tpu.ops.packing import make_img_ids
+    from conceptattention_tpu.ops.packing import make_img_ids, unpack_latents
     from conceptattention_tpu.ops.schedule import get_schedule
     from conceptattention_tpu.sampling.rectified_flow import denoise
 
@@ -68,11 +69,16 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
     concept_ids = jnp.zeros((b, c, 3), jnp.float32)
     concept_vec = jnp.zeros((b, cfg.vec_in_dim), dtype)
     schedule = jnp.asarray(get_schedule(4, p_tokens, shift=False))
+    # VAE decode is part of the measured path (an A100 "full flux-schnell"
+    # img/s number includes it). Decoded per-image under lax.map to bound the
+    # 1024^2 conv activations next to the 12 GB of DiT weights.
+    ae_cfg = AutoEncoderConfig()
+    ae_params = vae.init_autoencoder_params(keys[5], ae_cfg, dtype)
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("with_concepts", "backend"))
-    def run(params, img, with_concepts, backend):
+    def run(params, ae_params, img, with_concepts, backend):
         out, sal = denoise(
             params, cfg,
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=y,
@@ -82,19 +88,23 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
             concept_vec=concept_vec if with_concepts else None,
             spec=ConceptAttentionSpec(taps=("output", "cross_attention"), backend=backend),
         )
+        z = unpack_latents(out, *grid)
+        pixels = jax.lax.map(
+            lambda zi: vae.decode(ae_params, ae_cfg, zi[None])[0], z
+        )
         # Scalar checksum: fetching it to host forces the full computation.
         # (On the axon backend block_until_ready does NOT synchronize device
         # compute — only a host fetch does.)
-        chk = jnp.sum(out.astype(jnp.float32))
+        chk = jnp.sum(pixels.astype(jnp.float32))
         if with_concepts:
             chk = chk + sal["output"].mean()
         return chk
 
     def timed(with_concepts, backend, iters=4):
-        float(run(params, img, with_concepts, backend))  # compile + warm
+        float(run(params, ae_params, img, with_concepts, backend))  # compile + warm
         t0 = time.perf_counter()
         chks = [
-            run(params, img * (1.0 + 1e-4 * i), with_concepts, backend)
+            run(params, ae_params, img * (1.0 + 1e-4 * i), with_concepts, backend)
             for i in range(iters)
         ]
         for c in chks:  # deferred fetch: throughput semantics, true sync
@@ -167,7 +177,8 @@ def main():
         print(json.dumps({
             "metric": (
                 f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step b{batch} "
-                f"4-concept heatmaps, {'int8-weights' if quantize else 'bf16'}, "
+                f"4-concept heatmaps + VAE decode, "
+                f"{'int8-weights' if quantize else 'bf16'}, "
                 f"1 chip, attn={backend} "
                 f"(full-depth-equiv {full_equiv:.3f} img/s, "
                 f"heatmap overhead {overhead_pct:.1f}%)"

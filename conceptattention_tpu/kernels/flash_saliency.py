@@ -161,28 +161,48 @@ def _flash_kernel(
         )
         return s * scale
 
-    @pl.when(block_reachable & interior)
-    def _compute_unmasked():
+    # When the whole grid is interior joint tiles (no concepts, exact-divisor
+    # tiles) the masked branch is statically dead — eliding it at trace time
+    # keeps its [bq, bk] temporaries out of the kernel's scoped-VMEM stack
+    # frame (predicated-off branches still reserve stack space).
+    all_interior = (
+        concept_len == 0
+        and seq_len == joint_end
+        and seq_len % block_q == 0
+        and seq_len % block_k == 0
+    )
+
+    if all_interior:
         _online_softmax_update(_scores(), None)
+    else:
+        @pl.when(block_reachable & interior)
+        def _compute_unmasked():
+            _online_softmax_update(_scores(), None)
 
-    @pl.when(block_reachable & jnp.logical_not(interior))
-    def _compute_masked():
-        q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        q_joint = q_idx < joint_end
-        q_concept = jnp.logical_and(q_idx >= joint_end, q_idx < concept_end)
-        k_joint = k_idx < joint_end
-        k_img = jnp.logical_and(k_idx >= txt_len, k_idx < joint_end)
-        k_concept = jnp.logical_and(k_idx >= joint_end, k_idx < concept_end)
+        @pl.when(block_reachable & jnp.logical_not(interior))
+        def _compute_masked():
+            # Separable [bq, 1] x [1, bk] index vectors (the reachability
+            # predicate factors over q and k) — full-tile int32 iotas cost
+            # 2 * bq * bk * 4 bytes of scoped VMEM, which alone blew the 16 MB
+            # stack limit at 544x2176 tiles.
+            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+            q_joint = q_idx < joint_end
+            q_concept = jnp.logical_and(q_idx >= joint_end, q_idx < concept_end)
+            k_joint = k_idx < joint_end
+            k_img = jnp.logical_and(k_idx >= txt_len, k_idx < joint_end)
+            k_concept = jnp.logical_and(k_idx >= joint_end, k_idx < concept_end)
 
-        allowed = jnp.logical_and(q_joint, k_joint)
-        concept_keys = jnp.zeros_like(allowed)
-        if cross:
-            concept_keys = jnp.logical_or(concept_keys, k_img)
-        if self_attention:
-            concept_keys = jnp.logical_or(concept_keys, k_concept)
-        allowed = jnp.logical_or(allowed, jnp.logical_and(q_concept, concept_keys))
-        _online_softmax_update(_scores(), allowed)
+            allowed = jnp.logical_and(q_joint, k_joint)  # [bq, bk] via broadcast
+            concept_keys = jnp.zeros_like(k_joint)
+            if cross:
+                concept_keys = jnp.logical_or(concept_keys, k_img)
+            if self_attention:
+                concept_keys = jnp.logical_or(concept_keys, k_concept)
+            allowed = jnp.logical_or(
+                allowed, jnp.logical_and(q_concept, concept_keys)
+            )
+            _online_softmax_update(_scores(), allowed)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -246,12 +266,26 @@ def fused_concept_flash_attention(
         seq_len=s,
         fuse_rope=rope_cos is not None,
     )
+    # Scoped-VMEM budget: the fp32 score/prob temporaries dominate at
+    # ~3 copies of [bq, bk] x 4 bytes; the default 16 MB stack limit rejects
+    # 544x2176 tiles, so raise the ceiling with headroom for operands
+    # (v5e VMEM is far larger than the conservative default).
+    vmem_limit = min(
+        128 * 1024 * 1024,
+        max(32 * 1024 * 1024, 6 * block_q * block_k * 4),
+    )
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         )
-    except TypeError:  # older pallas without dimension_semantics
-        compiler_params = None
+    except TypeError:  # older pallas without these fields
+        try:
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            )
+        except TypeError:
+            compiler_params = None
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
