@@ -201,8 +201,8 @@ class ConceptAttentionFluxPipeline:
         return_image_array: bool = False,
         init_image=None,
         image2image_strength: float = 0.0,
-        watermark: bool = False,  # DWT-DCT invisible watermark (reference
-        # embeds it unconditionally, image_generator.py:201; opt-in here)
+        watermark: bool = True,  # DWT-DCT invisible watermark; the reference
+        # embeds it unconditionally (image_generator.py:201) — opt-out here
     ) -> ConceptAttentionPipelineOutput:
         """Generate an image and per-concept heatmaps.
 
@@ -211,6 +211,11 @@ class ConceptAttentionFluxPipeline:
         `image2image_strength` enable image-to-image (reference
         image_generator.py:121-152: start denoising from a partially-noised
         VAE encoding of the input).
+
+        Normalization precedence (reference quirk, kept for API parity):
+        `softmax=True` (the default) OVERRIDES `attention_norm` — pass
+        `softmax=False, attention_norm='sparsemax'|'entmax15'` to get the
+        sparse norms the paper evaluates.
         """
         depth = self.cfg.depth
         if layer_indices is None:
@@ -304,7 +309,11 @@ class ConceptAttentionFluxPipeline:
     ) -> ConceptAttentionPipelineOutput:
         """Concept heatmaps for a *real* image: VAE-encode, forward-noise to
         `noise_timestep`, one DiT forward stopping after the double blocks
-        (reference concept_attention_pipeline.py:204-357)."""
+        (reference concept_attention_pipeline.py:204-357).
+
+        As in `generate_image`, `softmax=True` (default) overrides
+        `attention_norm`; pass `softmax=False` to use the sparse norms.
+        """
         depth = self.cfg.depth
         if layer_indices is None:
             layer_indices = list(range(max(0, depth - 4), depth))
@@ -357,10 +366,15 @@ class ConceptAttentionFluxPipeline:
     # ------------------------------------------------------------------
     def _encode_pixels(self, image, height: int, width: int, seed: int) -> jax.Array:
         """PIL/array -> [1, 3, H, W] in [-1, 1] -> VAE latents [1, 16, H/8, W/8]."""
-        arr = np.asarray(image, dtype=np.float32)
+        raw = np.asarray(image)
+        # Integer inputs (uint8 PIL images) are byte-valued; float inputs are
+        # assumed [0, 1]. Branching on dtype instead of a value-range heuristic
+        # keeps dark uint8 images (max <= 1) correctly scaled.
+        is_int = np.issubdtype(raw.dtype, np.integer)
+        arr = raw.astype(np.float32)
         if arr.ndim == 3 and arr.shape[-1] in (3, 4):
             arr = arr[..., :3].transpose(2, 0, 1)  # HWC -> CHW
-        if arr.max() > 1.5:
+        if is_int:
             arr = arr / 255.0
         arr = 2.0 * arr - 1.0
         x = jnp.asarray(arr)[None]

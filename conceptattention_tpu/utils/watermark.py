@@ -67,8 +67,11 @@ def embed_watermark(
     bits = WATERMARK_BITS if bits is None else list(bits)
     arr = np.asarray(image)
     in_dtype = arr.dtype
+    # dtype-based scale detection: integer images are byte-valued, floats are
+    # [0, 1] (a dark uint8 image with max <= 1 must not be rescaled).
+    is_float01 = not np.issubdtype(in_dtype, np.integer)
     rgb = arr.astype(np.float64)
-    if rgb.max() <= 1.5:
+    if is_float01:
         rgb = rgb * 255.0
     yuv = rgb @ _RGB2YUV.T
     u = yuv[..., 1]
@@ -88,15 +91,16 @@ def embed_watermark(
     out = np.clip(yuv @ _YUV2RGB.T, 0, 255)
     if np.issubdtype(in_dtype, np.integer):
         return out.round().astype(in_dtype)
-    return (out / 255.0).astype(in_dtype) if np.asarray(image).max() <= 1.5 else out.astype(in_dtype)
+    return (out / 255.0).astype(in_dtype)
 
 
 def extract_watermark(image: np.ndarray, num_bits: int = 48, delta: float = 8.0):
     """Majority-vote extraction of the embedded bits."""
     from scipy.fft import dctn
 
-    rgb = np.asarray(image).astype(np.float64)
-    if rgb.max() <= 1.5:
+    arr = np.asarray(image)
+    rgb = arr.astype(np.float64)
+    if not np.issubdtype(arr.dtype, np.integer):
         rgb = rgb * 255.0
     u = (rgb @ _RGB2YUV.T)[..., 1]
     h2, w2 = (u.shape[0] // 2) * 2, (u.shape[1] // 2) * 2

@@ -78,15 +78,16 @@ void gaussian_blur3_f32(const float* src, int64_t h, int64_t w,
     const float* row = src + i * w;
     float* out = tmp + i * w;
     for (int64_t j = 0; j < w; ++j) {
-      const int64_t jl = j == 0 ? 1 : j - 1;        // reflect
-      const int64_t jr = j == w - 1 ? w - 2 : j + 1;
+      // reflect, clamped so 1-pixel-wide inputs stay in bounds
+      const int64_t jl = j == 0 ? (w > 1 ? 1 : 0) : j - 1;
+      const int64_t jr = j == w - 1 ? (w > 1 ? w - 2 : 0) : j + 1;
       out[j] = (k0 * row[jl] + k1 * row[j] + k0 * row[jr]) / norm;
     }
   }
   // vertical
   for (int64_t i = 0; i < h; ++i) {
-    const int64_t iu = i == 0 ? 1 : i - 1;
-    const int64_t id = i == h - 1 ? h - 2 : i + 1;
+    const int64_t iu = i == 0 ? (h > 1 ? 1 : 0) : i - 1;
+    const int64_t id = i == h - 1 ? (h > 1 ? h - 2 : 0) : i + 1;
     for (int64_t j = 0; j < w; ++j) {
       dst[i * w + j] =
           (k0 * tmp[iu * w + j] + k1 * tmp[i * w + j] + k0 * tmp[id * w + j]) / norm;
