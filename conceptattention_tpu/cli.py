@@ -35,7 +35,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heatmap_dir", default=None,
                    help="directory for per-concept heatmap PNGs")
     p.add_argument("--loop", action="store_true", help="interactive prompt loop")
+    p.add_argument("--add_sampling_metadata", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="write the prompt into the image's EXIF metadata "
+                        "(reference cli.py:231-240)")
+    p.add_argument("--nsfw_filter", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="screen outputs with the NSFW classifier when its "
+                        "checkpoint is available (reference cli.py:132,233)")
     return p
+
+
+def _exif_for(model_name: str, prompt: str, add_sampling_metadata: bool):
+    """EXIF provenance tags, mirroring reference flux/src/flux/cli.py:234-240."""
+    from PIL import Image
+    from PIL.ExifTags import Base
+
+    exif = Image.Exif()
+    exif[Base.Software] = "AI generated;txt2img;flux"
+    exif[Base.Make] = "Black Forest Labs"
+    exif[Base.Model] = model_name
+    if add_sampling_metadata:
+        exif[Base.ImageDescription] = prompt
+    return exif
 
 
 def run_once(pipe, args) -> None:
@@ -54,7 +76,18 @@ def run_once(pipe, args) -> None:
         attention_norm=args.attention_norm,
     )
     dt = time.perf_counter() - t0
-    out.image.save(args.output)
+    if args.nsfw_filter:
+        from conceptattention_tpu.utils import safety
+
+        score = safety.nsfw_score(out.image)
+        if score >= safety.NSFW_THRESHOLD:
+            print("Your generated image may contain NSFW content.")
+            return
+        if not safety.classifier_available():
+            print(f"# NSFW classifier unavailable ({safety.unavailable_reason()}); "
+                  "saving unscreened")
+    exif = _exif_for(args.model_name, args.prompt, args.add_sampling_metadata)
+    out.image.save(args.output, exif=exif)
     print(f"wrote {args.output} in {dt:.1f}s")
     heatmap_dir = args.heatmap_dir or os.path.splitext(args.output)[0] + "_heatmaps"
     os.makedirs(heatmap_dir, exist_ok=True)

@@ -64,6 +64,54 @@ class TestCLI:
         )
         assert args.concepts == ["a", "b"]
         assert args.attention_norm == "sparsemax"
+        assert args.add_sampling_metadata is True
+        assert args.nsfw_filter is True
+        args = build_parser().parse_args(["--no-add_sampling_metadata"])
+        assert args.add_sampling_metadata is False
+
+    def test_exif_metadata(self):
+        from PIL.ExifTags import Base
+
+        from conceptattention_tpu.cli import _exif_for
+
+        exif = _exif_for("flux-schnell", "a dragon", add_sampling_metadata=True)
+        assert exif[Base.Software] == "AI generated;txt2img;flux"
+        assert exif[Base.Make] == "Black Forest Labs"
+        assert exif[Base.Model] == "flux-schnell"
+        assert exif[Base.ImageDescription] == "a dragon"
+        exif = _exif_for("flux-dev", "secret", add_sampling_metadata=False)
+        assert Base.ImageDescription not in exif
+
+    def test_exif_roundtrip_through_png(self, tmp_path):
+        import PIL.Image
+
+        from conceptattention_tpu.cli import _exif_for
+
+        img = PIL.Image.new("RGB", (8, 8), (10, 20, 30))
+        exif = _exif_for("flux-schnell", "roundtrip prompt", True)
+        path = tmp_path / "img.png"
+        img.save(path, exif=exif)
+        back = PIL.Image.open(path).getexif()
+        from PIL.ExifTags import Base
+
+        assert back[Base.Model] == "flux-schnell"
+        assert back[Base.ImageDescription] == "roundtrip prompt"
+
+
+class TestSafety:
+    def test_offline_is_permissive_with_reason(self):
+        from conceptattention_tpu.utils import safety
+
+        import PIL.Image
+
+        img = PIL.Image.new("RGB", (16, 16))
+        score = safety.nsfw_score(img)
+        if safety.classifier_available():
+            assert 0.0 <= score <= 1.0
+        else:
+            assert score == 0.0
+            assert safety.unavailable_reason()
+        assert safety.is_safe(img) == (score < safety.NSFW_THRESHOLD)
 
 
 class TestTorchParityNoise:
