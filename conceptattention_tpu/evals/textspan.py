@@ -33,19 +33,91 @@ from conceptattention_tpu.evals.baselines import _preprocess
 from conceptattention_tpu.evals.segmentation import SegmentationModel
 from conceptattention_tpu.models.vit import ViTConfig, _linear, _ln
 
-# The 80 prompt templates the reference averages per concept
-# (clip_text_span's ImageNet template set); a representative subset.
+# OpenAI's published 80 ImageNet prompt templates (public data from the CLIP
+# repo), the full set the reference averages per concept
+# (clip_text_span/utils/openai_templates.py, used at
+# clip_text_span_baseline.py:48).
 PROMPT_TEMPLATES = (
-    "a photo of a {}.",
     "a bad photo of a {}.",
     "a photo of many {}.",
     "a sculpture of a {}.",
     "a photo of the hard to see {}.",
     "a low resolution photo of the {}.",
     "a rendering of a {}.",
+    "graffiti of a {}.",
+    "a bad photo of the {}.",
     "a cropped photo of the {}.",
+    "a tattoo of a {}.",
+    "the embroidered {}.",
+    "a photo of a hard to see {}.",
+    "a bright photo of a {}.",
+    "a photo of a clean {}.",
+    "a photo of a dirty {}.",
+    "a dark photo of the {}.",
+    "a drawing of a {}.",
+    "a photo of my {}.",
+    "the plastic {}.",
+    "a photo of the cool {}.",
+    "a close-up photo of a {}.",
+    "a black and white photo of the {}.",
+    "a painting of the {}.",
+    "a painting of a {}.",
+    "a pixelated photo of the {}.",
+    "a sculpture of the {}.",
+    "a bright photo of the {}.",
+    "a cropped photo of a {}.",
+    "a plastic {}.",
+    "a photo of the dirty {}.",
+    "a jpeg corrupted photo of a {}.",
+    "a blurry photo of the {}.",
+    "a photo of the {}.",
+    "a good photo of the {}.",
+    "a rendering of the {}.",
+    "a {} in a video game.",
+    "a photo of one {}.",
+    "a doodle of a {}.",
+    "a close-up photo of the {}.",
+    "a photo of a {}.",
+    "the origami {}.",
+    "the {} in a video game.",
+    "a sketch of a {}.",
+    "a doodle of the {}.",
+    "a origami {}.",
+    "a low resolution photo of a {}.",
+    "the toy {}.",
+    "a rendition of the {}.",
+    "a photo of the clean {}.",
     "a photo of a large {}.",
+    "a rendition of a {}.",
+    "a photo of a nice {}.",
+    "a photo of a weird {}.",
+    "a blurry photo of a {}.",
+    "a cartoon {}.",
+    "art of a {}.",
+    "a sketch of the {}.",
+    "a embroidered {}.",
+    "a pixelated photo of a {}.",
+    "itap of the {}.",
+    "a jpeg corrupted photo of the {}.",
+    "a good photo of a {}.",
+    "a plushie {}.",
+    "a photo of the nice {}.",
+    "a photo of the small {}.",
+    "a photo of the weird {}.",
+    "the cartoon {}.",
+    "art of the {}.",
+    "a drawing of the {}.",
+    "a photo of the large {}.",
+    "a black and white photo of a {}.",
+    "the plushie {}.",
+    "a dark photo of a {}.",
+    "itap of a {}.",
+    "graffiti of the {}.",
+    "a toy {}.",
+    "itap of my {}.",
+    "a photo of a cool {}.",
     "a photo of a small {}.",
+    "a tattoo of the {}.",
 )
 
 
@@ -126,3 +198,71 @@ class CLIPTextSpanSegmentationModel(SegmentationModel):
             e = self._text_embedding(concept)[: contrib.shape[-1]]
             maps.append((contrib @ e).reshape(g, g))
         return np.stack(maps), None
+
+
+class OpenCLIPTextSpanSegmentationModel(SegmentationModel):
+    """The reference TextSpan baseline on the open_clip-compatible tower:
+    full PRS decomposition (all layers/heads, LN-linearized, projected —
+    models/clip_vit.prs_decomposition) scored against 80-template-averaged
+    concept text embeddings (clip_text_span_baseline.py:39-93).
+
+    `params` = {"visual": ..., "text": ...} as produced by
+    `clip_vit.convert_open_clip_visual/_text` (ViT-H/14 checkpoints) or
+    `clip_vit.init_open_clip_params`. `tokenize(texts) -> [B, context] int32`
+    defaults to a deterministic hash tokenizer when no BPE vocab is supplied
+    (no weight/vocab egress in this environment).
+    """
+
+    def __init__(self, params, vis_cfg, txt_cfg, tokenize=None):
+        from conceptattention_tpu.models import clip_vit
+
+        self.params = params
+        self.vis_cfg = vis_cfg
+        self.txt_cfg = txt_cfg
+        self.tokenize = tokenize or _hash_tokenize(txt_cfg)
+        self._prs = jax.jit(
+            lambda imgs: clip_vit.prs_decomposition(params["visual"], vis_cfg, imgs)
+        )
+        self._encode_text = jax.jit(
+            lambda ids: clip_vit.text_encode(params["text"], txt_cfg, ids)
+        )
+
+    def _concept_vectors(self, concepts: List[str]) -> np.ndarray:
+        """[embed_dim, C]: per-template-normalized mean, renormalized
+        (reference clip_text_span_baseline.py:44-56)."""
+        cols = []
+        for concept in concepts:
+            ids = self.tokenize([t.format(concept) for t in PROMPT_TEMPLATES])
+            emb = np.asarray(self._encode_text(jnp.asarray(ids)), np.float32)
+            emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+            e = emb.mean(axis=0)
+            cols.append(e / (np.linalg.norm(e) + 1e-8))
+        return np.stack(cols, axis=1)
+
+    def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):
+        x = _preprocess(image, self.vis_cfg.image_size)
+        _, collapsed = self._prs(x)
+        patches = np.asarray(collapsed, np.float32)[0, 1:]  # drop CLS
+        heat = patches @ self._concept_vectors(concepts)  # [P, C]
+        g = self.vis_cfg.grid
+        return heat.T.reshape(len(concepts), g, g), None
+
+
+def _hash_tokenize(txt_cfg):
+    """Deterministic fallback tokenizer: stable word-hash ids with BOS/EOS at
+    the top of the vocab (open_clip convention: EOT = argmax id). Swap in a
+    real BPE `tokenize` for checkpoint use."""
+    import zlib
+
+    def tokenize(texts: Sequence[str]) -> np.ndarray:
+        bos, eos = txt_cfg.vocab_size - 2, txt_cfg.vocab_size - 1
+        out = np.zeros((len(texts), txt_cfg.context_length), np.int32)
+        for i, t in enumerate(texts):
+            ids = [bos] + [
+                zlib.crc32(w.encode()) % (txt_cfg.vocab_size - 2)
+                for w in t.lower().split()
+            ][: txt_cfg.context_length - 2] + [eos]
+            out[i, : len(ids)] = ids
+        return out
+
+    return tokenize

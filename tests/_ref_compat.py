@@ -58,6 +58,63 @@ def install_reference():
     tvf = stub("torchvision.transforms.functional")
     tv.transforms = tvt
     tvt.functional = tvf
+    tvo = stub("torchvision.ops")
+    tvom = stub("torchvision.ops.misc")
+    tv.ops = tvo
+    tvo.misc = tvom
+    # clip_text_span/utils/misc.py imports this at module scope; the reference
+    # only calls it for ResNet towers, which the parity tests never build.
+    tvom.FrozenBatchNorm2d = torch.nn.BatchNorm2d
+    # clip_text_span/utils/transform.py module-scope imports (only used for
+    # image preprocessing pipelines the parity tests never run).
+    for _name in ("Normalize", "Compose", "RandomResizedCrop", "ToTensor",
+                  "Resize", "CenterCrop", "ToPILImage", "InterpolationMode"):
+        setattr(tvt, _name, type(_name, (), {
+            "__init__": lambda self, *a, **k: None,
+            "__call__": lambda self, x=None, *a, **k: x,
+            "__getattr__": lambda self, n: None,
+            "BICUBIC": "bicubic",  # InterpolationMode enum stand-in
+        }))
+    # clip_text_span/utils/tokenizer.py needs `ftfy` and `regex` at module
+    # scope (the BPE tokenizer itself is never constructed by the parity
+    # tests). The stubs must NOT stay in sys.modules — transformers' lazy
+    # import machinery does `import regex` and breaks on a bare stub — so the
+    # module is loaded directly from its FILE with transient stubs and
+    # registered under its dotted name for later package imports to reuse.
+    import importlib.util as _ilu
+    import re as _re
+
+    dotted = ("concept_attention.binary_segmentation_baselines."
+              "clip_text_span.utils.tokenizer")
+    tok_path = (f"{REFERENCE}/concept_attention/binary_segmentation_baselines/"
+                "clip_text_span/utils/tokenizer.py")
+    if dotted not in sys.modules:
+        transient = {}
+        for name in ("ftfy", "regex"):
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+                transient[name] = m
+        if "ftfy" in transient:
+            transient["ftfy"].fix_text = lambda s: s
+        if "regex" in transient:
+            # tokenizer.py builds a module-level SimpleTokenizer whose \p{L}
+            # patterns stdlib `re` cannot compile — a None pattern is fine
+            # because the parity tests never tokenize through it.
+            transient["regex"].compile = lambda *a, **k: None
+            transient["regex"].findall = lambda *a, **k: []
+            transient["regex"].IGNORECASE = _re.IGNORECASE
+        sys.modules.update(transient)
+        try:
+            spec = _ilu.spec_from_file_location(dotted, tok_path)
+            mod = _ilu.module_from_spec(spec)
+            sys.modules[dotted] = mod
+            spec.loader.exec_module(mod)
+        except Exception:
+            sys.modules.pop(dotted, None)  # tests needing it surface the error
+        finally:
+            for name in transient:
+                sys.modules.pop(name, None)
     fire = stub("fire")  # CLI-only dep pulled in via flux.cli import chain
     fire.Fire = lambda *a, **k: None
     iw = stub("imwatermark")
