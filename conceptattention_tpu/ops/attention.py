@@ -41,14 +41,20 @@ class ConceptAttentionSpec:
     # Emit full per-layer vector sets (parity/debug; large) instead of maps.
     return_raw_vectors: bool = False
     # Attention backend: "xla" (two SDPA calls), "pallas" (fused dual-pass
-    # flash kernel, kernels/flash_saliency.py), or "pallas_interpret"
-    # (kernel in interpreter mode, for CPU tests).
+    # flash kernel, kernels/flash_saliency.py), "pallas_interpret" (kernel in
+    # interpreter mode, for CPU tests), or "ring" (context-parallel exact
+    # attention: fused sequence sharded over `seq_axis`, K/V rotating around
+    # the ring — parallel/ring_attention.ring_concept_attention).
     backend: str = "xla"
     # Flash-kernel tile sizes (pallas backends only). None = auto-select
     # exact-divisor tiles per sequence length (kernels/flash_saliency.py:
     # _auto_tiles; masked-tail pad waste at 512/1024 cost ~20% on S=4352).
     block_q: int = None
     block_k: int = None
+    # Ring backend only: the jax.sharding.Mesh to shard over and its
+    # sequence axis name.
+    mesh: Optional[object] = None
+    seq_axis: str = "seq"
 
 
 def default_backend() -> str:
@@ -132,6 +138,10 @@ def joint_concept_attention(
             block_k=spec.block_k,
             interpret=(spec.backend == "pallas_interpret"),
         )
+    if spec.backend == "ring":
+        return _ring_joint_concept_attention(
+            txt_qkv, img_qkv, concept_qkv, pe, concept_pe, spec
+        )
 
     txt_q, txt_k, txt_v = txt_qkv
     img_q, img_k, img_v = img_qkv
@@ -190,6 +200,82 @@ def joint_concept_attention(
     }
     concept_attn = merge_heads(concept_attn)
     return txt_attn, img_attn, concept_attn, extras
+
+
+def _ring_joint_concept_attention(txt_qkv, img_qkv, concept_qkv, pe, concept_pe, spec):
+    """Context-parallel backend: the fused [txt | img | concept | pad]
+    sequence is sharded over `spec.seq_axis` of `spec.mesh` and attention is
+    computed distributed — each device holds only its query shard while K/V
+    shards rotate around the ring (parallel/ring_attention). Same contract as
+    the pallas backend; RoPE is applied per segment before fusing."""
+    from conceptattention_tpu.ops.rope import apply_rope
+    from conceptattention_tpu.parallel.ring_attention import (
+        make_ring_concept_attention,
+    )
+
+    if spec.mesh is None:
+        raise ValueError("spec.backend='ring' requires spec.mesh")
+    n_seq = spec.mesh.shape[spec.seq_axis]
+
+    txt_q, txt_k, txt_v = txt_qkv
+    img_q, img_k, img_v = img_qkv
+    t = txt_q.shape[2]
+    p = img_q.shape[2]
+
+    cos, sin = pe
+    txt_pe = (cos[:, :, :t], sin[:, :, :t])
+    img_pe = (cos[:, :, t:], sin[:, :, t:])
+    txt_q_r, txt_k_r = apply_rope(txt_q, txt_k, txt_pe)
+    img_q_r, img_k_r = apply_rope(img_q, img_k, img_pe)
+
+    seqs_q = [txt_q_r, img_q_r]
+    seqs_k = [txt_k_r, img_k_r]
+    seqs_v = [txt_v, img_v]
+    c_real = 0
+    if concept_qkv is not None:
+        con_q, con_k, con_v = concept_qkv
+        c_real = con_q.shape[2]
+        ccos, csin = concept_pe
+        con_pe = (ccos[:, :, :c_real], csin[:, :, :c_real])
+        con_q_r, con_k_r = apply_rope(con_q, con_k, con_pe)
+        seqs_q.append(con_q_r)
+        seqs_k.append(con_k_r)
+        seqs_v.append(con_v)
+
+    q = jnp.concatenate(seqs_q, axis=2)
+    k = jnp.concatenate(seqs_k, axis=2)
+    v = jnp.concatenate(seqs_v, axis=2)
+    s = q.shape[2]
+    s_pad = -(-s // n_seq) * n_seq
+    if s_pad != s:
+        padding = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, padding), jnp.pad(k, padding), jnp.pad(v, padding)
+
+    fn = make_ring_concept_attention(
+        spec.mesh, spec.seq_axis, txt_len=t, img_len=p, concept_len=c_real,
+        cross=spec.cross_attention, self_attention=spec.self_attention,
+    )
+    out = fn(q, k, v)
+
+    txt_attn = merge_heads(out[:, :, :t])
+    img_out_h = out[:, :, t : t + p]
+    img_attn = merge_heads(img_out_h)
+    if concept_qkv is None:
+        return txt_attn, img_attn, None, {}
+    if not spec.cross_attention and not spec.self_attention:
+        concept_out_h = concept_qkv[2]  # "neither" ablation: value passthrough
+    else:
+        concept_out_h = out[:, :, t + p : t + p + c_real]
+    extras = {
+        "concept_q": concept_qkv[0],
+        "concept_k": concept_qkv[1],
+        "img_q": img_q,
+        "concept_v": concept_qkv[2],
+        "img_v": img_v,
+        "concept_out_h": concept_out_h,
+        "img_out_h": img_out_h,
+    }
+    return txt_attn, img_attn, merge_heads(concept_out_h), extras
 
 
 def similarity_map(

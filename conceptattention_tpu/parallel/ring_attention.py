@@ -23,16 +23,21 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _partial_update(q, k, v, m, l, acc, scale):
+def _partial_update(q, k, v, m, l, acc, scale, allowed=None):
     """One online-softmax accumulation of q against a K/V chunk.
 
     q [B,H,Lq,D], k/v [B,H,Lk,D]; m/l [B,H,Lq,1], acc [B,H,Lq,D] float32.
+    `allowed` is an optional [Lq, Lk] bool mask in GLOBAL index space.
     """
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale
+    if allowed is not None:
+        s = jnp.where(allowed[None, None], s, NEG_INF)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m, m_cur)
     p = jnp.exp(s - m_new)
+    if allowed is not None:
+        p = jnp.where(allowed[None, None], p, 0.0)
     alpha = jnp.exp(m - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc * alpha + jnp.einsum(
@@ -72,6 +77,121 @@ def ring_attention(
 
     m, l, acc, _, _ = jax.lax.fori_loop(0, n, body, (m0, l0, acc0, k, v))
     return (acc / jnp.maximum(l, 1e-30)).astype(v.dtype)
+
+
+def _segment_mask(
+    q_idx: jax.Array,
+    k_idx: jax.Array,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    cross: bool,
+    self_attention: bool,
+) -> jax.Array:
+    """[Lq, Lk] reachability over the fused [txt | img | concept | pad]
+    sequence — the same contract as the flash kernel's masked tiles
+    (kernels/flash_saliency.py): joint queries see joint keys; concept
+    queries see image keys (cross) and/or concept keys (self); padding
+    reaches nothing."""
+    joint_end = txt_len + img_len
+    concept_end = joint_end + concept_len
+    qg = q_idx[:, None]
+    kg = k_idx[None, :]
+    q_joint = qg < joint_end
+    q_concept = (qg >= joint_end) & (qg < concept_end)
+    k_joint = kg < joint_end
+    k_img = (kg >= txt_len) & (kg < joint_end)
+    k_concept = (kg >= joint_end) & (kg < concept_end)
+    allowed = q_joint & k_joint
+    concept_keys = jnp.zeros_like(allowed)
+    if cross:
+        concept_keys = concept_keys | k_img
+    if self_attention:
+        concept_keys = concept_keys | k_concept
+    return allowed | (q_concept & concept_keys)
+
+
+def ring_concept_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    cross: bool = True,
+    self_attention: bool = True,
+) -> jax.Array:
+    """Dual-pass (joint txt+img AND concept) exact attention with the fused
+    sequence sharded over `axis_name` and K/V shards rotating around the ring.
+
+    Local shards q/k/v [B, H, L_local, D]; global masking reconstructs each
+    chunk's position from the ring step, so the result equals the dense
+    fused attention (kernels/flash_saliency contract) with padded rows zero.
+    """
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    b, h, lq, d = q.shape
+
+    iota = jnp.arange(lq, dtype=jnp.int32)
+    q_idx = my * lq + iota
+
+    m0 = jnp.full((b, h, lq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, lq, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, lq, d), jnp.float32)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def body(step, carry):
+        m, l, acc, k_cur, v_cur = carry
+        src = jnp.mod(my - step, n)  # origin device of the current chunk
+        k_idx = src * lq + iota
+        allowed = _segment_mask(
+            q_idx, k_idx, txt_len, img_len, concept_len, cross, self_attention
+        )
+        m, l, acc = _partial_update(q, k_cur, v_cur, m, l, acc, scale, allowed)
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        return m, l, acc, k_cur, v_cur
+
+    m, l, acc, _, _ = jax.lax.fori_loop(0, n, body, (m0, l0, acc0, k, v))
+    safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padding) rows -> 0
+    return (acc / safe_l).astype(v.dtype)
+
+
+def make_ring_concept_attention(
+    mesh,
+    axis_name: str,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    cross: bool = True,
+    self_attention: bool = True,
+):
+    """shard_map-wrapped `ring_concept_attention` over [B, H, S, D] inputs
+    sharded on S (S divisible by the mesh's `axis_name` size)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(None, None, axis_name, None)
+    fn = functools.partial(
+        ring_concept_attention,
+        axis_name=axis_name,
+        txt_len=txt_len,
+        img_len=img_len,
+        concept_len=concept_len,
+        cross=cross,
+        self_attention=self_attention,
+    )
+    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:
+        return shard_map(fn, check_rep=False, **kwargs)
 
 
 def make_ring_attention(mesh, axis_name: str = "seq"):

@@ -63,3 +63,89 @@ def test_seq_sharded_video_forward_matches():
         np.asarray(sal_ref["output"]), np.asarray(sal_sp["output"]),
         rtol=5e-4, atol=5e-5,
     )
+
+
+def test_ring_backend_video_forward_matches_dense():
+    """VERDICT #7: the ring path exercised END-TO-END through
+    video_dit_forward — attention actually computes distributed (each
+    device's query shard accumulates against K/V shards rotating around the
+    seq ring), not just a GSPMD reshard."""
+    from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+
+    key = jax.random.PRNGKey(1)
+    keys = jax.random.split(key, 4)
+    params = init_video_dit_params(keys[0], TINY, jnp.float32)
+    video = jax.random.normal(keys[1], (B, F, TINY.in_channels, H, W))
+    text = jax.random.normal(keys[2], (B, T, TINY.text_embed_dim))
+    concepts = jax.random.normal(keys[3], (B, C, TINY.text_embed_dim))
+    ts = jnp.asarray([300.0])
+
+    pred_ref, sal_ref = video_dit_forward(
+        params, TINY, video, text, ts, concepts=concepts
+    )
+
+    mesh = make_mesh(data=1, seq=4, model=2)
+    ring_spec = ConceptAttentionSpec(backend="ring", mesh=mesh, seq_axis=AXES.seq)
+
+    @jax.jit
+    def fwd(params, video, text, concepts):
+        return video_dit_forward(
+            params, TINY, video, text, ts, concepts=concepts, spec=ring_spec
+        )
+
+    pred_ring, sal_ring = fwd(params, video, text, concepts)
+    np.testing.assert_allclose(
+        np.asarray(pred_ref), np.asarray(pred_ring), rtol=1e-3, atol=1e-4
+    )
+    for tap in ("output", "cross_attention"):
+        np.testing.assert_allclose(
+            np.asarray(sal_ref[tap]), np.asarray(sal_ring[tap]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_ring_concept_attention_ablation_masks():
+    """Ring dual-pass masking matches the dense XLA reference on every
+    (cross, self) ablation, including padded concept rows."""
+    from conceptattention_tpu.ops.attention import (
+        ConceptAttentionSpec,
+        joint_concept_attention,
+    )
+    from conceptattention_tpu.ops.rope import embed_nd
+
+    key = jax.random.PRNGKey(2)
+    b, h, t, p, c, d = 1, 2, 6, 16, 3, 8
+    keys = jax.random.split(key, 9)
+    mk = lambda i, l: jax.random.normal(keys[i], (b, h, l, d), jnp.float32)
+    txt_qkv = (mk(0, t), mk(1, t), mk(2, t))
+    img_qkv = (mk(3, p), mk(4, p), mk(5, p))
+    con_qkv = (mk(6, c), mk(7, c), mk(8, c))
+    txt_ids = jnp.zeros((b, t, 3), jnp.float32)
+    img_ids = jnp.tile(jnp.arange(p, dtype=jnp.float32)[None, :, None], (b, 1, 3))
+    con_ids = jnp.zeros((b, c, 3), jnp.float32)
+    axes = (2, 2, 4)
+    pe = embed_nd(jnp.concatenate([txt_ids, img_ids], 1), axes, 100)
+    cpe = embed_nd(jnp.concatenate([con_ids, img_ids], 1), axes, 100)
+
+    mesh = make_mesh(data=1, seq=4, model=2)
+    for cross in (True, False):
+        for self_attn in (True, False):
+            dense = joint_concept_attention(
+                txt_qkv, img_qkv, con_qkv, pe, cpe,
+                ConceptAttentionSpec(cross_attention=cross, self_attention=self_attn),
+            )
+            ring = joint_concept_attention(
+                txt_qkv, img_qkv, con_qkv, pe, cpe,
+                ConceptAttentionSpec(
+                    cross_attention=cross, self_attention=self_attn,
+                    backend="ring", mesh=mesh, seq_axis=AXES.seq,
+                ),
+            )
+            for a, b_ in zip(dense[:3], ring[:3]):
+                if a is None:
+                    assert b_ is None
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5,
+                    err_msg=f"cross={cross} self={self_attn}",
+                )
