@@ -54,10 +54,12 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 6)
-    if quantize:
+    if quantize:  # "w8" (weight-only) or "w8a8" (int8 activations too)
         from conceptattention_tpu.ops.quant import init_flux_params_quantized
 
-        params = init_flux_params_quantized(keys[0], cfg, dtype)
+        params = init_flux_params_quantized(
+            keys[0], cfg, dtype, act_quant=(quantize == "w8a8")
+        )
     else:
         params = init_flux_params(keys[0], cfg, dtype)
     img = jax.random.normal(keys[1], (b, p_tokens, cfg.in_channels), dtype)
@@ -78,7 +80,7 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("with_concepts", "backend"))
-    def run(params, ae_params, img, with_concepts, backend):
+    def run(params, img, with_concepts, backend):
         out, sal = denoise(
             params, cfg,
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=y,
@@ -88,25 +90,35 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
             concept_vec=concept_vec if with_concepts else None,
             spec=ConceptAttentionSpec(taps=("output", "cross_attention"), backend=backend),
         )
+        # Scalar checksum: fetching it to host forces the full computation.
+        # (On the axon backend block_until_ready does NOT synchronize device
+        # compute — only a host fetch does.)
+        chk = jnp.sum(out.astype(jnp.float32))
+        if with_concepts:
+            chk = chk + sal["output"].mean()
+        return chk, out
+
+    # Decode as its own dispatch: folding the 1024^2 conv stack into the
+    # 12 GB denoise graph measurably degrades both (memory-pressure
+    # scheduling); two back-to-back device graphs carry no such penalty.
+    @jax.jit
+    def run_decode(ae_params, out):
         z = unpack_latents(out, *grid)
         pixels = jax.lax.map(
             lambda zi: vae.decode(ae_params, ae_cfg, zi[None])[0], z
         )
-        # Scalar checksum: fetching it to host forces the full computation.
-        # (On the axon backend block_until_ready does NOT synchronize device
-        # compute — only a host fetch does.)
-        chk = jnp.sum(pixels.astype(jnp.float32))
-        if with_concepts:
-            chk = chk + sal["output"].mean()
-        return chk
+        return jnp.sum(pixels.astype(jnp.float32))
 
     def timed(with_concepts, backend, iters=4):
-        float(run(params, ae_params, img, with_concepts, backend))  # compile + warm
+        chk, out = run(params, img, with_concepts, backend)  # compile + warm
+        float(chk)
+        float(run_decode(ae_params, out))
         t0 = time.perf_counter()
-        chks = [
-            run(params, ae_params, img * (1.0 + 1e-4 * i), with_concepts, backend)
-            for i in range(iters)
-        ]
+        chks = []
+        for i in range(iters):
+            chk, out = run(params, img * (1.0 + 1e-4 * i), with_concepts, backend)
+            chks.append(chk)
+            chks.append(run_decode(ae_params, out))
         for c in chks:  # deferred fetch: throughput semantics, true sync
             float(c)
         return (time.perf_counter() - t0) / iters
@@ -135,8 +147,9 @@ def main():
         # alongside the weights -> flash kernel only), then depth-scaled bf16.
         n = max(1, int(hbm * 0.5 / 1.25e9))
         ladder = [
-            (19, 38, True, ("pallas",), 4),   # full arch, int8, batched serving
-            (19, 38, True, ("pallas",), 1),   # full arch, int8, single image
+            (19, 38, "w8a8", ("pallas",), 4),  # full arch, int8 MXU serving
+            (19, 38, "w8", ("pallas",), 4),    # full arch, int8 weights only
+            (19, 38, "w8", ("pallas",), 1),    # full arch, int8, single image
             (min(19, n), min(38, 2 * n), False, ("xla", "pallas"), 1),
         ]
 
@@ -178,7 +191,7 @@ def main():
             "metric": (
                 f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step b{batch} "
                 f"4-concept heatmaps + VAE decode, "
-                f"{'int8-weights' if quantize else 'bf16'}, "
+                f"{'int8-w8a8' if quantize == 'w8a8' else ('int8-weights' if quantize else 'bf16')}, "
                 f"1 chip, attn={backend} "
                 f"(full-depth-equiv {full_equiv:.3f} img/s, "
                 f"heatmap overhead {overhead_pct:.1f}%)"

@@ -44,11 +44,26 @@ from conceptattention_tpu.ops.rope import apply_rope
 
 
 def _linear(x, p):
-    """Linear with optional weight-only int8: per-output-channel scales fold
-    into the OUTPUT (x @ (q*s) == (x @ q) * s), so dequantized weights never
-    materialize — the int8->bf16 convert fuses into the matmul operand."""
+    """Linear with optional int8 weights.
+
+    - {"q", "scale"}: weight-only int8 — per-output-channel scales fold into
+      the OUTPUT (x @ (q*s) == (x @ q) * s), so dequantized weights never
+      materialize; the int8->bf16 convert fuses into the matmul operand.
+    - {"qa", "scale"}: w8a8 — activations are dynamically quantized per token
+      and the dot runs int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e);
+      both scales fold into the output.
+    """
     w = p["w"]
-    if isinstance(w, dict):  # {"q": int8, "scale": [1, out]}
+    if isinstance(w, dict) and "qa" in w:
+        from conceptattention_tpu.ops.quant import quantize_activations_per_token
+
+        xq, xs = quantize_activations_per_token(x)
+        y32 = jax.lax.dot_general(
+            xq, w["qa"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y32.astype(jnp.float32) * xs).astype(x.dtype) * w["scale"][0]
+    elif isinstance(w, dict):  # {"q": int8, "scale": [1, out]}
         y = x @ w["q"].astype(x.dtype)
         y = y * w["scale"][0]
     else:
@@ -65,7 +80,16 @@ def _qkv_heads(x_mod, qkv_p, qnorm, knorm, num_heads):
     Quantized weights keep int8 in the dot, scales fold into the output.
     """
     w = qkv_p["w"]
-    if isinstance(w, dict):
+    if isinstance(w, dict) and "qa" in w:
+        from conceptattention_tpu.ops.quant import quantize_activations_per_token
+
+        xq, xs = quantize_activations_per_token(x_mod)
+        qkv32 = jnp.einsum(
+            "bld,dkhe->kbhle", xq, w["qa"], preferred_element_type=jnp.int32
+        )
+        qkv = (qkv32.astype(jnp.float32) * xs[None, :, None]).astype(x_mod.dtype)
+        qkv = qkv * w["scale"][0][:, None, :, None, :]
+    elif isinstance(w, dict):
         qkv = jnp.einsum(
             "bld,dkhe->kbhle", x_mod, w["q"].astype(x_mod.dtype),
             preferred_element_type=jnp.float32,

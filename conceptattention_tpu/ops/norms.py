@@ -44,11 +44,14 @@ def modulation(
 ) -> Tuple[ModulationOut, ModulationOut | None]:
     """AdaLN modulation: silu(vec) @ w + b -> 3 or 6 chunks of [B, 1, D].
 
-    `w` may be a weight-only-int8 dict {"q", "scale"}; the per-output-channel
-    scale folds into the output."""
+    `w` may be an int8 dict {"q"|"qa", "scale"}; the per-output-channel scale
+    folds into the output. The w8a8 "qa" form still computes in bf16 here —
+    the modulation input is a single [B, D] vector, far below MXU-saturating
+    size, so int8 activations would cost accuracy for no speedup."""
     h = jax.nn.silu(vec)
     if isinstance(w, dict):
-        out = (h @ w["q"].astype(vec.dtype)) * w["scale"][0] + b
+        q = w["q"] if "q" in w else w["qa"]
+        out = (h @ q.astype(vec.dtype)) * w["scale"][0] + b
     else:
         out = h @ w + b
     out = out[:, None, :]

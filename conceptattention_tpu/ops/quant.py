@@ -17,6 +17,20 @@ import jax
 import jax.numpy as jnp
 
 _QKEYS = frozenset({"q", "scale"})
+_QKEYS_A8 = frozenset({"qa", "scale"})
+
+
+def quantize_activations_per_token(x: jax.Array):
+    """Dynamic per-token (last-axis) absmax int8 quantization.
+
+    Returns (x_int8, scale) with scale shaped like x but last dim 1, float32.
+    Zero rows quantize to zeros with scale 1.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def quantize_array(w: jax.Array, compute_dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
@@ -29,11 +43,12 @@ def quantize_array(w: jax.Array, compute_dtype=jnp.bfloat16) -> Dict[str, jax.Ar
 
 
 def dequantize_array(qd: Dict[str, jax.Array]) -> jax.Array:
-    return qd["q"].astype(qd["scale"].dtype) * qd["scale"]
+    q = qd["q"] if "q" in qd else qd["qa"]
+    return q.astype(qd["scale"].dtype) * qd["scale"]
 
 
 def _is_quantized(node: Any) -> bool:
-    return isinstance(node, dict) and set(node.keys()) == _QKEYS
+    return isinstance(node, dict) and set(node.keys()) in (_QKEYS, _QKEYS_A8)
 
 
 def dequantize_tree(tree: Any) -> Any:
@@ -48,12 +63,18 @@ def dequantize_tree(tree: Any) -> Any:
     return tree
 
 
-def quantize_layer_stack(stack: Any, min_size: int = 1 << 20) -> Any:
+def quantize_layer_stack(stack: Any, min_size: int = 1 << 20, act_quant: bool = False) -> Any:
     """Quantize large 'w' leaves in a stacked layer pytree.
 
     Per-layer scales: for a stacked [depth, in, ...out] weight the scale is
     computed per (layer, out-channel) by folding depth into the batch.
+
+    act_quant=True marks the weight for the w8a8 path (key "qa" instead of
+    "q"): the consuming matmul dynamically quantizes its activations per
+    token and runs an int8 x int8 MXU dot (2x bf16 peak on v5e), folding
+    both scales into the output.
     """
+    qkey = "qa" if act_quant else "q"
 
     def visit(node):
         if isinstance(node, dict):
@@ -69,7 +90,7 @@ def quantize_layer_stack(stack: Any, min_size: int = 1 << 20) -> Any:
                     amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
                     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
                     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-                    out[k] = {"q": q, "scale": scale.astype(v.dtype)}
+                    out[k] = {qkey: q, "scale": scale.astype(v.dtype)}
                 else:
                     out[k] = visit(v)
             return out
@@ -101,7 +122,9 @@ def _random_int8(key: jax.Array, shape) -> jax.Array:
     return jnp.stack(layers)
 
 
-def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[str, Any]:
+def init_flux_params_quantized(
+    key: jax.Array, cfg, dtype=jnp.bfloat16, act_quant: bool = False
+) -> Dict[str, Any]:
     """Random *already-quantized* Flux params: int8 weights + scales generated
     directly, so the full 11.9B model never materializes in bf16 (24 GB) on a
     16 GB chip. Weight distribution matches init_flux_params' 1/sqrt(in) std.
@@ -135,7 +158,7 @@ def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[
                         s = (fan_in**-0.5) / 73.3  # std(uniform int8) ~ 73.3
                         scale_shape = (depth, 1) + shape[2:]
                         out[k] = {
-                            "q": q,
+                            ("qa" if act_quant else "q"): q,
                             "scale": jnp.full(scale_shape, s, dtype),
                         }
                     elif hasattr(v, "ndim"):
@@ -164,10 +187,13 @@ def init_flux_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16) -> Dict[
     return params
 
 
-def quantize_flux_params(params: Dict[str, Any], min_size: int = 1 << 16) -> Dict[str, Any]:
+def quantize_flux_params(
+    params: Dict[str, Any], min_size: int = 1 << 16, act_quant: bool = False
+) -> Dict[str, Any]:
     """Quantize the per-layer stacks (the ~99% of parameters); embedders,
-    norms, biases, and the final layer stay bf16."""
+    norms, biases, and the final layer stay bf16. act_quant=True selects the
+    w8a8 path (int8 activations x int8 weights on the MXU)."""
     out = dict(params)
-    out["double"] = quantize_layer_stack(params["double"], min_size)
-    out["single"] = quantize_layer_stack(params["single"], min_size)
+    out["double"] = quantize_layer_stack(params["double"], min_size, act_quant)
+    out["single"] = quantize_layer_stack(params["single"], min_size, act_quant)
     return out

@@ -97,9 +97,10 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]
     shardings = flux_param_sharding(mesh, cfg)
 
     def place(p, s):
-        if isinstance(p, dict) and set(p.keys()) == {"q", "scale"}:
+        if isinstance(p, dict) and set(p.keys()) in ({"q", "scale"}, {"qa", "scale"}):
+            qk = "q" if "q" in p else "qa"
             return {
-                "q": jax.device_put(p["q"], s),
+                qk: jax.device_put(p[qk], s),
                 "scale": jax.device_put(p["scale"], NamedSharding(mesh, P())),
             }
         if isinstance(p, dict):

@@ -63,6 +63,47 @@ def test_quantized_forward_close_to_fp():
     assert err / denom < 0.1, (err, denom)
 
 
+def test_w8a8_forward_close_to_fp():
+    """w8a8 (dynamic per-token int8 activations x int8 weights): same tiny
+    forward stays close to fp32 — the serving-mode quality bar for the 2x-MXU
+    int8 path."""
+    key = jax.random.PRNGKey(2)
+    keys = jax.random.split(key, 5)
+    params = init_flux_params(keys[0], CFG, jnp.float32)
+    qparams = quantize_flux_params(params, act_quant=True)
+    assert qparams["double"]["img_qkv"]["w"]["qa"].dtype == jnp.int8
+
+    img = jax.random.normal(keys[1], (1, 16, CFG.in_channels))
+    txt = jax.random.normal(keys[2], (1, 4, CFG.context_in_dim))
+    y = jax.random.normal(keys[3], (1, CFG.vec_in_dim))
+    common = dict(
+        img=img, img_ids=make_img_ids(4, 4), txt=txt,
+        txt_ids=jnp.zeros((1, 4, 3)), timesteps=jnp.asarray([0.5]), y=y,
+    )
+    pred_fp, _ = flux_forward(params, CFG, **common)
+    pred_q, _ = flux_forward(qparams, CFG, **common)
+    a = np.asarray(pred_fp, np.float64).reshape(-1)
+    b = np.asarray(pred_q, np.float64).reshape(-1)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
+    err = np.abs(b - a).mean() / (np.abs(a).mean() + 1e-12)
+    assert err < 0.15, err
+
+
+def test_activation_quantization_roundtrip():
+    from conceptattention_tpu.ops.quant import quantize_activations_per_token
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 7, 33)) * 3.0
+    q, s = quantize_activations_per_token(x)
+    assert q.dtype == jnp.int8 and s.shape == (4, 7, 1)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(back - np.asarray(x))
+    assert (err <= np.asarray(s) / 2 + 1e-6).all()
+    # zero rows: scale 1, quantized zeros
+    qz, sz = quantize_activations_per_token(jnp.zeros((1, 2, 8)))
+    assert (np.asarray(qz) == 0).all() and (np.asarray(sz) == 1.0).all()
+
+
 def test_quantized_param_bytes_halved():
     params = init_flux_params(jax.random.PRNGKey(2), CFG, jnp.bfloat16)
     qparams = quantize_flux_params(params)
