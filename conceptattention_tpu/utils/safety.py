@@ -29,6 +29,23 @@ def _load():
     if _classifier is not None or _unavailable_reason is not None:
         return _classifier
     try:
+        import os
+
+        from huggingface_hub import constants as hf_constants  # noqa: PLC0415
+
+        cached = os.path.isdir(
+            os.path.join(
+                hf_constants.HF_HUB_CACHE,
+                "models--Falconsai--nsfw_image_detection",
+            )
+        )
+        if not cached and os.environ.get("HF_HUB_OFFLINE") != "0":
+            # Zero-egress environments: skip the hub's multi-minute retry
+            # loop when the checkpoint isn't already cached locally.
+            raise FileNotFoundError(
+                "Falconsai/nsfw_image_detection not in the local HF cache "
+                "(set HF_HUB_OFFLINE=0 to attempt a download)"
+            )
         from transformers import pipeline  # noqa: PLC0415
 
         _classifier = pipeline(

@@ -18,8 +18,9 @@ def graft():
 
 
 def test_entry_traces(graft):
-    fn, args = graft.entry()
-    # abstract evaluation only: full-width params would be slow to execute on CPU
+    # entry_abstract: same traced fn as entry(), ShapeDtypeStruct args —
+    # materializing the 1.3B-param entry config on CPU took ~4 minutes.
+    fn, args = graft.entry_abstract()
     out_shapes = jax.eval_shape(fn, *args)
     pred, maps = out_shapes
     assert pred.shape == (1, 256, 64)
