@@ -86,14 +86,14 @@ def _flash_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
         if fuse_rope:
             # rotate the q tile once per q-block, reuse across all k tiles
-            qrot_scratch[...] = _rot(q_ref[0], cosq_ref[...], sinq_ref[...])
+            qrot_scratch[...] = _rot(q_ref[0], cosq_ref[0], sinq_ref[0])
 
     if fuse_rope:
         def q_tile():
             return qrot_scratch[...]
 
         def k_tile():
-            return _rot(k_ref[0], cosk_ref[...], sink_ref[...])
+            return _rot(k_ref[0], cosk_ref[0], sink_ref[0])
     else:
         def q_tile():
             return q_ref[0]
@@ -298,12 +298,16 @@ def fused_concept_flash_attention(
     ]
     operands = [q3, k3, v3]
     if rope_cos is not None:
-        assert rope_cos.shape == (s, d), (rope_cos.shape, s, d)
+        assert rope_cos.shape == (b, s, d), (rope_cos.shape, b, s, d)
+        # Tables are per batch; the grid's leading coordinate is b*h, so the
+        # batch row is bh // h (per-sample position ids supported).
+        q_idx = lambda bh, qi, ki: (bh // h, qi, 0)  # noqa: E731
+        k_idx = lambda bh, qi, ki: (bh // h, ki, 0)  # noqa: E731
         in_specs += [
-            pl.BlockSpec((block_q, d), lambda bh, qi, ki: (qi, 0)),
-            pl.BlockSpec((block_q, d), lambda bh, qi, ki: (qi, 0)),
-            pl.BlockSpec((block_k, d), lambda bh, qi, ki: (ki, 0)),
-            pl.BlockSpec((block_k, d), lambda bh, qi, ki: (ki, 0)),
+            pl.BlockSpec((1, block_q, d), q_idx),
+            pl.BlockSpec((1, block_q, d), q_idx),
+            pl.BlockSpec((1, block_k, d), k_idx),
+            pl.BlockSpec((1, block_k, d), k_idx),
         ]
         operands += [rope_cos, rope_sin, rope_cos, rope_sin]
         scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
@@ -355,23 +359,30 @@ def _auto_tiles(s: int) -> Tuple[int, int]:
 
 
 def expand_rope_tables(segments, total_len: int):
-    """Build the kernel's expanded [total_len, D] float32 rotation tables from
-    per-segment (cos, sin) pairs of shape [B, 1, N, D/2] (batch-invariant ids,
-    as built by ops.rope.embed_nd). Pad rows get the identity rotation."""
+    """Build the kernel's expanded [B, total_len, D] float32 rotation tables
+    from per-segment (cos, sin) pairs of shape [B, 1, N, D/2] (as built by
+    ops.rope.embed_nd). Pad rows get the identity rotation.
+
+    Tables are PER BATCH and the kernel indexes them by the grid's batch
+    coordinate, so per-sample position ids (crops, mixed-resolution batches)
+    are handled correctly by construction — no batch-invariance assumption."""
     cos_parts, sin_parts = [], []
     n_done = 0
+    b = segments[0][0].shape[0]
     for c, s in segments:
-        c0 = c[0, 0].astype(jnp.float32)  # [N, D/2]
-        s0 = s[0, 0].astype(jnp.float32)
+        c0 = c[:, 0].astype(jnp.float32)  # [B, N, D/2]
+        s0 = s[:, 0].astype(jnp.float32)
         cos_parts.append(jnp.repeat(c0, 2, axis=-1))
-        sin_parts.append(jnp.stack([-s0, s0], axis=-1).reshape(s0.shape[0], -1))
-        n_done += c0.shape[0]
+        sin_parts.append(
+            jnp.stack([-s0, s0], axis=-1).reshape(b, s0.shape[1], -1)
+        )
+        n_done += c0.shape[1]
     d = cos_parts[0].shape[-1]
     if n_done < total_len:
         pad = total_len - n_done
-        cos_parts.append(jnp.ones((pad, d), jnp.float32))
-        sin_parts.append(jnp.zeros((pad, d), jnp.float32))
-    return jnp.concatenate(cos_parts), jnp.concatenate(sin_parts)
+        cos_parts.append(jnp.ones((b, pad, d), jnp.float32))
+        sin_parts.append(jnp.zeros((b, pad, d), jnp.float32))
+    return jnp.concatenate(cos_parts, axis=1), jnp.concatenate(sin_parts, axis=1)
 
 
 def pallas_joint_concept_attention(

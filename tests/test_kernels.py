@@ -146,3 +146,40 @@ class TestKernelInBlock:
             np.asarray(outs["pallas_interpret"][3]["output"]),
             rtol=1e-3, atol=1e-4,
         )
+
+
+class TestPerSampleRopeIds:
+    def test_batched_rope_tables_handle_per_sample_ids(self):
+        """Per-sample position ids (e.g. crops / mixed resolutions in one
+        batch) must rope correctly — the kernel's tables are per batch row,
+        not assumed batch-invariant."""
+        key = jax.random.PRNGKey(7)
+        b = 2
+        ks = jax.random.split(key, 6)
+        txt_qkv = tuple(jax.random.normal(k, (b, H, T, D)) for k in ks[:3])
+        img_qkv = tuple(jax.random.normal(k, (b, H, P, D)) for k in ks[3:])
+        # batch row 0: the native grid; batch row 1: a shifted crop
+        ids0 = make_img_ids(6, 8)
+        ids1 = make_img_ids(6, 8) + jnp.asarray([0.0, 5.0, 9.0])
+        img_ids = jnp.concatenate([ids0, ids1], axis=0)
+        txt_ids = jnp.zeros((b, T, 3))
+        pe = embed_nd(jnp.concatenate([txt_ids, img_ids], 1), AXES, 10_000)
+
+        spec_x = ConceptAttentionSpec(backend="xla")
+        spec_p = ConceptAttentionSpec(
+            backend="pallas_interpret", block_q=BQ, block_k=BK
+        )
+        txt_x, img_x, _, _ = joint_concept_attention(
+            txt_qkv, img_qkv, None, pe, None, spec_x
+        )
+        txt_p, img_p, _, _ = joint_concept_attention(
+            txt_qkv, img_qkv, None, pe, None, spec_p
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_p), np.asarray(img_x), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(txt_p), np.asarray(txt_x), rtol=2e-4, atol=2e-5
+        )
+        # and the two batch rows genuinely differ (the ids did)
+        assert np.abs(np.asarray(img_p[0]) - np.asarray(img_p[1])).max() > 1e-3
