@@ -105,7 +105,7 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
     def run_decode(ae_params, out):
         z = unpack_latents(out, *grid)
         pixels = jax.lax.map(
-            lambda zi: vae.decode(ae_params, ae_cfg, zi[None])[0], z
+            lambda zi: vae.decode_nhwc(ae_params, ae_cfg, zi[None])[0], z
         )
         return jnp.sum(pixels.astype(jnp.float32))
 

@@ -133,6 +133,87 @@ def decode(p: Params, cfg: AutoEncoderConfig, z: jax.Array) -> jax.Array:
 
 
 # ----------------------------------------------------------------------------
+# NHWC fast path. The checkpoint layout stays NCHW/OIHW (torch import without
+# transposition); these variants transpose at the boundaries and keep the
+# whole decoder in the TPU's native channel-last layout — XLA otherwise
+# inserts per-conv relayouts that dominate 1024^2 decode time.
+# ----------------------------------------------------------------------------
+
+
+def _conv2d_nhwc(x, p, stride=1, padding=1):
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    w = p["w"].transpose(2, 3, 1, 0)  # OIHW -> HWIO (cheap; hoisted by XLA)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"]
+
+
+def _group_norm_nhwc(x, p, num_groups=32, eps=1e-6):
+    b, h, w, c = x.shape
+    if c % num_groups != 0:
+        import math
+
+        num_groups = math.gcd(num_groups, c)
+    xf = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c).astype(x.dtype)
+    return xf * p["scale"] + p["bias"]
+
+
+def _attn_block_nhwc(x, p):
+    b, h, w, c = x.shape
+    h_ = _group_norm_nhwc(x, p["norm"])
+    q = _conv2d_nhwc(h_, p["q"], padding=0).reshape(b, h * w, c)
+    k = _conv2d_nhwc(h_, p["k"], padding=0).reshape(b, h * w, c)
+    v = _conv2d_nhwc(h_, p["v"], padding=0).reshape(b, h * w, c)
+    scale = 1.0 / (c**0.5)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", weights, v).reshape(b, h, w, c)
+    return x + _conv2d_nhwc(out, p["proj_out"], padding=0)
+
+
+def _resnet_block_nhwc(x, p):
+    h = _conv2d_nhwc(swish(_group_norm_nhwc(x, p["norm1"])), p["conv1"])
+    h = _conv2d_nhwc(swish(_group_norm_nhwc(h, p["norm2"])), p["conv2"])
+    if "nin_shortcut" in p:
+        x = _conv2d_nhwc(x, p["nin_shortcut"], padding=0)
+    return x + h
+
+
+def _upsample_nhwc(x, p):
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return _conv2d_nhwc(x, p["conv"])
+
+
+def decoder_apply_nhwc(p: Params, cfg: AutoEncoderConfig, z: jax.Array) -> jax.Array:
+    """decoder_apply with NHWC-internal layout; z/output remain NCHW."""
+    h = z.transpose(0, 2, 3, 1)
+    h = _conv2d_nhwc(h, p["conv_in"])
+    h = _resnet_block_nhwc(h, p["mid_block_1"])
+    h = _attn_block_nhwc(h, p["mid_attn_1"])
+    h = _resnet_block_nhwc(h, p["mid_block_2"])
+    for i_level in reversed(range(len(cfg.ch_mult))):
+        for i_block in range(cfg.num_res_blocks + 1):
+            h = _resnet_block_nhwc(h, p["up"][i_level]["block"][i_block])
+        if i_level != 0:
+            h = _upsample_nhwc(h, p["up"][i_level]["upsample"])
+    h = swish(_group_norm_nhwc(h, p["norm_out"]))
+    h = _conv2d_nhwc(h, p["conv_out"])
+    return h.transpose(0, 3, 1, 2)
+
+
+def decode_nhwc(p: Params, cfg: AutoEncoderConfig, z: jax.Array) -> jax.Array:
+    """`decode` on the NHWC fast path (same math, same NCHW interface)."""
+    z = z / cfg.scale_factor + cfg.shift_factor
+    return decoder_apply_nhwc(p["decoder"], cfg, z)
+
+
+# ----------------------------------------------------------------------------
 # Random init (production weights come from checkpoints via weights/convert).
 # ----------------------------------------------------------------------------
 

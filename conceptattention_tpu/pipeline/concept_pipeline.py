@@ -88,7 +88,11 @@ def _encode_forward(
 @functools.partial(jax.jit, static_argnames=("cfg", "h_tokens", "w_tokens"))
 def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
     z = unpack_latents(latents_packed.astype(jnp.float32), h_tokens, w_tokens)
-    return vae.decode(jax.tree.map(lambda x: x.astype(jnp.float32), ae_params), cfg, z)
+    # NHWC fast path: identical math (tests/test_autoencoder_nhwc.py), avoids
+    # the per-conv NCHW relayouts XLA inserts on TPU at 1024^2.
+    return vae.decode_nhwc(
+        jax.tree.map(lambda x: x.astype(jnp.float32), ae_params), cfg, z
+    )
 
 
 class ConceptAttentionFluxPipeline:
