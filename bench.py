@@ -147,7 +147,8 @@ def main():
         # alongside the weights -> flash kernel only), then depth-scaled bf16.
         n = max(1, int(hbm * 0.5 / 1.25e9))
         ladder = [
-            (19, 38, "w8a8", ("pallas",), 4),  # full arch, int8 MXU serving
+            (19, 38, "w8a8", ("pallas",), 8),  # full arch, int8 MXU serving
+            (19, 38, "w8a8", ("pallas",), 4),
             (19, 38, "w8", ("pallas",), 4),    # full arch, int8 weights only
             (19, 38, "w8", ("pallas",), 1),    # full arch, int8, single image
             (min(19, n), min(38, 2 * n), False, ("xla", "pallas"), 1),
