@@ -383,6 +383,9 @@ class ConceptAttentionFluxPipeline:
         arr = 2.0 * arr - 1.0
         x = jnp.asarray(arr)[None]
         x = jax.image.resize(x, (1, 3, height, width), method="bilinear")
+        # Encoder stays NCHW: measured 3x faster than NHWC on TPU at 1024^2
+        # (the 3-channel input conv dominates and is hostile to channel-last;
+        # the decoder is the opposite case — see _vae_decode_f32).
         return vae.encode(
             self.ae_params, self.spec.ae_params, x, key=jax.random.PRNGKey(seed)
         ).astype(self.dtype)

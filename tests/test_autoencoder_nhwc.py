@@ -38,3 +38,21 @@ class TestNHWCDecoder:
         ref = vae.decoder_apply(params["decoder"], cfg, z)
         got = vae.decoder_apply_nhwc(params["decoder"], cfg, z)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+class TestNHWCEncoder:
+    def test_encode_matches_nchw(self, tiny):
+        cfg, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 3, cfg.resolution, cfg.resolution))
+        key = jax.random.PRNGKey(4)
+        ref = vae.encode(params, cfg, x, key=key)
+        got = vae.encode_nhwc(params, cfg, x, key=key)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_encode_deterministic_mean(self, tiny):
+        cfg, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, cfg.resolution, cfg.resolution))
+        ref = vae.encode(params, cfg, x)  # mean path, no sampling key
+        got = vae.encode_nhwc(params, cfg, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
