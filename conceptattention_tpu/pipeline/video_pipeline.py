@@ -46,6 +46,7 @@ class VideoConceptPipelineOutput:
     video_latents: jax.Array  # [B, F, C, H, W]
     concept_heatmaps: np.ndarray  # [concepts, frames, h, w]
     cross_attention_maps: Optional[np.ndarray] = None
+    video_frames: Optional[np.ndarray] = None  # uint8 [F_pix, H_pix, W_pix, 3]
 
 
 def _reduce_step_maps(maps: jax.Array, layer_indices, n_concepts: int) -> jax.Array:
@@ -125,6 +126,8 @@ class VideoConceptAttentionPipeline:
         text_encoders: Optional[TextEncoders] = None,
         dtype=jnp.bfloat16,
         init_seed: int = 0,
+        vae_params: Optional[Dict[str, Any]] = None,
+        vae_cfg=None,
     ):
         self.cfg = cfg or CogVideoXConfig()
         self.dtype = dtype
@@ -135,6 +138,35 @@ class VideoConceptAttentionPipeline:
             t5_dim=self.cfg.text_embed_dim, clip_dim=768,
             t5_max_length=self.cfg.max_text_seq_length,
         )
+        # Video VAE (models/video/vae.py, diffusers AutoencoderKLCogVideoX
+        # layout): pass converted checkpoint params for real use; lazily
+        # random-initialized otherwise (shapes/kernels identical).
+        self.vae_cfg = vae_cfg
+        self.vae_params = vae_params
+
+    def _vae(self):
+        from conceptattention_tpu.models.video import vae as vvae
+
+        if self.vae_cfg is None:
+            self.vae_cfg = vvae.CogVideoXVAEConfig(
+                latent_channels=self.cfg.in_channels
+            )
+        if self.vae_params is None:
+            self.vae_params = vvae.init_video_vae_params(
+                jax.random.PRNGKey(7), self.vae_cfg, jnp.float32
+            )
+        return vvae, self.vae_cfg, self.vae_params
+
+    def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        """[B, F, C, h, w] DiT latents -> uint8 pixel frames
+        [1 + (F-1)*t_ratio, h*8, w*8, 3] through the 3D causal VAE (the
+        reference decodes via diffusers AutoencoderKLCogVideoX;
+        pipeline.py:278-288)."""
+        vvae, vae_cfg, vae_params = self._vae()
+        z = jnp.transpose(latents.astype(jnp.float32), (0, 2, 1, 3, 4))
+        pixels = vvae.decode(vae_params, vae_cfg, z)
+        arr = np.asarray(jnp.clip(pixels[0], -1.0, 1.0), dtype=np.float32)
+        return ((arr.transpose(1, 2, 3, 0) + 1.0) * 127.5).astype(np.uint8)
 
     def encode_concepts(self, concepts: List[str], seq_length: Optional[int] = None):
         """First T5 token per concept, zero-padded to seq_length
@@ -177,6 +209,7 @@ class VideoConceptAttentionPipeline:
         return_cross_attention: bool = False,
         scheduler: str = "ddim",  # "ddim" | "dpm" (DPM-Solver++ 2M)
         seed: int = 0,
+        decode: bool = False,
     ) -> VideoConceptPipelineOutput:
         """Run CFG DDIM/DPM sampling; returns latents + [C, F, h, w] maps.
 
@@ -232,4 +265,5 @@ class VideoConceptAttentionPipeline:
                 finalize(saliency["cross_attention"], extra_softmax=True)
                 if return_cross_attention else None
             ),
+            video_frames=self.decode_latents(latents) if decode else None,
         )

@@ -287,6 +287,76 @@ def convert_cogvideox_state_dict(
     }
 
 
+def convert_cogvideox_vae_state_dict(
+    sd: Mapping[str, Any], cfg, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """diffusers `AutoencoderKLCogVideoX` state dict -> our param pytree
+    (models/video/vae.py). Key layout per the published diffusers model:
+    causal convs wrap the kernel as `<name>.conv.weight` (OIDHW, imported
+    as-is), 1x1 resnet shortcuts are bare `conv_shortcut.weight`,
+    downsamplers/upsamplers are per-frame Conv2d at `<blk>.{down,up}samplers.
+    0.conv.weight`, and decoder norms are SpatialNorm3D triplets
+    (`norm_layer` + `conv_y.conv` + `conv_b.conv`)."""
+    s = _SD(sd, dtype)
+
+    def conv(key):  # CausalConv3d / Conv2d / plain SafeConv3d weights
+        inner = f"{key}.conv.weight" if f"{key}.conv.weight" in s.sd else f"{key}.weight"
+        base = inner[: -len(".weight")]
+        return {"w": s(f"{base}.weight"), "b": s(f"{base}.bias")}
+
+    def gn(key):
+        return {"scale": s(f"{key}.weight"), "bias": s(f"{key}.bias")}
+
+    def sn(key):
+        return {"norm": gn(f"{key}.norm_layer"), "conv_y": conv(f"{key}.conv_y"),
+                "conv_b": conv(f"{key}.conv_b")}
+
+    def resnet(key, spatial: bool):
+        p = {
+            "norm1": sn(f"{key}.norm1") if spatial else gn(f"{key}.norm1"),
+            "conv1": conv(f"{key}.conv1"),
+            "norm2": sn(f"{key}.norm2") if spatial else gn(f"{key}.norm2"),
+            "conv2": conv(f"{key}.conv2"),
+        }
+        if f"{key}.conv_shortcut.weight" in s.sd or f"{key}.conv_shortcut.conv.weight" in s.sd:
+            p["conv_shortcut"] = conv(f"{key}.conv_shortcut")
+        return p
+
+    n_blocks = len(cfg.block_out_channels)
+    down = []
+    for i in range(n_blocks):
+        base = f"encoder.down_blocks.{i}"
+        block = {"resnets": [resnet(f"{base}.resnets.{j}", False)
+                             for j in range(cfg.layers_per_block)]}
+        if f"{base}.downsamplers.0.conv.weight" in s.sd:
+            block["downsample"] = conv(f"{base}.downsamplers.0.conv")
+        down.append(block)
+    enc = {
+        "conv_in": conv("encoder.conv_in"),
+        "down": down,
+        "mid": [resnet(f"encoder.mid_block.resnets.{j}", False) for j in range(2)],
+        "norm_out": gn("encoder.norm_out"),
+        "conv_out": conv("encoder.conv_out"),
+    }
+
+    up = []
+    for i in range(n_blocks):
+        base = f"decoder.up_blocks.{i}"
+        block = {"resnets": [resnet(f"{base}.resnets.{j}", True)
+                             for j in range(cfg.layers_per_block + 1)]}
+        if f"{base}.upsamplers.0.conv.weight" in s.sd:
+            block["upsample"] = conv(f"{base}.upsamplers.0.conv")
+        up.append(block)
+    dec = {
+        "conv_in": conv("decoder.conv_in"),
+        "mid": [resnet(f"decoder.mid_block.resnets.{j}", True) for j in range(2)],
+        "up": up,
+        "norm_out": sn("decoder.norm_out"),
+        "conv_out": conv("decoder.conv_out"),
+    }
+    return {"encoder": enc, "decoder": dec}
+
+
 def convert_vit_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) -> Dict[str, Any]:
     """timm/chefer/DINO ViT state dict -> our param pytree (models/vit.py).
     Key layout per the reference's vendored ViTs

@@ -429,6 +429,29 @@ class TestVideoPipeline:
         assert out.cross_attention_maps.shape == (2, F_LAT, H_LAT // 2, W_LAT // 2)
         assert out.video_latents.shape == (1, F_LAT, TINY["in_channels"], H_LAT, W_LAT)
 
+    def test_generate_video_decodes_pixels(self):
+        from conceptattention_tpu.models.video.vae import CogVideoXVAEConfig
+
+        cfg = CogVideoXConfig(use_rotary_positional_embeddings=True, **TINY)
+        vae_cfg = CogVideoXVAEConfig(
+            block_out_channels=(8, 16, 16),
+            latent_channels=TINY["in_channels"],
+            layers_per_block=1,
+            norm_num_groups=4,
+        )
+        pipe = VideoConceptAttentionPipeline(
+            cfg=cfg, dtype=jnp.float32, vae_cfg=vae_cfg
+        )
+        out = pipe.generate_video(
+            prompt="a dog", concepts=["dog"],
+            num_frames=F_LAT, height=H_LAT, width=W_LAT,
+            num_inference_steps=1, seed=3, decode=True,
+        )
+        # 3 latent frames -> 1 + 2*4 = 9 pixel frames; 2^(n_blocks-1) spatial
+        s = 2 ** (len(vae_cfg.block_out_channels) - 1)
+        assert out.video_frames.shape == (1 + (F_LAT - 1) * 4, H_LAT * s, W_LAT * s, 3)
+        assert out.video_frames.dtype == np.uint8
+
 
 class TestDPM:
     def test_dpm_epsilon_roundtrip_one_step(self):
