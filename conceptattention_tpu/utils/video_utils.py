@@ -77,3 +77,38 @@ def _pick_writer(fps: int):
     if animation.writers.is_available("ffmpeg"):
         return animation.FFMpegWriter(fps=fps)
     return animation.PillowWriter(fps=fps)
+
+
+def write_video(frames: np.ndarray, save_path: str, fps: int = 8) -> None:
+    """uint8 pixel frames [F, H, W, 3] -> GIF (Pillow) or, for other
+    extensions, an ffmpeg-written file when available."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.clip(frames, 0, 255).astype(np.uint8)
+    if save_path.lower().endswith(".gif"):
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            save_path, save_all=True, append_images=imgs[1:],
+            duration=int(1000 / fps), loop=0,
+        )
+        return
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import animation
+    from matplotlib import pyplot as plt
+
+    fig = plt.figure(figsize=(frames.shape[2] / 72, frames.shape[1] / 72), dpi=72)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.axis("off")
+    im = ax.imshow(frames[0])
+
+    def update(i):
+        im.set_data(frames[i])
+        return [im]
+
+    anim = animation.FuncAnimation(fig, update, frames=len(frames), blit=True)
+    anim.save(save_path, writer=_pick_writer(fps))
+    plt.close(fig)

@@ -24,6 +24,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output_dir", default="video_heatmaps")
     parser.add_argument("--tiny", action="store_true", help="tiny config smoke run")
+    parser.add_argument(
+        "--decode", action="store_true",
+        help="decode latents to pixel frames through the 3D VAE and write "
+             "video.gif next to the heatmaps",
+    )
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -43,7 +48,15 @@ def main():
     else:
         cfg = cogvideox_5b_config()
 
-    pipe = VideoConceptAttentionPipeline(cfg=cfg, dtype=jnp.bfloat16)
+    vae_cfg = None
+    if args.tiny:
+        from conceptattention_tpu.models.video.vae import CogVideoXVAEConfig
+
+        vae_cfg = CogVideoXVAEConfig(
+            block_out_channels=(8, 16), latent_channels=cfg.in_channels,
+            layers_per_block=1, norm_num_groups=4,
+        )
+    pipe = VideoConceptAttentionPipeline(cfg=cfg, dtype=jnp.bfloat16, vae_cfg=vae_cfg)
     out = pipe.generate_video(
         prompt=args.prompt,
         concepts=args.concepts,
@@ -53,6 +66,7 @@ def main():
         num_inference_steps=args.num_steps,
         guidance_scale=args.guidance_scale,
         seed=args.seed,
+        decode=args.decode,
     )
     import os
 
@@ -60,6 +74,12 @@ def main():
     path = os.path.join(args.output_dir, "concepts.gif")
     make_concept_attention_video(out.concept_heatmaps, args.concepts, path)
     print(f"wrote {path}; heatmaps {out.concept_heatmaps.shape}")
+    if args.decode:
+        from conceptattention_tpu.utils.video_utils import write_video
+
+        vpath = os.path.join(args.output_dir, "video.gif")
+        write_video(out.video_frames, vpath)
+        print(f"wrote {vpath}; frames {out.video_frames.shape}")
 
 
 if __name__ == "__main__":
