@@ -29,6 +29,7 @@ class MeshAxes:
     data: str = "data"
     model: str = "model"
     seq: str = "seq"
+    pipe: str = "pipe"
 
 
 AXES = MeshAxes()
@@ -38,14 +39,17 @@ def make_mesh(
     data: int = 1,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, seq, model) mesh. `model` should map to the fastest ICI
-    axis (innermost), `data` to the slowest/DCN."""
+    """Build a (data, pipe, seq, model) mesh. `model` should map to the
+    fastest ICI axis (innermost), `data` to the slowest/DCN; `pipe` stages
+    exchange only layer-boundary activations (parallel/pipeline.py), so it
+    sits between."""
     if devices is None:
         devices = jax.devices()
-    n = data * model * seq
+    n = data * model * seq * pipe
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(data, seq, model)
-    return Mesh(grid, (AXES.data, AXES.seq, AXES.model))
+    grid = np.asarray(devices[:n]).reshape(data, pipe, seq, model)
+    return Mesh(grid, (AXES.data, AXES.pipe, AXES.seq, AXES.model))

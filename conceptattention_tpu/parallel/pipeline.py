@@ -1,0 +1,129 @@
+"""Pipeline parallelism (pp) over a stacked layer pytree.
+
+Not present in the reference (manuragkhullar/ConceptAttention is
+single-device; SURVEY.md §2g makes multi-chip scaling this framework's
+obligation). The DiT is a stack of identical blocks applied under lax.scan —
+exactly the shape classic GPipe-style SPMD pipelining wants:
+
+  - the [depth, ...] parameter stack is split into `pipe` contiguous stages,
+    one stage resident per device along the mesh's `pipe` axis;
+  - the batch is split into microbatches; each pipeline tick every stage
+    applies its local layer chunk to one microbatch and hands the boundary
+    activation to the next stage with a single `ppermute` hop (nearest
+    neighbor on ICI — no all-to-all, no weight movement);
+  - a run of M microbatches over S stages completes in M + S - 1 ticks
+    (the classic bubble); utilization = M / (M + S - 1).
+
+The whole schedule is one jit-compiled program: the tick loop is a Python
+loop over static tick indices, so XLA sees a straight-line schedule it can
+overlap with the per-stage compute. Composes with the `data`/`model`/`seq`
+axes of parallel/mesh.py (pp exchanges only layer-boundary activations, so
+it rides the slower ICI axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:
+        return shard_map(fn, check_rep=False, **kwargs)
+
+
+def _leading(tree) -> int:
+    return jax.tree.leaves(tree)[0].shape[0]
+
+
+def pipeline_apply(
+    layer_fn: Callable[[Any, Any], Any],
+    stacked_params: Any,
+    carry: Any,
+    mesh,
+    axis: str = "pipe",
+    num_microbatches: int | None = None,
+) -> Any:
+    """Apply `depth` stacked layers to `carry` with GPipe pipelining.
+
+    layer_fn(layer_params, carry) -> carry applies ONE layer (closures may
+    capture replicated side inputs: position embeddings, modulation vectors).
+    `stacked_params` leaves are [depth, ...] with depth % n_stages == 0;
+    `carry` leaves are [batch, ...] with batch % num_microbatches == 0.
+
+    Equals `lax.scan(layer_fn, carry, stacked_params)` exactly (same layer
+    order, same microbatch-independent math) — tested in
+    tests/test_pipeline_parallel.py.
+    """
+    stages = mesh.shape[axis]
+    depth = _leading(stacked_params)
+    if depth % stages != 0:
+        raise ValueError(f"depth {depth} not divisible by {stages} pipe stages")
+    m = num_microbatches or stages
+    batch = _leading(carry)
+    if batch % m != 0:
+        raise ValueError(f"batch {batch} not divisible by {m} microbatches")
+
+    from jax.sharding import PartitionSpec as P
+
+    # Stage-major parameter layout: [stages, depth/stages, ...]; shard_map
+    # slices axis 0 so each device sees its own [1, depth/stages, ...] chunk.
+    p_staged = jax.tree.map(
+        lambda a: a.reshape(stages, depth // stages, *a.shape[1:]), stacked_params
+    )
+    # Microbatch-major carry: [m, batch/m, ...] (replicated into every stage;
+    # boundary activations are what travels, weights never move).
+    c_micro = jax.tree.map(
+        lambda a: a.reshape(m, batch // m, *a.shape[1:]), carry
+    )
+
+    def stage_body(local_p, xm):
+        local_p = jax.tree.map(lambda a: a[0], local_p)  # [depth/stages, ...]
+        idx = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % stages) for i in range(stages)]
+
+        def chunk(c):
+            def body(c, lp):
+                return layer_fn(lp, c), None
+
+            out, _ = jax.lax.scan(body, c, local_p)
+            return out
+
+        zero = jax.tree.map(lambda a: jnp.zeros_like(a[0]), xm)
+        state = zero
+        last_stage_outs = []
+        for t in range(m + stages - 1):
+            # Stage 0 injects microbatch t; later stages consume the
+            # activation handed over on the previous tick.
+            inject = jax.tree.map(lambda a: a[min(t, m - 1)], xm)
+            cur = jax.tree.map(
+                lambda i, s: jnp.where(idx == 0, i, s) if t < m else s,
+                inject, state,
+            )
+            out = chunk(cur)
+            if t >= stages - 1:  # last stage finished microbatch t-(stages-1)
+                last_stage_outs.append(out)
+            state = jax.lax.ppermute(out, axis, perm)
+        y = jax.tree.map(lambda *xs: jnp.stack(xs), *last_stage_outs)
+        # Only the last stage holds real outputs; psum of the masked stack
+        # replicates them (cheap: one hop of boundary activations).
+        mask = (idx == stages - 1).astype(jnp.float32)
+        return jax.tree.map(
+            lambda a: jax.lax.psum(a * mask.astype(a.dtype), axis), y
+        )
+
+    spec_p = jax.tree.map(lambda _: P(axis), p_staged)
+    spec_x = jax.tree.map(lambda _: P(), c_micro)
+    spec_y = jax.tree.map(lambda _: P(), c_micro)
+    y = _shard_map(stage_body, mesh, (spec_p, spec_x), spec_y)(p_staged, c_micro)
+    return jax.tree.map(lambda a: a.reshape(batch, *a.shape[2:]), y)

@@ -1,0 +1,103 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe schedule over the
+`pipe` mesh axis must equal the plain lax.scan over stacked layers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conceptattention_tpu.parallel.mesh import AXES, make_mesh
+from conceptattention_tpu.parallel.pipeline import pipeline_apply
+
+
+def _mlp_stack(key, depth, d, hidden):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": jax.random.normal(k1, (depth, d, hidden)) / d**0.5,
+        "w2": jax.random.normal(k2, (depth, hidden, d)) / hidden**0.5,
+    }
+
+
+def _mlp_layer(p, x):
+    return x + jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+
+class TestPipelineApply:
+    @pytest.mark.parametrize("stages,micro", [(4, 4), (2, 8), (4, 8)])
+    def test_matches_scan(self, stages, micro):
+        depth, b, t, d = 8, 8, 6, 16
+        params = _mlp_stack(jax.random.PRNGKey(0), depth, d, 32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d))
+
+        def body(c, lp):
+            return _mlp_layer(lp, c), None
+
+        want, _ = jax.lax.scan(body, x, params)
+
+        mesh = make_mesh(pipe=stages, model=8 // stages)
+        got = jax.jit(
+            lambda p, x: pipeline_apply(
+                _mlp_layer, p, x, mesh, axis=AXES.pipe, num_microbatches=micro
+            )
+        )(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_rejects_bad_divisibility(self):
+        mesh = make_mesh(pipe=4, model=2)
+        params = _mlp_stack(jax.random.PRNGKey(0), 6, 8, 16)  # 6 % 4 != 0
+        x = jnp.zeros((4, 2, 8))
+        with pytest.raises(ValueError, match="not divisible"):
+            pipeline_apply(_mlp_layer, params, x, mesh, num_microbatches=4)
+
+
+class TestPipelinedSingleBlocks:
+    def test_flux_single_blocks_match_scan(self):
+        """The real model stage: flux single-stream blocks pipelined over 4
+        stages equal the sequential scan (pe/vec closed over as replicated
+        side inputs)."""
+        from conceptattention_tpu.config import FluxConfig
+        from conceptattention_tpu.models.flux.blocks import single_block
+        from conceptattention_tpu.models.flux.params import init_flux_params
+
+        cfg = FluxConfig(
+            in_channels=4, vec_in_dim=8, context_in_dim=8, hidden_size=32,
+            mlp_ratio=2.0, num_heads=2, depth=1, depth_single_blocks=4,
+            axes_dim=(4, 6, 6), qkv_bias=True, guidance_embed=False,
+        )
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        stack = params["single"]
+
+        b, t = 4, 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, t, cfg.hidden_size))
+        vec = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.hidden_size))
+        from conceptattention_tpu.ops.rope import embed_nd
+
+        ids = jnp.tile(jnp.arange(t, dtype=jnp.float32)[None, :, None], (b, 1, 3))
+        pe = embed_nd(ids, cfg.axes_dim, cfg.theta)
+        hidden = int(cfg.hidden_size * cfg.mlp_ratio)
+
+        def layer(lp, c):
+            x, vec = c["x"], c["vec"]
+            out = single_block(
+                lp, x, vec, pe_for(x), cfg.num_heads, hidden
+            )
+            return {"x": out, "vec": vec}
+
+        # pe is per-position, batch-invariant here; slice to the microbatch.
+        def pe_for(x):
+            return jax.tree.map(lambda a: a[: x.shape[0]], pe)
+
+        def body(c, lp):
+            return layer(lp, c), None
+
+        want, _ = jax.lax.scan(body, {"x": x, "vec": vec}, stack)
+
+        mesh = make_mesh(pipe=4, model=2)
+        got = jax.jit(
+            lambda p, c: pipeline_apply(
+                layer, p, c, mesh, axis=AXES.pipe, num_microbatches=4
+            )
+        )(stack, {"x": x, "vec": vec})
+        np.testing.assert_allclose(
+            np.asarray(got["x"]), np.asarray(want["x"]), rtol=3e-5, atol=3e-5
+        )
