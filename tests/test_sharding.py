@@ -114,11 +114,12 @@ def test_sharded_train_step_runs_and_reduces_loss(batch):
     assert float(loss1) < float(loss0)
 
 
-def test_quantized_params_shard_and_match(batch):
+@pytest.mark.parametrize("act_quant", [False, True], ids=["w8", "w8a8"])
+def test_quantized_params_shard_and_match(batch, act_quant):
     from conceptattention_tpu.ops.quant import quantize_flux_params
 
     params = init_flux_params(jax.random.PRNGKey(0), CFG, jnp.float32)
-    qparams = quantize_flux_params(params)
+    qparams = quantize_flux_params(params, act_quant=act_quant)
     pred_single, _ = flux_forward(
         qparams, CFG,
         img=batch["img"], img_ids=batch["img_ids"],
@@ -127,7 +128,8 @@ def test_quantized_params_shard_and_match(batch):
     )
     mesh = make_mesh(data=2, model=4)
     sharded = shard_params(qparams, mesh, CFG)
-    assert sharded["double"]["img_qkv"]["w"]["q"].sharding.spec == P(
+    qk = "qa" if act_quant else "q"
+    assert sharded["double"]["img_qkv"]["w"][qk].sharding.spec == P(
         None, None, None, AXES.model, None
     )
 
