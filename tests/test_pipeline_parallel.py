@@ -42,6 +42,35 @@ class TestPipelineApply:
         )(params, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
+    def test_gradients_match_scan(self):
+        """Backprop through the GPipe schedule (ppermute transposes to the
+        reverse rotation) must equal backprop through the plain scan — the
+        property a pp'd training step rests on."""
+        depth, b, t, d = 4, 4, 3, 8
+        params = _mlp_stack(jax.random.PRNGKey(2), depth, d, 16)
+        x = jax.random.normal(jax.random.PRNGKey(3), (b, t, d))
+        mesh = make_mesh(pipe=4, model=2)
+
+        def loss_scan(p):
+            def body(c, lp):
+                return _mlp_layer(lp, c), None
+
+            y, _ = jax.lax.scan(body, x, p)
+            return jnp.sum(y**2)
+
+        def loss_pipe(p):
+            y = pipeline_apply(_mlp_layer, p, x, mesh, num_microbatches=4)
+            return jnp.sum(y**2)
+
+        g_scan = jax.grad(loss_scan)(params)
+        g_pipe = jax.jit(jax.grad(loss_pipe))(params)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=1e-4, atol=1e-5
+            ),
+            g_scan, g_pipe,
+        )
+
     def test_rejects_bad_divisibility(self):
         mesh = make_mesh(pipe=4, model=2)
         params = _mlp_stack(jax.random.PRNGKey(0), 6, 8, 16)  # 6 % 4 != 0
