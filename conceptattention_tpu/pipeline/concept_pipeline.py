@@ -292,6 +292,103 @@ class ConceptAttentionFluxPipeline:
         )
 
     # ------------------------------------------------------------------
+    def generate_images(
+        self,
+        prompts: List[str],
+        concepts: List[str],
+        width: int = 1024,
+        height: int = 1024,
+        layer_indices: Optional[Sequence[int]] = None,
+        return_pil_heatmaps: bool = True,
+        seed: int = 0,
+        num_inference_steps: int = 4,
+        guidance: float = 0.0,
+        timesteps: Optional[Sequence[int]] = None,
+        softmax: bool = True,
+        attention_norm: str = "sparsemax",
+        cmap: str = "plasma",
+        return_image_array: bool = False,
+        watermark: bool = True,
+    ) -> List[ConceptAttentionPipelineOutput]:
+        """Batched multi-prompt generation: ONE jitted denoise dispatch for
+        the whole prompt batch (the TPU serving path — bench.py measures this
+        shape at batch 8; the reference generates one prompt at a time).
+
+        All prompts share the concept set and schedule; the [B, ...] noise
+        draw gives each prompt its own initial latents. Returns one
+        `ConceptAttentionPipelineOutput` per prompt, in order.
+        """
+        b = len(prompts)
+        if b == 0:
+            return []
+        depth = self.cfg.depth
+        if layer_indices is None:
+            layer_indices = list(range(max(0, depth - 4), depth))
+        assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
+        assert height == width, "Height and width must be the same for now"
+        if timesteps is None:
+            timesteps = list(range(num_inference_steps))
+
+        noise = get_noise(
+            jax.random.PRNGKey(seed), b, height, width, self.dtype,
+            channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
+        )
+        _, _, lh, lw = noise.shape
+        schedule = get_schedule(
+            num_inference_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)
+        )
+
+        txt = self.text_encoders.encode_t5(list(prompts)).astype(self.dtype)
+        vec = self.text_encoders.encode_clip(list(prompts)).astype(self.dtype)
+        txt_ids = jnp.zeros((b, txt.shape[1], 3), dtype=jnp.float32)
+        c_emb, c_ids, c_vec = self._prepare_concepts(concepts, b)
+
+        img = pack_latents(noise)
+        img_ids = make_img_ids(lh // 2, lw // 2, b)
+
+        latents, saliency = _generate_latents(
+            self.params, self.cfg, img, img_ids, txt, txt_ids, vec,
+            c_emb, c_ids, c_vec, jnp.asarray(schedule), guidance,
+            ConceptAttentionSpec(
+                taps=("output", "cross_attention"), backend=default_backend()
+            ),
+            self.cfg.guidance_embed,
+        )
+
+        grid = (lh // 2, lw // 2)
+        concept_heatmaps = reduce_maps(
+            saliency["output"], layer_indices, timesteps, softmax, attention_norm, grid
+        )
+        cross_attention_maps = reduce_maps(
+            saliency["cross_attention"], layer_indices, timesteps, softmax,
+            attention_norm, grid,
+        )
+
+        outputs = []
+        for i in range(b):
+            image = self._decode_to_image(latents[i : i + 1], grid, return_image_array)
+            if watermark:
+                from conceptattention_tpu.utils.watermark import embed_watermark
+
+                arr = embed_watermark(np.asarray(image))
+                if return_image_array:
+                    image = arr
+                else:
+                    import PIL.Image
+
+                    image = PIL.Image.fromarray(arr)
+            outputs.append(
+                self._package_output(
+                    image,
+                    concept_heatmaps[i : i + 1],
+                    cross_attention_maps[i : i + 1],
+                    return_pil_heatmaps,
+                    cmap,
+                )
+            )
+        return outputs
+
+    # ------------------------------------------------------------------
     def encode_image(
         self,
         image,
