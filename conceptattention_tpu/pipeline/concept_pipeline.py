@@ -433,24 +433,35 @@ class ConceptAttentionFluxPipeline:
         )
         t = schedule[noise_timestep]
 
-        per_sample = []
-        for i in range(num_samples):
-            noise = get_noise(
+        # All noise samples ride ONE batched forward (the reference loops
+        # num_samples separate forwards, concept_attention_pipeline.py:318-335;
+        # batching them fills the MXU and amortizes dispatch). Noise draws are
+        # per-sample keyed exactly like the sequential loop was.
+        noises = [
+            get_noise(
                 jax.random.PRNGKey(seed + i), 1, height, width, self.dtype,
                 channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
             )
-            noised = forward_noise(z, noise, t)
-            t_vec = jnp.full((b,), t, dtype=jnp.float32)
-            saliency = _encode_forward(
-                self.params, self.cfg, pack_latents(noised), img_ids,
-                txt, txt_ids, vec, c_emb, c_ids, c_vec, t_vec,
-                ConceptAttentionSpec(
-                    taps=("output", "cross_attention"), backend=default_backend()
-                ),
-            )
-            per_sample.append(saliency)
-        # Stack samples as the "time" axis: [N, L, B, C, P]
-        saliency = jax.tree.map(lambda *xs: jnp.stack(xs), *per_sample)
+            for i in range(num_samples)
+        ]
+        noised = jnp.concatenate(
+            [forward_noise(z, n, t) for n in noises], axis=0
+        )  # [N, C, H', W']
+        n = num_samples
+        t_vec = jnp.full((n,), t, dtype=jnp.float32)
+        bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
+        saliency = _encode_forward(
+            self.params, self.cfg, pack_latents(noised),
+            make_img_ids(lh // 2, lw // 2, n),
+            bc(txt), bc(txt_ids), bc(vec), bc(c_emb), bc(c_ids), bc(c_vec), t_vec,
+            ConceptAttentionSpec(
+                taps=("output", "cross_attention"), backend=default_backend()
+            ),
+        )
+        # [L, N, C, P] -> samples as the "time" axis [N, L, 1, C, P]
+        saliency = jax.tree.map(
+            lambda a: jnp.transpose(a, (1, 0, 2, 3))[:, :, None], saliency
+        )
 
         grid = (lh // 2, lw // 2)
         concept_heatmaps = reduce_maps(

@@ -46,6 +46,31 @@ class TestBatchedGeneration:
         )
 
 
+class TestBatchedEncode:
+    def test_multi_sample_equals_mean_of_singles(self):
+        """encode_image batches all noise samples into one forward; the
+        result must equal the mean of per-sample runs (normalization is
+        per-sample, reduction is a plain mean over the sample axis)."""
+        pipe = cat.ConceptAttentionFluxPipeline("flux-tiny", dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        # Pin the VAE posterior sample: its key is derived from `seed`, which
+        # must differ between the single-sample runs below, but the latent z
+        # itself is the same real image in all three calls.
+        z_fixed = pipe._encode_pixels(img, 64, 64, seed=5)
+        pipe._encode_pixels = lambda image, h, w, seed: z_fixed
+        kw = dict(width=64, height=64, num_steps=2, noise_timestep=1,
+                  return_pil_heatmaps=False)
+        both = pipe.encode_image(img, ["cat", "sky"], num_samples=2, seed=5, **kw)
+        s0 = pipe.encode_image(img, ["cat", "sky"], num_samples=1, seed=5, **kw)
+        s1 = pipe.encode_image(img, ["cat", "sky"], num_samples=1, seed=6, **kw)
+        np.testing.assert_allclose(
+            both.concept_heatmaps,
+            (s0.concept_heatmaps + s1.concept_heatmaps) / 2,
+            atol=1e-4,
+        )
+
+
 class TestDiffusersLikePipeline:
     def test_call_with_concept_kwargs(self):
         base = cat.ConceptAttentionFluxPipeline("flux-tiny", dtype=jnp.float32)
