@@ -148,22 +148,35 @@ class FluxTapSegmentationModel(SegmentationModel):
         txt, txt_ids, vec = pipe._prepare_text(caption, 1)
         c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
 
-        maps = []
-        for i in range(self.num_samples):
-            noise = get_noise(
-                jax.random.PRNGKey(self.seed + i), 1, self.height, self.width,
-                pipe.dtype, channels=pipe.spec.ae_params.z_channels,
-                vae_factor=pipe.vae_factor,
-            )
-            noised = forward_noise(z, noise, t)
-            saliency = _encode_forward(
-                pipe.params, pipe.cfg, pack_latents(noised), img_ids,
-                txt, txt_ids, vec, c_emb, c_ids, c_vec,
-                jnp.full((b,), t, dtype=jnp.float32),
-                ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
-            )
-            maps.append(saliency[self.tap])  # [L, B, C, P]
-        stacked = jnp.stack(maps)  # [N, L, B, C, P]
+        # All noise samples in ONE batched forward (same keys as the
+        # sequential loop had; see concept_pipeline.encode_image).
+        n = self.num_samples
+        noised = jnp.concatenate(
+            [
+                forward_noise(
+                    z,
+                    get_noise(
+                        jax.random.PRNGKey(self.seed + i), 1, self.height,
+                        self.width, pipe.dtype,
+                        channels=pipe.spec.ae_params.z_channels,
+                        vae_factor=pipe.vae_factor,
+                    ),
+                    t,
+                )
+                for i in range(n)
+            ],
+            axis=0,
+        )
+        bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
+        saliency = _encode_forward(
+            pipe.params, pipe.cfg, pack_latents(noised),
+            make_img_ids(lh // 2, lw // 2, n),
+            bc(txt), bc(txt_ids), bc(vec), bc(c_emb), bc(c_ids), bc(c_vec),
+            jnp.full((n,), t, dtype=jnp.float32),
+            ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
+        )
+        # [L, N, C, P] -> [N, L, 1, C, P] (samples as the leading axis)
+        stacked = jnp.transpose(saliency[self.tap], (1, 0, 2, 3))[:, :, None]
         if self.softmax:
             stacked = apply_attention_norm(stacked, "softmax", axis=-2)
         sel = stacked[:, jnp.asarray(self.layer_indices)]
