@@ -70,36 +70,43 @@ def generate_concept_basis_and_image_representation(
     c_emb, c_ids, c_vec = pipeline._prepare_concepts(concepts, 1)
 
     img_key, con_key = _TAP_KEYS[target_space]
-    image_vecs, concept_vecs = [], []
-    for i in range(num_samples):
-        noise = get_noise(
-            jax.random.PRNGKey(seed + i), 1, height, width, pipeline.dtype,
-            channels=pipeline.spec.ae_params.z_channels,
-            vae_factor=pipeline.vae_factor,
-        )
-        noised = forward_noise(z, noise, t)
-        _, raw = flux_forward(
-            pipeline.params, pipeline.cfg,
-            img=pack_latents(noised), img_ids=img_ids,
-            txt=txt, txt_ids=txt_ids,
-            timesteps=jnp.full((b,), t, dtype=jnp.float32), y=vec,
-            guidance=jnp.zeros((b,)) if pipeline.cfg.guidance_embed else None,
-            concepts=c_emb, concept_ids=c_ids, concept_vec=c_vec,
-            stop_after_multimodal_attentions=True,
-            spec=ConceptAttentionSpec(return_raw_vectors=True),
-        )
-        iv, cv = raw[img_key], raw[con_key]
-        if iv.ndim == 5:  # [L, B, H, N, D] query vectors -> merge heads
-            l = iv.shape[0]
-            iv = jax.vmap(merge_heads)(iv.reshape(l, *iv.shape[1:]))
-            cv = jax.vmap(merge_heads)(cv.reshape(l, *cv.shape[1:]))
-        image_vecs.append(iv)
-        concept_vecs.append(cv)
+    # All noise samples in ONE batched forward (same per-sample keys the
+    # sequential loop used); the batch axis IS the sample axis downstream.
+    n = num_samples
+    noised = jnp.concatenate(
+        [
+            forward_noise(
+                z,
+                get_noise(
+                    jax.random.PRNGKey(seed + i), 1, height, width,
+                    pipeline.dtype,
+                    channels=pipeline.spec.ae_params.z_channels,
+                    vae_factor=pipeline.vae_factor,
+                ),
+                t,
+            )
+            for i in range(n)
+        ],
+        axis=0,
+    )
+    bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
+    _, raw = flux_forward(
+        pipeline.params, pipeline.cfg,
+        img=pack_latents(noised), img_ids=make_img_ids(lh // 2, lw // 2, n),
+        txt=bc(txt), txt_ids=bc(txt_ids),
+        timesteps=jnp.full((n,), t, dtype=jnp.float32), y=bc(vec),
+        guidance=jnp.zeros((n,)) if pipeline.cfg.guidance_embed else None,
+        concepts=bc(c_emb), concept_ids=bc(c_ids), concept_vec=bc(c_vec),
+        stop_after_multimodal_attentions=True,
+        spec=ConceptAttentionSpec(return_raw_vectors=True),
+    )
+    iv, cv = raw[img_key], raw[con_key]
+    if iv.ndim == 5:  # [L, N_s, H, P, D] query vectors -> merge heads
+        iv = jax.vmap(merge_heads)(iv)
+        cv = jax.vmap(merge_heads)(cv)
 
-    image_vectors = jnp.stack(image_vecs, axis=1).astype(jnp.float32)  # [L, N_s, B, P, D]
-    concept_vectors = jnp.stack(concept_vecs, axis=1).astype(jnp.float32)
-    image_vectors = image_vectors[:, :, 0]  # drop batch
-    concept_vectors = concept_vectors[:, :, 0]
+    image_vectors = iv.astype(jnp.float32)  # [L, N_s, P, D]
+    concept_vectors = cv.astype(jnp.float32)
 
     if layers is not None:
         image_vectors = image_vectors[jnp.asarray(list(layers))]
