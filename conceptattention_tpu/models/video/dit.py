@@ -220,7 +220,7 @@ def _norm_zero(p: Dict[str, Any], temb: jax.Array, hidden: jax.Array,
     """CogVideoXLayerNormZero: affine LN + 6-chunk AdaLN from temb.
 
     Returns (norm_hidden, norm_other, gate, other_gate)."""
-    mod = jax.nn.silu(temb) @ p["lin"]["w"] + p["lin"]["b"]
+    mod = _linear(jax.nn.silu(temb), p["lin"])  # quant-aware (int8 serving)
     shift, scale, gate, o_shift, o_scale, o_gate = jnp.split(mod, 6, axis=-1)
     nh = _ln(hidden, p["ln"]["w"], p["ln"]["b"], eps) * (1 + scale[:, None]) + shift[:, None]
     no = _ln(other, p["ln"]["w"], p["ln"]["b"], eps) * (1 + o_scale[:, None]) + o_shift[:, None]

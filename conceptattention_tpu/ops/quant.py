@@ -197,3 +197,15 @@ def quantize_flux_params(
     out["double"] = quantize_layer_stack(params["double"], min_size, act_quant)
     out["single"] = quantize_layer_stack(params["single"], min_size, act_quant)
     return out
+
+
+def quantize_video_dit_params(
+    params: Dict[str, Any], min_size: int = 1 << 16, act_quant: bool = False
+) -> Dict[str, Any]:
+    """CogVideoX DiT: quantize the stacked transformer blocks (every matmul
+    already routes through the quant-aware `_linear`); patch/text/time
+    embedders, norms, and the output head stay bf16. A 5b-class model drops
+    ~2x in HBM, enabling single-chip serving next to the video VAE."""
+    out = dict(params)
+    out["blocks"] = quantize_layer_stack(params["blocks"], min_size, act_quant)
+    return out

@@ -128,12 +128,19 @@ class VideoConceptAttentionPipeline:
         init_seed: int = 0,
         vae_params: Optional[Dict[str, Any]] = None,
         vae_cfg=None,
+        quantize=False,  # False | True (int8 weights) | "w8a8"
     ):
         self.cfg = cfg or CogVideoXConfig()
         self.dtype = dtype
         self.params = params or init_video_dit_params(
             jax.random.PRNGKey(init_seed), self.cfg, dtype
         )
+        if quantize:
+            from conceptattention_tpu.ops.quant import quantize_video_dit_params
+
+            self.params = quantize_video_dit_params(
+                self.params, act_quant=(quantize == "w8a8")
+            )
         self.text_encoders = text_encoders or StubTextEncoders(
             t5_dim=self.cfg.text_embed_dim, clip_dim=768,
             t5_max_length=self.cfg.max_text_seq_length,

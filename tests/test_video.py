@@ -408,6 +408,36 @@ class TestDDIM:
         np.testing.assert_allclose(np.asarray(x_prev), np.asarray(x0), rtol=1e-4, atol=1e-5)
 
 
+class TestQuantizedVideoDiT:
+    @pytest.mark.parametrize("act_quant", [False, True], ids=["w8", "w8a8"])
+    def test_quantized_forward_close_to_fp(self, act_quant):
+        from conceptattention_tpu.models.video.dit import (
+            init_video_dit_params,
+            video_dit_forward,
+        )
+        from conceptattention_tpu.ops.quant import quantize_video_dit_params
+
+        cfg = CogVideoXConfig(use_rotary_positional_embeddings=True, **TINY)
+        params = init_video_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        qparams = quantize_video_dit_params(params, min_size=1, act_quant=act_quant)
+        qk = "qa" if act_quant else "q"
+        assert qparams["blocks"]["qkv"]["w"][qk].dtype == jnp.int8
+
+        video = jax.random.normal(jax.random.PRNGKey(1), (B, F_LAT, TINY["in_channels"], H_LAT, W_LAT))
+        text = jax.random.normal(jax.random.PRNGKey(2), (B, T_LEN, TINY["text_embed_dim"]))
+        concepts = jax.random.normal(jax.random.PRNGKey(3), (B, C_TOK, TINY["text_embed_dim"]))
+        ts = jnp.asarray([500.0, 200.0])
+
+        pred_fp, sal_fp = video_dit_forward(params, cfg, video, text, ts, concepts=concepts)
+        pred_q, sal_q = video_dit_forward(qparams, cfg, video, text, ts, concepts=concepts)
+        # int8 is lossy: bounded relative error, not bit equality
+        rel = float(
+            jnp.linalg.norm(pred_q - pred_fp) / (jnp.linalg.norm(pred_fp) + 1e-9)
+        )
+        assert rel < 0.12, rel
+        assert np.isfinite(np.asarray(sal_q["output"])).all()
+
+
 class TestVideoPipeline:
     def test_generate_video_heatmaps(self):
         cfg = CogVideoXConfig(use_rotary_positional_embeddings=True, **TINY)
