@@ -53,6 +53,7 @@ def pipeline_apply(
     mesh,
     axis: str = "pipe",
     num_microbatches: int | None = None,
+    with_outputs: bool = False,
 ) -> Any:
     """Apply `depth` stacked layers to `carry` with GPipe pipelining.
 
@@ -60,6 +61,14 @@ def pipeline_apply(
     capture replicated side inputs: position embeddings, modulation vectors).
     `stacked_params` leaves are [depth, ...] with depth % n_stages == 0;
     `carry` leaves are [batch, ...] with batch % num_microbatches == 0.
+
+    With `with_outputs=True`, layer_fn returns (carry, y) per layer — the
+    lax.scan ys convention — and pipeline_apply returns (carry, ys) with ys
+    leaves stacked [depth, batch, ...]. Every y leaf must be batch-leading
+    (saliency maps are [B, C, P]); each stage keeps only the per-layer
+    outputs it computed and one all-gather over the pipe axis assembles the
+    full [depth, batch, ...] stack, so tap traffic never rides the per-tick
+    boundary hops.
 
     Equals `lax.scan(layer_fn, carry, stacked_params)` exactly (same layer
     order, same microbatch-independent math) — tested in
@@ -94,14 +103,16 @@ def pipeline_apply(
 
         def chunk(c):
             def body(c, lp):
+                if with_outputs:
+                    return layer_fn(lp, c)
                 return layer_fn(lp, c), None
 
-            out, _ = jax.lax.scan(body, c, local_p)
-            return out
+            return jax.lax.scan(body, c, local_p)
 
         zero = jax.tree.map(lambda a: jnp.zeros_like(a[0]), xm)
         state = zero
         last_stage_outs = []
+        tick_ys = []
         for t in range(m + stages - 1):
             # Stage 0 injects microbatch t; later stages consume the
             # activation handed over on the previous tick.
@@ -110,7 +121,8 @@ def pipeline_apply(
                 lambda i, s: jnp.where(idx == 0, i, s) if t < m else s,
                 inject, state,
             )
-            out = chunk(cur)
+            out, ys = chunk(cur)
+            tick_ys.append(ys)
             if t >= stages - 1:  # last stage finished microbatch t-(stages-1)
                 last_stage_outs.append(out)
             state = jax.lax.ppermute(out, axis, perm)
@@ -118,12 +130,48 @@ def pipeline_apply(
         # Only the last stage holds real outputs; psum of the masked stack
         # replicates them (cheap: one hop of boundary activations).
         mask = (idx == stages - 1).astype(jnp.float32)
-        return jax.tree.map(
+        y = jax.tree.map(
             lambda a: jax.lax.psum(a * mask.astype(a.dtype), axis), y
         )
+        if not with_outputs:
+            return y
+        # Stage `idx` computed microbatch j's local-layer outputs at tick
+        # j + idx; gather them out of the tick buffers with a masked select
+        # (tick index is static, stage index is traced).
+        def select_mb(j):
+            def leaf(*ticks):
+                acc = None
+                for s in range(stages):
+                    term = jnp.where(idx == s, ticks[j + s], jnp.zeros_like(ticks[j + s]))
+                    acc = term if acc is None else acc + term
+                return acc
+
+            return jax.tree.map(leaf, *tick_ys)
+
+        # [m, local_depth, mb, ...] per stage; leading length-1 stage axis is
+        # sharded over `pipe` in out_specs, so the return is one all-gather.
+        ys_local = jax.tree.map(lambda *xs: jnp.stack(xs)[None], *[select_mb(j) for j in range(m)])
+        return y, ys_local
 
     spec_p = jax.tree.map(lambda _: P(axis), p_staged)
     spec_x = jax.tree.map(lambda _: P(), c_micro)
     spec_y = jax.tree.map(lambda _: P(), c_micro)
+    if with_outputs:
+        # Probe output structure to build specs for ys: [stages, m, local_depth, mb, ...]
+        probe_c = jax.tree.map(lambda a: a[0], c_micro)
+        probe_p = jax.tree.map(lambda a: a[0, 0], p_staged)
+        _, y_shape = jax.eval_shape(lambda p, c: layer_fn(p, c), probe_p, probe_c)
+        spec_ys = jax.tree.map(lambda _: P(axis), y_shape)
+        y, ys = _shard_map(
+            stage_body, mesh, (spec_p, spec_x), (spec_y, spec_ys)
+        )(p_staged, c_micro)
+        carry_out = jax.tree.map(lambda a: a.reshape(batch, *a.shape[2:]), y)
+        # [stages, m, local_depth, mb, ...] -> [depth, batch, ...]
+        def assemble(a):
+            s, mm, ld, mb = a.shape[:4]
+            a = jnp.moveaxis(a, 2, 1)  # [stages, local_depth, m, mb, ...]
+            return a.reshape(s * ld, mm * mb, *a.shape[4:])
+
+        return carry_out, jax.tree.map(assemble, ys)
     y = _shard_map(stage_body, mesh, (spec_p, spec_x), spec_y)(p_staged, c_micro)
     return jax.tree.map(lambda a: a.reshape(batch, *a.shape[2:]), y)

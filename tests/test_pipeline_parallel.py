@@ -79,6 +79,98 @@ class TestPipelineApply:
             pipeline_apply(_mlp_layer, params, x, mesh, num_microbatches=4)
 
 
+class TestPipelineWithOutputs:
+    def test_mlp_ys_match_scan(self):
+        depth, b, t, d = 8, 8, 4, 8
+        params = _mlp_stack(jax.random.PRNGKey(4), depth, d, 16)
+        x = jax.random.normal(jax.random.PRNGKey(5), (b, t, d))
+
+        def layer(p, c):
+            out = _mlp_layer(p, c)
+            return out, {"tap": jnp.mean(out, axis=1)}  # [mb, d] batch-leading
+
+        want_c, want_ys = jax.lax.scan(lambda c, lp: layer(lp, c), x, params)
+
+        mesh = make_mesh(pipe=4, model=2)
+        got_c, got_ys = jax.jit(
+            lambda p, x: pipeline_apply(
+                layer, p, x, mesh, num_microbatches=4, with_outputs=True
+            )
+        )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(want_c), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ys["tap"]), np.asarray(want_ys["tap"]), rtol=2e-5, atol=2e-5
+        )
+
+    def test_double_blocks_with_saliency_match_scan(self):
+        """The real concept-attention stage: flux double-stream blocks with
+        concept saliency taps pipelined over 4 stages — both the stream carry
+        AND the per-layer [B, C, P] saliency stack must equal the scan."""
+        from conceptattention_tpu.config import FluxConfig
+        from conceptattention_tpu.models.flux.blocks import double_block
+        from conceptattention_tpu.models.flux.params import init_flux_params
+        from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+        from conceptattention_tpu.ops.rope import embed_nd
+
+        cfg = FluxConfig(
+            in_channels=4, vec_in_dim=8, context_in_dim=8, hidden_size=32,
+            mlp_ratio=2.0, num_heads=2, depth=4, depth_single_blocks=1,
+            axes_dim=(4, 6, 6), qkv_bias=True, guidance_embed=False,
+        )
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        stack = params["double"]
+        spec = ConceptAttentionSpec()
+
+        b, p_tok, t_tok, c_tok = 4, 8, 4, 3
+        keys = jax.random.split(jax.random.PRNGKey(6), 5)
+        img = jax.random.normal(keys[0], (b, p_tok, cfg.hidden_size))
+        txt = jax.random.normal(keys[1], (b, t_tok, cfg.hidden_size))
+        con = jax.random.normal(keys[2], (b, c_tok, cfg.hidden_size))
+        vec = jax.random.normal(keys[3], (b, cfg.hidden_size))
+        cvec = jax.random.normal(keys[4], (b, cfg.hidden_size))
+        ids = jnp.tile(
+            jnp.arange(t_tok + p_tok, dtype=jnp.float32)[None, :, None], (b, 1, 3)
+        )
+        pe = embed_nd(ids, cfg.axes_dim, cfg.theta)
+        cids = jnp.tile(
+            jnp.arange(c_tok + p_tok, dtype=jnp.float32)[None, :, None], (b, 1, 3)
+        )
+        cpe = embed_nd(cids, cfg.axes_dim, cfg.theta)
+
+        carry = {"img": img, "txt": txt, "con": con, "vec": vec, "cvec": cvec,
+                 "pe": pe, "cpe": cpe}
+
+        def layer(lp, c):
+            img, txt, con, sal = double_block(
+                lp, c["img"], c["txt"], c["vec"], c["pe"], cfg.num_heads,
+                concepts=c["con"], concept_vec=c["cvec"], concept_pe=c["cpe"],
+                spec=spec,
+            )
+            return {**c, "img": img, "txt": txt, "con": con}, sal
+
+        want_c, want_sal = jax.lax.scan(lambda c, lp: layer(lp, c), carry, stack)
+
+        mesh = make_mesh(pipe=4, model=2)
+        got_c, got_sal = jax.jit(
+            lambda p, c: pipeline_apply(
+                layer, p, c, mesh, axis=AXES.pipe, num_microbatches=4,
+                with_outputs=True,
+            )
+        )(stack, carry)
+        for k in ("img", "txt", "con"):
+            np.testing.assert_allclose(
+                np.asarray(got_c[k]), np.asarray(want_c[k]), rtol=3e-5, atol=3e-5
+            )
+        assert set(got_sal) == set(want_sal) == {"output", "cross_attention"}
+        for k in want_sal:
+            assert got_sal[k].shape == want_sal[k].shape  # [depth, B, C, P]
+            np.testing.assert_allclose(
+                np.asarray(got_sal[k]), np.asarray(want_sal[k]), rtol=3e-5, atol=3e-5
+            )
+
+
 class TestPipelinedSingleBlocks:
     def test_flux_single_blocks_match_scan(self):
         """The real model stage: flux single-stream blocks pipelined over 4
