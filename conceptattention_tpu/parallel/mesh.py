@@ -8,7 +8,10 @@ axes
   - `data`:  batch data-parallelism (outer axis; rides DCN across pods),
   - `model`: tensor parallelism over attention heads / MLP hidden (ICI),
   - `seq`:   optional sequence/context parallelism over image patches for
-             video-length sequences (ICI).
+             video-length sequences (ICI),
+  - `pipe`:  pipeline stages (layer chunks; nearest-neighbor boundary hops),
+  - `expert`: expert parallelism for MoE layers (parallel/moe.py; token
+             dispatch via all_to_all inside the ep group).
 
 Collectives are inserted by GSPMD from the param/activation shardings — no
 NCCL-style external backend exists or is needed.
@@ -30,6 +33,7 @@ class MeshAxes:
     model: str = "model"
     seq: str = "seq"
     pipe: str = "pipe"
+    expert: str = "expert"
 
 
 AXES = MeshAxes()
@@ -40,16 +44,18 @@ def make_mesh(
     model: int = 1,
     seq: int = 1,
     pipe: int = 1,
+    expert: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, pipe, seq, model) mesh. `model` should map to the
-    fastest ICI axis (innermost), `data` to the slowest/DCN; `pipe` stages
-    exchange only layer-boundary activations (parallel/pipeline.py), so it
-    sits between."""
+    """Build a (data, pipe, expert, seq, model) mesh. `model` should map to
+    the fastest ICI axis (innermost), `data` to the slowest/DCN; `pipe`
+    stages exchange only layer-boundary activations (parallel/pipeline.py)
+    and `expert` groups exchange routed token blocks (parallel/moe.py), so
+    they sit between."""
     if devices is None:
         devices = jax.devices()
-    n = data * model * seq * pipe
+    n = data * model * seq * pipe * expert
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(data, pipe, seq, model)
-    return Mesh(grid, (AXES.data, AXES.pipe, AXES.seq, AXES.model))
+    grid = np.asarray(devices[:n]).reshape(data, pipe, expert, seq, model)
+    return Mesh(grid, (AXES.data, AXES.pipe, AXES.expert, AXES.seq, AXES.model))
