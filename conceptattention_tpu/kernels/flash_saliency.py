@@ -69,15 +69,25 @@ def _flash_kernel(
     self_attention: bool,
     seq_len: int,
     fuse_rope: bool = False,
+    int8_qk: bool = False,
 ):
     if fuse_rope:
         (cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
-         m_scratch, l_scratch, acc_scratch, qrot_scratch) = rest
+         m_scratch, l_scratch, acc_scratch, qrot_scratch, *q8_refs) = rest
     else:
-        o_ref, m_scratch, l_scratch, acc_scratch = rest
+        o_ref, m_scratch, l_scratch, acc_scratch, *q8_refs = rest
+    if int8_qk:
+        q8_scratch, qs_scratch = q8_refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+
+    def _quantize_rows(x_f32):
+        # Per-row (per-query/key-token) symmetric int8: q/k are
+        # RMS-normalized (QKNorm) so row max-abs is well-conditioned.
+        s = jnp.max(jnp.abs(x_f32), axis=-1, keepdims=True) / 127.0
+        x8 = jnp.round(x_f32 / jnp.maximum(s, 1e-9)).astype(jnp.int8)
+        return x8, s
 
     @pl.when(ki == 0)
     def _init():
@@ -86,7 +96,16 @@ def _flash_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
         if fuse_rope:
             # rotate the q tile once per q-block, reuse across all k tiles
-            qrot_scratch[...] = _rot(q_ref[0], cosq_ref[0], sinq_ref[0])
+            qrot = _rot(q_ref[0], cosq_ref[0], sinq_ref[0])
+            qrot_scratch[...] = qrot
+            if int8_qk:
+                q8, qs = _quantize_rows(qrot.astype(jnp.float32))
+                q8_scratch[...] = q8
+                qs_scratch[...] = jnp.broadcast_to(qs, qs_scratch.shape)
+        elif int8_qk:
+            q8, qs = _quantize_rows(q_ref[0].astype(jnp.float32))
+            q8_scratch[...] = q8
+            qs_scratch[...] = jnp.broadcast_to(qs, qs_scratch.shape)
 
     if fuse_rope:
         def q_tile():
@@ -155,6 +174,16 @@ def _flash_kernel(
         )
 
     def _scores():
+        if int8_qk:
+            # int8 x int8 -> int32 on the MXU (2x bf16 peak); per-row scales
+            # restore magnitudes. k quantized per tile; q8 cached at ki == 0.
+            k8, ks = _quantize_rows(k_tile().astype(jnp.float32))
+            s32 = jax.lax.dot_general(
+                q8_scratch[...], k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * (qs_scratch[:, :1] * ks.reshape(1, -1))
+            return s * scale
         s = jax.lax.dot_general(
             q_tile(), k_tile(), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -215,7 +244,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "txt_len", "img_len", "concept_len", "cross", "self_attention",
-        "block_q", "block_k", "interpret",
+        "block_q", "block_k", "interpret", "int8_qk",
     ),
 )
 def fused_concept_flash_attention(
@@ -232,6 +261,7 @@ def fused_concept_flash_attention(
     interpret: bool = False,
     rope_cos: jax.Array = None,
     rope_sin: jax.Array = None,
+    int8_qk: bool = False,
 ) -> jax.Array:
     """Fused dual-pass attention over S = [txt | img | concept | pad].
 
@@ -243,6 +273,12 @@ def fused_concept_flash_attention(
         when given, RoPE is applied INSIDE the kernel (q once per tile row,
         k per tile) and q/k must be passed unroped; the XLA-level rotation
         and its f32 copies (~7% of a DiT step) disappear.
+      int8_qk: quantize q/k per row to int8 and compute scores as
+        int8 x int8 -> int32. Accuracy is fine (max |Δ| ~8e-3, tested), but
+        MEASURED SLOWER on v5e (29.6 vs 25.0 ms at b8 S=4608 512/1536 tiles,
+        0.845x): the per-tile quantize VPU work exceeds the MXU saving at
+        d=128 tile shapes. Kept as a tested opt-in for hardware where the
+        int8 MXU ratio is higher; not used by any default path.
 
     Returns [B, H, S, D]; padded rows are zero.
     """
@@ -265,6 +301,7 @@ def fused_concept_flash_attention(
         self_attention=self_attention,
         seq_len=s,
         fuse_rope=rope_cos is not None,
+        int8_qk=int8_qk,
     )
     # Scoped-VMEM budget: the fp32 score/prob temporaries dominate at
     # ~3 copies of [bq, bk] x 4 bytes; the default 16 MB stack limit rejects
@@ -311,6 +348,11 @@ def fused_concept_flash_attention(
         ]
         operands += [rope_cos, rope_sin, rope_cos, rope_sin]
         scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
+    if int8_qk:
+        scratch_shapes += [
+            pltpu.VMEM((block_q, d), jnp.int8),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -4,6 +4,12 @@ from conceptattention_tpu.parallel.sharding import (
     shard_params,
     activation_sharding,
 )
+from conceptattention_tpu.parallel.pipeline import pipeline_apply
+from conceptattention_tpu.parallel.moe import (
+    init_moe_params,
+    moe_mlp,
+    moe_mlp_expert_parallel,
+)
 
 __all__ = [
     "make_mesh",
@@ -11,4 +17,8 @@ __all__ = [
     "flux_param_sharding",
     "shard_params",
     "activation_sharding",
+    "pipeline_apply",
+    "init_moe_params",
+    "moe_mlp",
+    "moe_mlp_expert_parallel",
 ]

@@ -66,6 +66,40 @@ class TestFusedKernelRaw:
         # padded rows are exactly zero
         np.testing.assert_array_equal(np.asarray(out[:, :, s:]), 0.0)
 
+    def test_int8_qk_close_to_exact(self):
+        """int8-QK serving mode: per-row-quantized int8 scores (MXU int8 path)
+        stay within quantization tolerance of the exact kernel, padded rows
+        stay exactly zero, and the concept mask semantics are unchanged."""
+        key = jax.random.PRNGKey(7)
+        s = 256
+        txt, img, cpad = 32, 192, 32  # 16 real concepts + pad
+        q, k, v = make_qkv(key, s)
+        kw = dict(txt_len=txt, img_len=img, concept_len=16,
+                  block_q=64, block_k=64, interpret=True)
+        exact = fused_concept_flash_attention(q, k, v, **kw)
+        got = fused_concept_flash_attention(q, k, v, int8_qk=True, **kw)
+        diff = np.abs(np.asarray(exact) - np.asarray(got))
+        assert diff.max() < 0.05, diff.max()
+        assert diff.mean() < 0.005, diff.mean()
+        # padded concept rows are exact zeros in both
+        np.testing.assert_array_equal(np.asarray(got[:, :, txt + img + 16:]), 0.0)
+
+    def test_int8_qk_with_fused_rope(self):
+        """int8 quantization happens AFTER the in-kernel RoPE rotation; the
+        rotated-q cache and the int8 cache must agree with the exact path."""
+        key = jax.random.PRNGKey(8)
+        s = 128
+        q, k, v = make_qkv(key, s)
+        cos = jnp.ones((B, s, D), jnp.float32)
+        sin = jnp.zeros((B, s, D), jnp.float32)
+        kw = dict(txt_len=32, img_len=96, concept_len=0,
+                  block_q=32, block_k=32, interpret=True,
+                  rope_cos=cos, rope_sin=sin)
+        exact = fused_concept_flash_attention(q, k, v, **kw)
+        got = fused_concept_flash_attention(q, k, v, int8_qk=True, **kw)
+        diff = np.abs(np.asarray(exact) - np.asarray(got))
+        assert diff.max() < 0.05, diff.max()
+
     @pytest.mark.parametrize(
         "cross,self_attn", [(True, True), (True, False), (False, True)]
     )
