@@ -69,17 +69,26 @@ def _matmul1_relprop(R, q, k):
 
 def _add_relprop(R, a_in, b_in):
     """Residual-add rule: per-element S=R/Z split, then branch totals
-    rescaled to preserve sum(R) proportionally to |branch sums|."""
+    rescaled to preserve sum(R) proportionally to |branch sums|.
+
+    All sums are PER SAMPLE (axes 1..n, keepdims) — the reference engine only
+    ever sees B=1, but batched vit_relprop calls must not couple images
+    through scalar rescale factors."""
     z = a_in + b_in
     s = safe_divide(R, z)
     a = a_in * s
     b = b_in * s
-    a_sum, b_sum = a.sum(), b.sum()
+    axes = tuple(range(1, R.ndim))
+
+    def _psum(x):
+        return x.sum(axis=axes, keepdims=True)
+
+    a_sum, b_sum = _psum(a), _psum(b)
     denom = jnp.abs(a_sum) + jnp.abs(b_sum)
-    a_fact = safe_divide(jnp.abs(a_sum), denom) * R.sum()
-    b_fact = safe_divide(jnp.abs(b_sum), denom) * R.sum()
-    a = a * safe_divide(a_fact, a.sum())
-    b = b * safe_divide(b_fact, b.sum())
+    a_fact = safe_divide(jnp.abs(a_sum), denom) * _psum(R)
+    b_fact = safe_divide(jnp.abs(b_sum), denom) * _psum(R)
+    a = a * safe_divide(a_fact, _psum(a))
+    b = b * safe_divide(b_fact, _psum(b))
     return a, b
 
 

@@ -387,7 +387,9 @@ _BEST_TILES = {
 def _auto_tiles(s: int) -> Tuple[int, int]:
     """Pick (block_q, block_k) for sequence length s: known-best if measured,
     else the largest exact divisors within VMEM-safe bounds, else the generic
-    512/1024 (masked tails handle non-divisible lengths)."""
+    512/1024 (masked tails handle non-divisible lengths). Degenerate exact
+    divisors (e.g. s = 16 * prime -> bq = 16, a 16-row MXU tile) are worse
+    than masked tails, so anything below the 256/512 floor falls back."""
     if s in _BEST_TILES:
         return _BEST_TILES[s]
     bq = max(
@@ -397,6 +399,8 @@ def _auto_tiles(s: int) -> Tuple[int, int]:
         (x for x in range(128, 1537, 128) if s % x == 0 and x * bq <= 1_200_000),
         default=1024,
     )
+    if bq < 256 or bk < 512:
+        return 512, 1024
     return bq, bk
 
 

@@ -375,7 +375,6 @@ def video_dit_forward(
     text_ids = jnp.zeros((b, t_len, 3), jnp.float32)
     pe = embed_nd(jnp.concatenate([text_ids, video_ids], 1), axes, theta)
     concept_pe = None
-    cvec = None
     if has_concepts:
         concept_ids = jnp.zeros((b, concepts.shape[1], 3), jnp.float32)
         concept_pe = embed_nd(

@@ -30,16 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    try:  # jax >= 0.8 renamed check_rep -> check_vma
-        return shard_map(fn, check_vma=False, **kwargs)
-    except TypeError:
-        return shard_map(fn, check_rep=False, **kwargs)
+from conceptattention_tpu.parallel._compat import shard_map_compat as _shard_map
 
 
 def _leading(tree) -> int:

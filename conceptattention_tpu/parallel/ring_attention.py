@@ -172,10 +172,7 @@ def make_ring_concept_attention(
     sharded on S (S divisible by the mesh's `axis_name` size)."""
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
+    from conceptattention_tpu.parallel._compat import shard_map_compat
 
     spec = P(None, None, axis_name, None)
     fn = functools.partial(
@@ -187,33 +184,17 @@ def make_ring_concept_attention(
         cross=cross,
         self_attention=self_attention,
     )
-    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-    try:  # jax >= 0.8 renamed check_rep -> check_vma
-        return shard_map(fn, check_vma=False, **kwargs)
-    except TypeError:
-        return shard_map(fn, check_rep=False, **kwargs)
+    return shard_map_compat(fn, mesh, (spec, spec, spec), spec)
 
 
 def make_ring_attention(mesh, axis_name: str = "seq"):
     """shard_map-wrapped ring attention over [B, H, L, D] inputs sharded on L."""
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
+    from conceptattention_tpu.parallel._compat import shard_map_compat
 
     spec = P(None, None, axis_name, None)
-    kwargs = dict(
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    return shard_map_compat(
+        functools.partial(ring_attention, axis_name=axis_name),
+        mesh, (spec, spec, spec), spec,
     )
-    try:  # jax >= 0.8 renamed check_rep -> check_vma
-        return shard_map(
-            functools.partial(ring_attention, axis_name=axis_name),
-            check_vma=False, **kwargs,
-        )
-    except TypeError:
-        return shard_map(
-            functools.partial(ring_attention, axis_name=axis_name),
-            check_rep=False, **kwargs,
-        )

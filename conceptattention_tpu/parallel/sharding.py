@@ -96,8 +96,10 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]
     per-channel scales."""
     shardings = flux_param_sharding(mesh, cfg)
 
+    from conceptattention_tpu.ops.quant import _is_quantized
+
     def place(p, s):
-        if isinstance(p, dict) and set(p.keys()) in ({"q", "scale"}, {"qa", "scale"}):
+        if _is_quantized(p):
             qk = "q" if "q" in p else "qa"
             return {
                 qk: jax.device_put(p[qk], s),

@@ -255,6 +255,16 @@ class VideoConceptAttentionPipeline:
         def finalize(maps, extra_softmax):
             # maps: [S, C, F*P] already per-step reduced.
             if concept_timesteps is not None:
+                n_steps = maps.shape[0]
+                bad = [int(t) for t in concept_timesteps
+                       if not (0 <= int(t) < n_steps)]
+                if bad:
+                    # JAX gather clamps silently; same validation as
+                    # heatmaps.reduce_maps.
+                    raise ValueError(
+                        f"concept_timesteps {bad} out of range for "
+                        f"{n_steps} inference steps"
+                    )
                 maps = maps[jnp.asarray(concept_timesteps)]
             if extra_softmax:
                 # The reference re-softmaxes the (already softmaxed, sliced)

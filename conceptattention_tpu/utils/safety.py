@@ -39,12 +39,15 @@ def _load():
                 "models--Falconsai--nsfw_image_detection",
             )
         )
-        if not cached and os.environ.get("HF_HUB_OFFLINE") != "0":
-            # Zero-egress environments: skip the hub's multi-minute retry
-            # loop when the checkpoint isn't already cached locally.
+        offline = os.environ.get("HF_HUB_OFFLINE", "0") not in ("0", "")
+        if not cached and offline:
+            # Standard hub semantics: HF_HUB_OFFLINE=1 means no network.
+            # Skip the hub's multi-minute retry loop when the checkpoint
+            # isn't already cached locally; online environments (the
+            # default, unset) attempt the download normally.
             raise FileNotFoundError(
                 "Falconsai/nsfw_image_detection not in the local HF cache "
-                "(set HF_HUB_OFFLINE=0 to attempt a download)"
+                "and HF_HUB_OFFLINE is set"
             )
         from transformers import pipeline  # noqa: PLC0415
 

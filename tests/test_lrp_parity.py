@@ -107,3 +107,23 @@ def test_lrp_conservation_direction(jax_params, image):
     sal = np.asarray(sal)
     assert (sal >= 0).all()
     assert sal.max() > 0
+
+
+def test_batched_lrp_equals_per_image(jax_params, image):
+    """Relevance propagation must not couple images through batch-global
+    rescale factors (the residual-add rule normalizes per sample)."""
+    img0 = jnp.asarray(image.numpy())
+    img1 = img0[:, :, ::-1, :]  # a distinct second image
+    batch = jnp.concatenate([img0, img1], axis=0)
+    idx = jnp.zeros((2,), jnp.int32)
+    got = np.asarray(
+        vit_relprop(jax_params, CFG, batch, index=idx, method="full")
+    )
+    want0 = np.asarray(
+        vit_relprop(jax_params, CFG, img0, index=idx[:1], method="full")
+    )
+    want1 = np.asarray(
+        vit_relprop(jax_params, CFG, img1, index=idx[:1], method="full")
+    )
+    np.testing.assert_allclose(got[0], want0[0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got[1], want1[0], rtol=1e-4, atol=1e-6)

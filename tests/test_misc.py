@@ -99,7 +99,10 @@ class TestCLI:
 
 
 class TestSafety:
-    def test_offline_is_permissive_with_reason(self):
+    def test_offline_is_permissive_with_reason(self, monkeypatch):
+        # This environment has no egress: declare offline explicitly so the
+        # loader fast-fails instead of entering the hub's retry loop.
+        monkeypatch.setenv("HF_HUB_OFFLINE", "1")
         from conceptattention_tpu.utils import safety
 
         import PIL.Image
