@@ -5,6 +5,16 @@ Run on real hardware with N chips, or locally on a virtual CPU mesh:
       python examples/multichip_inference.py --data 2 --model 4 --tiny
 """
 
+import os as _os
+import sys as _sys
+
+# Allow running as a plain script from anywhere: put the repo root (two
+# levels up) on sys.path so `conceptattention_tpu` imports without install.
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
+
 import argparse
 
 

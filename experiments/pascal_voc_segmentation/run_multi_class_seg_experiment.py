@@ -7,6 +7,16 @@ concept vocabulary; per-pixel argmax over concept coefficient maps; mIoU over
 classes present in each image.
 """
 
+import os as _os
+import sys as _sys
+
+# Allow running as a plain script from anywhere: put the repo root (two
+# levels up) on sys.path so `conceptattention_tpu` imports without install.
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", ".."))
+)
+
+
 import argparse
 import sys
 

@@ -10,6 +10,16 @@ TPU-first: the forward pass already returns maps for ALL layers in one run
 re-running the model per layer.
 """
 
+import os as _os
+import sys as _sys
+
+# Allow running as a plain script from anywhere: put the repo root (two
+# levels up) on sys.path so `conceptattention_tpu` imports without install.
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", ".."))
+)
+
+
 import argparse
 import csv
 import sys

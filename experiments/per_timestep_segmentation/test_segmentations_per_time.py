@@ -6,6 +6,16 @@ test_segmentations_per_time.py:30-175` in the reference
 segmentation quality per noise timestep, CSV output.
 """
 
+import os as _os
+import sys as _sys
+
+# Allow running as a plain script from anywhere: put the repo root (two
+# levels up) on sys.path so `conceptattention_tpu` imports without install.
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", ".."))
+)
+
+
 import argparse
 import csv
 import sys

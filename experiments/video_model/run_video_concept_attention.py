@@ -9,6 +9,16 @@ the TPU-native video DiT (models/video/dit.py) at the configured scale;
 `--tiny` exercises the full path quickly.
 """
 
+import os as _os
+import sys as _sys
+
+# Allow running as a plain script from anywhere: put the repo root (two
+# levels up) on sys.path so `conceptattention_tpu` imports without install.
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", ".."))
+)
+
+
 import argparse
 
 
