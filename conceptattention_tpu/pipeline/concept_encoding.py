@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conceptattention_tpu.models.flux.dit import flux_forward
 from conceptattention_tpu.ops.attention import ConceptAttentionSpec, merge_heads
 from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
 from conceptattention_tpu.ops.schedule import get_schedule
@@ -60,7 +59,6 @@ def generate_concept_basis_and_image_representation(
     assert target_space in _TAP_KEYS, target_space
     z = pipeline._encode_pixels(image, height, width, seed)
     b, _, lh, lw = z.shape
-    img_ids = make_img_ids(lh // 2, lw // 2, b)
     schedule = get_schedule(
         num_steps, (lh // 2) * (lw // 2), shift=(not pipeline.is_schnell)
     )
@@ -90,15 +88,17 @@ def generate_concept_basis_and_image_representation(
         axis=0,
     )
     bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
-    _, raw = flux_forward(
+    # Reuse the pipeline's jitted encode forward (spec is static, so the
+    # raw-vector variant gets its own cached executable — an eager
+    # flux_forward here cost op-by-op dispatch every call).
+    from conceptattention_tpu.pipeline.concept_pipeline import _encode_forward
+
+    raw = _encode_forward(
         pipeline.params, pipeline.cfg,
-        img=pack_latents(noised), img_ids=make_img_ids(lh // 2, lw // 2, n),
-        txt=bc(txt), txt_ids=bc(txt_ids),
-        timesteps=jnp.full((n,), t, dtype=jnp.float32), y=bc(vec),
-        guidance=jnp.zeros((n,)) if pipeline.cfg.guidance_embed else None,
-        concepts=bc(c_emb), concept_ids=bc(c_ids), concept_vec=bc(c_vec),
-        stop_after_multimodal_attentions=True,
-        spec=ConceptAttentionSpec(return_raw_vectors=True),
+        pack_latents(noised), make_img_ids(lh // 2, lw // 2, n),
+        bc(txt), bc(txt_ids), bc(vec), bc(c_emb), bc(c_ids), bc(c_vec),
+        jnp.full((n,), t, dtype=jnp.float32),
+        ConceptAttentionSpec(return_raw_vectors=True),
     )
     iv, cv = raw[img_key], raw[con_key]
     if iv.ndim == 5:  # [L, N_s, H, P, D] query vectors -> merge heads
@@ -109,6 +109,10 @@ def generate_concept_basis_and_image_representation(
     concept_vectors = cv.astype(jnp.float32)
 
     if layers is not None:
+        n_layers = image_vectors.shape[0]
+        bad = [int(l) for l in layers if not (0 <= int(l) < n_layers)]
+        if bad:  # JAX gathers clamp silently
+            raise ValueError(f"layers {bad} out of range for {n_layers} layers")
         image_vectors = image_vectors[jnp.asarray(list(layers))]
         concept_vectors = concept_vectors[jnp.asarray(list(layers))]
     if normalize_concepts:

@@ -67,11 +67,11 @@ def _generate_latents(
     return img, saliency
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spec"))
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "stop_after"))
 def _encode_forward(
     params, cfg, img, img_ids, txt, txt_ids, vec,
     concepts, concept_ids, concept_vec, t_vec,
-    spec,
+    spec, stop_after=True,
 ):
     _, saliency = flux_forward(
         params, cfg,
@@ -79,7 +79,7 @@ def _encode_forward(
         timesteps=t_vec, y=vec,
         guidance=jnp.zeros_like(t_vec) if cfg.guidance_embed else None,
         concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
-        stop_after_multimodal_attentions=True,
+        stop_after_multimodal_attentions=stop_after,
         spec=spec,
     )
     return saliency
@@ -192,7 +192,9 @@ class ConceptAttentionFluxPipeline:
         concepts: List[str],
         width: int = 1024,
         height: int = 1024,
-        return_cross_attention: bool = False,
+        return_cross_attention: bool = False,  # reference parity: the
+        # reference asserts this False and returns cross maps regardless
+        # (concept_attention_pipeline.py:122,136,153) — we always return them
         layer_indices: Optional[Sequence[int]] = None,
         return_pil_heatmaps: bool = True,
         seed: int = 0,
@@ -204,7 +206,7 @@ class ConceptAttentionFluxPipeline:
         cmap: str = "plasma",
         return_image_array: bool = False,
         init_image=None,
-        image2image_strength: float = 0.0,
+        image2image_strength: float = 0.8,
         watermark: bool = True,  # DWT-DCT invisible watermark; the reference
         # embeds it unconditionally (image_generator.py:201) — opt-out here
     ) -> ConceptAttentionPipelineOutput:
@@ -244,7 +246,14 @@ class ConceptAttentionFluxPipeline:
             # the schedule (reference image_generator.py:148-152).
             z0 = self._encode_pixels(init_image, height, width, seed)
             t_idx = int((1.0 - image2image_strength) * num_inference_steps)
-            t_idx = min(max(t_idx, 0), num_inference_steps - 1)
+            t_idx = max(t_idx, 0)
+            if t_idx >= num_inference_steps:
+                raise ValueError(
+                    f"image2image_strength={image2image_strength} leaves no "
+                    "denoise steps (and therefore no concept saliency); use "
+                    "strength > 0, or encode_image() for heatmaps of an "
+                    "unmodified image"
+                )
             t = schedule[t_idx]
             schedule = schedule[t_idx:]
             noise = (t * noise.astype(jnp.float32) + (1.0 - t) * z0.astype(jnp.float32)).astype(noise.dtype)
@@ -457,6 +466,7 @@ class ConceptAttentionFluxPipeline:
             ConceptAttentionSpec(
                 taps=("output", "cross_attention"), backend=default_backend()
             ),
+            stop_after=stop_after_multi_modal_attentions,
         )
         # [L, N, C, P] -> samples as the "time" axis [N, L, 1, C, P]
         saliency = jax.tree.map(
@@ -494,8 +504,13 @@ class ConceptAttentionFluxPipeline:
         # Encoder stays NCHW: measured 3x faster than NHWC on TPU at 1024^2
         # (the 3-channel input conv dominates and is hostile to channel-last;
         # the decoder is the opposite case — see _vae_decode_f32).
+        # fold_in: the VAE reparameterization draw must be independent of the
+        # diffusion-noise draws, which use PRNGKey(seed [+ i]) directly — a
+        # bare PRNGKey(seed) here would make sample 0's forward noise
+        # bit-identical to the VAE noise (same shape), correlating them.
+        vae_key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
         return vae.encode(
-            self.ae_params, self.spec.ae_params, x, key=jax.random.PRNGKey(seed)
+            self.ae_params, self.spec.ae_params, x, key=vae_key
         ).astype(self.dtype)
 
     def _decode_to_image(self, latents, grid, return_array: bool):

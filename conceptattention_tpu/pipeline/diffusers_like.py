@@ -24,12 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conceptattention_tpu.models.flux.dit import flux_forward
 from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
 from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
 from conceptattention_tpu.ops.schedule import get_schedule
 from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm, heatmaps_to_pil
-from conceptattention_tpu.sampling.rectified_flow import get_noise
+from conceptattention_tpu.sampling.rectified_flow import denoise, get_noise
 
 
 @dataclasses.dataclass
@@ -44,31 +43,15 @@ def _denoise_cfg(
     neg_txt, neg_vec, concepts, concept_ids, concept_vec,
     timesteps, guidance, guidance_scale, spec, true_cfg,
 ):
-    b = img.shape[0]
-    guidance_vec = jnp.full((b,), guidance, dtype=jnp.float32)
-    ts = jnp.asarray(timesteps, dtype=jnp.float32)
-
-    def step(x, t_pair):
-        t_curr, t_prev = t_pair
-        t_vec = jnp.full((b,), t_curr, dtype=jnp.float32)
-        pred, saliency = flux_forward(
-            params, cfg, img=x, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
-            timesteps=t_vec, y=vec,
-            guidance=guidance_vec if cfg.guidance_embed else None,
-            concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
-            spec=spec,
-        )
-        if true_cfg:
-            neg_pred, _ = flux_forward(
-                params, cfg, img=x, img_ids=img_ids, txt=neg_txt, txt_ids=txt_ids,
-                timesteps=t_vec, y=neg_vec,
-                guidance=guidance_vec if cfg.guidance_embed else None,
-            )
-            pred = neg_pred + guidance_scale * (pred - neg_pred)
-        x = (x.astype(jnp.float32) + (t_prev - t_curr) * pred.astype(jnp.float32)).astype(x.dtype)
-        return x, saliency
-
-    return jax.lax.scan(step, img, (ts[:-1], ts[1:]))
+    # One Euler loop implementation for both pipelines: the CFG branch lives
+    # in sampling/rectified_flow.denoise.
+    return denoise(
+        params, cfg, img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
+        vec=vec, timesteps=timesteps, guidance=guidance,
+        concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
+        spec=spec, neg_txt=neg_txt, neg_vec=neg_vec,
+        guidance_scale=guidance_scale, true_cfg=true_cfg,
+    )
 
 
 class FluxWithConceptAttentionPipeline:
@@ -125,8 +108,21 @@ class FluxWithConceptAttentionPipeline:
         )
 
         maps = saliency["output"]  # [S, L, B, C, P]
+        # JAX gathers clamp silently; validate like heatmaps.reduce_maps.
         if map_timesteps is not None:
+            bad = [t for t in map_timesteps if not (0 <= int(t) < maps.shape[0])]
+            if bad:
+                raise ValueError(
+                    f"concept_attention_kwargs timesteps {bad} out of range "
+                    f"for {maps.shape[0]} inference steps"
+                )
             maps = maps[jnp.asarray(list(map_timesteps))]
+        bad = [l for l in layers if not (0 <= int(l) < maps.shape[1])]
+        if bad:
+            raise ValueError(
+                f"concept_attention_kwargs layers {bad} out of range for "
+                f"{maps.shape[1]} double-stream layers"
+            )
         maps = maps[:, jnp.asarray(list(layers))]
         # Diffusers-variant normalization: softmax over PATCHES (dim=-1).
         maps = apply_attention_norm(maps, "softmax", axis=-1)

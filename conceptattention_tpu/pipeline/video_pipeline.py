@@ -229,6 +229,13 @@ class VideoConceptAttentionPipeline:
             )
         if layer_indices is None:
             layer_indices = list(range(cfg.num_layers))
+        bad = [int(l) for l in layer_indices
+               if not (0 <= int(l) < cfg.num_layers)]
+        if bad:
+            # JAX gathers clamp silently inside the jitted scan.
+            raise ValueError(
+                f"layer_indices {bad} out of range for {cfg.num_layers} layers"
+            )
 
         text_cond = self._encode_text(prompt)
         text_uncond = self._encode_text(negative_prompt)

@@ -78,11 +78,18 @@ def dpm_step(
 
     h = lam_s - lam_t
     is_multistep = state.step_index > 0
+    # Lower-order-final (diffusers lower_order_final=True): at the t<0
+    # boundary the sigma clamp makes h ~ 10, so the 2M coefficient
+    # h/(2*h_prev) would extrapolate the last two x0 predictions by 2-6x,
+    # amplifying inter-step model noise straight into the output. The final
+    # step must be plain first order (x_next -> x0).
+    is_final = prev_timestep < 0
+    use_multi = jnp.logical_and(is_multistep, jnp.logical_not(is_final))
     h_prev = lam_t - state.prev_lambda
-    r = jnp.where(is_multistep, h_prev / jnp.where(h == 0, 1.0, h), 1.0)
+    r = jnp.where(use_multi, h_prev / jnp.where(h == 0, 1.0, h), 1.0)
     # 2M data combination: D = (1 + 1/(2r)) x0 - 1/(2r) x0_prev
     coef = 1.0 / (2.0 * jnp.maximum(r, 1e-6))
-    d = jnp.where(is_multistep, (1.0 + coef) * x0 - coef * state.prev_x0, x0)
+    d = jnp.where(use_multi, (1.0 + coef) * x0 - coef * state.prev_x0, x0)
 
     x = state.sample.astype(jnp.float32)
     x_next = (sigma_s / sigma_t) * x - alpha_s * jnp.expm1(-h) * d

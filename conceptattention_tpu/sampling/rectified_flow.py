@@ -112,11 +112,20 @@ def denoise(
     concept_ids: Optional[jax.Array] = None,
     concept_vec: Optional[jax.Array] = None,
     spec: ConceptAttentionSpec = ConceptAttentionSpec(),
+    neg_txt: Optional[jax.Array] = None,
+    neg_vec: Optional[jax.Array] = None,
+    guidance_scale: float = 1.0,
+    true_cfg: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Euler rectified-flow loop: x_{t_prev} = x_t + (t_prev - t_curr) * v(x_t).
 
     Args:
       timesteps: [S+1] descending schedule (1 -> 0).
+      true_cfg: run a second (negative-prompt) forward per step and combine
+        `neg + guidance_scale * (pos - neg)` — the diffusers-variant
+        classifier-free-guidance branch
+        (flux_with_concept_attention_pipeline.py:928-942). `guidance` stays
+        the embedded (distilled) guidance strength.
 
     Returns:
       (final latents [B, P, C*4], saliency dict of [S, depth, B, C, P] maps).
@@ -137,6 +146,14 @@ def denoise(
             concepts=concepts, concept_ids=concept_ids, concept_vec=concept_vec,
             spec=spec,
         )
+        if true_cfg:
+            neg_pred, _ = flux_forward(
+                params, cfg,
+                img=x, img_ids=img_ids, txt=neg_txt, txt_ids=txt_ids,
+                timesteps=t_vec, y=neg_vec,
+                guidance=guidance_vec if cfg.guidance_embed else None,
+            )
+            pred = neg_pred + guidance_scale * (pred - neg_pred)
         # Euler step with float32 accumulation (strictly more accurate than
         # the reference's bf16-in-place update).
         x = (x.astype(jnp.float32) + (t_prev - t_curr) * pred.astype(jnp.float32)).astype(x.dtype)

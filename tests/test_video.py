@@ -497,6 +497,30 @@ class TestDPM:
         # at the final boundary alpha->1, sigma->~0: recovers x0
         np.testing.assert_allclose(np.asarray(state.sample), np.asarray(x0), rtol=1e-2, atol=1e-2)
 
+    def test_dpm_final_step_ignores_history(self):
+        """Lower-order-final: at the t<0 boundary the clamped sigma makes the
+        2M coefficient explode, so the final update must be first order —
+        independent of prev_x0 (no extrapolation of inter-step noise)."""
+        from conceptattention_tpu.sampling.dpm import DPMState, dpm_step, make_dpm_schedule
+
+        s = make_dpm_schedule(4, prediction_type="epsilon")
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (1, 8))
+        eps = jax.random.normal(jax.random.PRNGKey(4), (1, 8))
+        t = s.timesteps[-1]
+
+        def final(prev_x0):
+            state = DPMState(
+                sample=x, prev_x0=prev_x0,
+                prev_lambda=jnp.asarray(1.5, jnp.float32),
+                step_index=jnp.asarray(3, jnp.int32),
+            )
+            return np.asarray(dpm_step(s, state, eps, t, t - 250).sample)
+
+        out_a = final(jnp.zeros((1, 8), jnp.float32))
+        out_b = final(100.0 * jnp.ones((1, 8), jnp.float32))
+        np.testing.assert_array_equal(out_a, out_b)
+
     def test_video_pipeline_dpm(self):
         cfg = CogVideoXConfig(use_rotary_positional_embeddings=True, **TINY)
         pipe = VideoConceptAttentionPipeline(cfg=cfg, dtype=jnp.float32)
