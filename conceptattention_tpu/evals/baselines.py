@@ -127,8 +127,10 @@ class ViTAttentionSegmentationModel(SegmentationModel):
                 return jnp.take_along_axis(lg, target[:, None], axis=-1).sum(), at
 
             grads, attns = jax.grad(score_fn, has_aux=True)(zeros)
-            # CAM-style: GAP the gradient per head, weight head-mean attention
-            weights = jnp.mean(grads[-1], axis=(2, 3), keepdims=True)
+            # CAM-style head weights: GAP the gradient over the CLS query
+            # row's PATCH entries only (reference generate_cam_attn:
+            # grad[0, :, 0, 1:].mean(dim=[1, 2])) — not the full [N, N] map.
+            weights = jnp.mean(grads[-1][:, :, 0, 1:], axis=-1)[..., None, None]
             cam_last = jax.nn.relu(jnp.mean(weights * attns[-1], axis=1))
             sal = cam_last[:, 0, 1:]
 

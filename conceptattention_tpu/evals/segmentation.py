@@ -27,10 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from conceptattention_tpu.ops.attention import ConceptAttentionSpec, default_backend
-from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
 from conceptattention_tpu.ops.schedule import get_schedule
 from conceptattention_tpu.pipeline.heatmaps import apply_attention_norm
-from conceptattention_tpu.sampling.rectified_flow import forward_noise, get_noise
 
 
 def gaussian_blur_3x3(x: np.ndarray, sigma: float = 1.0) -> np.ndarray:
@@ -128,18 +126,26 @@ class FluxTapSegmentationModel(SegmentationModel):
             if layer_indices is not None
             else list(range(pipeline.cfg.depth))
         )
+        bad = [i for i in self.layer_indices
+               if not (0 <= int(i) < pipeline.cfg.depth)]
+        if bad:  # JAX gathers clamp silently
+            raise ValueError(
+                f"layer_indices {bad} out of range for depth "
+                f"{pipeline.cfg.depth}"
+            )
         self.softmax = softmax
         self.seed = seed
         self.width = width
         self.height = height
 
     def segment_individual_image(self, image, concepts, caption, **kwargs):
-        from conceptattention_tpu.pipeline.concept_pipeline import _encode_forward
+        from conceptattention_tpu.pipeline.concept_pipeline import (
+            batched_noise_saliency,
+        )
 
         pipe = self.pipe
         z = pipe._encode_pixels(image, self.height, self.width, self.seed)
         b, _, lh, lw = z.shape
-        img_ids = make_img_ids(lh // 2, lw // 2, b)
         schedule = get_schedule(
             self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
         )
@@ -148,35 +154,14 @@ class FluxTapSegmentationModel(SegmentationModel):
         txt, txt_ids, vec = pipe._prepare_text(caption, 1)
         c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
 
-        # All noise samples in ONE batched forward (same keys as the
-        # sequential loop had; see concept_pipeline.encode_image).
-        n = self.num_samples
-        noised = jnp.concatenate(
-            [
-                forward_noise(
-                    z,
-                    get_noise(
-                        jax.random.PRNGKey(self.seed + i), 1, self.height,
-                        self.width, pipe.dtype,
-                        channels=pipe.spec.ae_params.z_channels,
-                        vae_factor=pipe.vae_factor,
-                    ),
-                    t,
-                )
-                for i in range(n)
-            ],
-            axis=0,
-        )
-        bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
-        saliency = _encode_forward(
-            pipe.params, pipe.cfg, pack_latents(noised),
-            make_img_ids(lh // 2, lw // 2, n),
-            bc(txt), bc(txt_ids), bc(vec), bc(c_emb), bc(c_ids), bc(c_vec),
-            jnp.full((n,), t, dtype=jnp.float32),
+        # Shared with concept_pipeline.encode_image: one batched forward over
+        # all noise samples, per-sample keys, samples leading in the output.
+        saliency = batched_noise_saliency(
+            pipe, z, t, self.num_samples, self.height, self.width, self.seed,
+            txt, txt_ids, vec, c_emb, c_ids, c_vec,
             ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
         )
-        # [L, N, C, P] -> [N, L, 1, C, P] (samples as the leading axis)
-        stacked = jnp.transpose(saliency[self.tap], (1, 0, 2, 3))[:, :, None]
+        stacked = saliency[self.tap]  # [N, L, 1, C, P]
         if self.softmax:
             stacked = apply_attention_norm(stacked, "softmax", axis=-2)
         sel = stacked[:, jnp.asarray(self.layer_indices)]

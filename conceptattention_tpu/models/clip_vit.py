@@ -94,11 +94,12 @@ def _qkv_split(x, p, num_heads):
     return qkv[0], qkv[1], qkv[2]
 
 
-def _block_with_cls_contrib(p, cfg: OpenCLIPVisionConfig, x):
+def _block_with_cls_contrib(p, cfg: OpenCLIPVisionConfig, x, with_contrib=True):
     """Pre-LN block forward; also returns each source token's contribution
     (summed over heads, including the out-proj bias spread as bias/(N*H) per
     (token, head) — reference transformer.py:490-515, prs_hook.py:28-38)
-    to the CLS attention output: [B, N, D]."""
+    to the CLS attention output: [B, N, D]. `with_contrib=False` skips the
+    decomposition einsum (plain forward; returns None)."""
     h_in = _ln(x, p["ln1"], cfg.ln_eps)
     q, k, v = _qkv_split(h_in, p, cfg.num_heads)
     hd = q.shape[-1]
@@ -109,16 +110,18 @@ def _block_with_cls_contrib(p, cfg: OpenCLIPVisionConfig, x):
     merged = attn.transpose(0, 2, 1, 3).reshape(b, n, cfg.width)
     attn_out = merged @ p["out"]["w"] + p["out"]["b"]
 
-    # CLS-row decomposition: contribution of source token m via head h is
-    # probs[b, h, 0, m] * v[b, h, m] @ W_O[h]; heads summed here since the
-    # TextSpan baseline only consumes the head-summed maps.
-    w_o = p["out"]["w"].reshape(cfg.num_heads, hd, cfg.width)
-    cls_contrib = jnp.einsum(
-        "bhm,bhmd,hde->bme", probs[:, :, 0, :], v, w_o,
-        preferred_element_type=jnp.float32,
-    )
-    # out_proj bias spread bias/(N*H) per (token, head) -> bias/N per token.
-    cls_contrib = cls_contrib + p["out"]["b"].astype(jnp.float32) / n
+    cls_contrib = None
+    if with_contrib:
+        # CLS-row decomposition: contribution of source token m via head h is
+        # probs[b, h, 0, m] * v[b, h, m] @ W_O[h]; heads summed here since the
+        # TextSpan baseline only consumes the head-summed maps.
+        w_o = p["out"]["w"].reshape(cfg.num_heads, hd, cfg.width)
+        cls_contrib = jnp.einsum(
+            "bhm,bhmd,hde->bme", probs[:, :, 0, :], v, w_o,
+            preferred_element_type=jnp.float32,
+        )
+        # out_proj bias spread bias/(N*H) per (token, head) -> bias/N per token.
+        cls_contrib = cls_contrib + p["out"]["b"].astype(jnp.float32) / n
 
     x = x + attn_out
     h2 = _ln(x, p["ln2"], cfg.ln_eps)
@@ -144,8 +147,23 @@ def _embed_patches(params, cfg: OpenCLIPVisionConfig, images):
 
 def encode_image(params, cfg: OpenCLIPVisionConfig, images) -> jax.Array:
     """[B, 3, H, W] -> CLS representation in the shared space [B, embed_dim]
-    (open_clip `encode_image(normalize=False)`)."""
-    rep, _ = prs_decomposition(params, cfg, images)
+    (open_clip `encode_image(normalize=False)`). Plain forward — none of the
+    per-layer PRS decomposition einsums or the fp32 contribution accumulator
+    (those live in the scan carry and would not be dead-code-eliminated)."""
+    x = _embed_patches(params, cfg, images)
+
+    def step(x, p):
+        x, _ = _block_with_cls_contrib(p, cfg, x, with_contrib=False)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, params["blocks"])
+    pooled = x[:, 0].astype(jnp.float32)
+    mean = jnp.mean(pooled, axis=-1, keepdims=True)
+    std = jnp.sqrt(jnp.var(pooled, axis=-1, keepdims=True) + cfg.ln_eps)
+    rep = (
+        (pooled - mean) / std * params["ln_post"]["scale"].astype(jnp.float32)
+        + params["ln_post"]["bias"].astype(jnp.float32)
+    ) @ params["proj"].astype(jnp.float32)
     return rep
 
 

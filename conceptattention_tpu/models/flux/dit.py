@@ -143,8 +143,12 @@ def flux_forward(
 
 
 def make_jitted_forward(cfg: FluxConfig, **static_kwargs):
-    """Convenience: a jitted forward with static config closed over."""
-    fwd = functools.partial(flux_forward, cfg=cfg, **static_kwargs)
-    return jax.jit(
-        lambda params, *args, **kwargs: fwd(params, *args, **kwargs)
-    )
+    """Convenience: a jitted forward with static config closed over.
+
+    Array inputs must be passed by KEYWORD (`fwd(params, img=..., ...)`):
+    cfg occupies the second positional slot of flux_forward, so positional
+    arrays would collide with it."""
+    def fwd(params, **kwargs):
+        return flux_forward(params, cfg=cfg, **static_kwargs, **kwargs)
+
+    return jax.jit(fwd)

@@ -108,7 +108,7 @@ def init_t5_params(key: jax.Array, cfg: T5Config, dtype=jnp.bfloat16) -> Dict[st
     inner = cfg.num_heads * cfg.d_kv
 
     def block(k):
-        ks = jax.random.split(k, 6)
+        ks = jax.random.split(k, 7)
         return {
             "ln1": jnp.ones((cfg.d_model,), dtype),
             "q": mat(ks[0], cfg.d_model, inner, scale=(cfg.d_model * cfg.d_kv) ** -0.5),
@@ -117,7 +117,8 @@ def init_t5_params(key: jax.Array, cfg: T5Config, dtype=jnp.bfloat16) -> Dict[st
             "o": mat(ks[3], inner, cfg.d_model),
             "ln2": jnp.ones((cfg.d_model,), dtype),
             "wi0": mat(ks[4], cfg.d_model, cfg.d_ff),
-            "wi1": mat(ks[4], cfg.d_model, cfg.d_ff),
+            "wi1": mat(ks[6], cfg.d_model, cfg.d_ff),  # independent of the
+            # gate branch: ks[4] on both made gelu(h@W)*(h@W) at random init
             "wo": mat(ks[5], cfg.d_ff, cfg.d_model),
         }
 

@@ -169,13 +169,16 @@ def cogvideox_pos_embedding(cfg: CogVideoXConfig) -> jax.Array:
     gh = jnp.arange(h, dtype=jnp.float32) / cfg.spatial_interpolation_scale
     gw = jnp.arange(w, dtype=jnp.float32) / cfg.spatial_interpolation_scale
     gt = jnp.arange(f, dtype=jnp.float32) / cfg.temporal_interpolation_scale
-    # meshgrid order in diffusers: grid = meshgrid(grid_w, grid_h) ->
-    # stack([grid[0], grid[1]]) with emb_h from grid[0]... the published
-    # convention: emb = [emb_h | emb_w] over a (h, w) raster, w fastest.
+    # diffusers quirk, kept for checkpoint parity: get_3d_sincos_pos_embed
+    # builds grid = meshgrid(grid_w, grid_h), and
+    # get_2d_sincos_pos_embed_from_grid puts f(grid[0]) — the W mesh,
+    # misleadingly named emb_h — in the FIRST half. The published CogVideoX-2B
+    # weights were trained against that layout, so the first spatial half must
+    # be the w-coordinate embedding (visible on the non-square 45x30 grid).
     wg, hg = jnp.meshgrid(gw, gh)  # each [h, w]
-    emb_h = _sincos_pos_embed_1d(d_s // 2, hg)  # [h*w, d_s/2]
-    emb_w = _sincos_pos_embed_1d(d_s // 2, wg)
-    spatial = jnp.concatenate([emb_h, emb_w], axis=-1)  # [h*w, d_s]
+    emb_first = _sincos_pos_embed_1d(d_s // 2, wg)  # f(w): diffusers' "emb_h"
+    emb_second = _sincos_pos_embed_1d(d_s // 2, hg)
+    spatial = jnp.concatenate([emb_first, emb_second], axis=-1)  # [h*w, d_s]
     temporal = _sincos_pos_embed_1d(d_t, gt)  # [f, d_t]
     spatial = jnp.broadcast_to(spatial[None], (f, h * w, d_s))
     temporal = jnp.broadcast_to(temporal[:, None, :], (f, h * w, d_t))

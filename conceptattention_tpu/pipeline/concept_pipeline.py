@@ -67,6 +67,50 @@ def _generate_latents(
     return img, saliency
 
 
+def batched_noise_saliency(
+    pipe, z, t, num_samples, height, width, seed,
+    txt, txt_ids, vec, c_emb, c_ids, c_vec, spec, stop_after=True,
+):
+    """Forward-noise `z` with per-sample keys PRNGKey(seed + i), run ONE
+    batched encode forward, and return the saliency dict transposed to
+    [N_samples, L, 1, C, P] (samples as the leading/"time" axis).
+
+    Shared by `encode_image` and the segmentation baselines (the reference
+    loops num_samples separate forwards, concept_attention_pipeline.py:
+    318-335; batching them fills the MXU and amortizes dispatch). The noise
+    draws are keyed exactly like the sequential loop was.
+    """
+    _, _, lh, lw = z.shape
+    noised = jnp.concatenate(
+        [
+            forward_noise(
+                z,
+                get_noise(
+                    jax.random.PRNGKey(seed + i), 1, height, width, pipe.dtype,
+                    channels=pipe.spec.ae_params.z_channels,
+                    vae_factor=pipe.vae_factor,
+                ),
+                t,
+            )
+            for i in range(num_samples)
+        ],
+        axis=0,
+    )  # [N, C, H', W']
+    n = num_samples
+    bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
+    saliency = _encode_forward(
+        pipe.params, pipe.cfg, pack_latents(noised),
+        make_img_ids(lh // 2, lw // 2, n),
+        bc(txt), bc(txt_ids), bc(vec), bc(c_emb), bc(c_ids), bc(c_vec),
+        jnp.full((n,), t, dtype=jnp.float32),
+        spec, stop_after=stop_after,
+    )
+    # [L, N, C, P] -> samples leading [N, L, 1, C, P]
+    return jax.tree.map(
+        lambda a: jnp.transpose(a, (1, 0, 2, 3))[:, :, None], saliency
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "stop_after"))
 def _encode_forward(
     params, cfg, img, img_ids, txt, txt_ids, vec,
@@ -442,35 +486,13 @@ class ConceptAttentionFluxPipeline:
         )
         t = schedule[noise_timestep]
 
-        # All noise samples ride ONE batched forward (the reference loops
-        # num_samples separate forwards, concept_attention_pipeline.py:318-335;
-        # batching them fills the MXU and amortizes dispatch). Noise draws are
-        # per-sample keyed exactly like the sequential loop was.
-        noises = [
-            get_noise(
-                jax.random.PRNGKey(seed + i), 1, height, width, self.dtype,
-                channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
-            )
-            for i in range(num_samples)
-        ]
-        noised = jnp.concatenate(
-            [forward_noise(z, n, t) for n in noises], axis=0
-        )  # [N, C, H', W']
-        n = num_samples
-        t_vec = jnp.full((n,), t, dtype=jnp.float32)
-        bc = lambda a: jnp.broadcast_to(a, (n, *a.shape[1:]))  # noqa: E731
-        saliency = _encode_forward(
-            self.params, self.cfg, pack_latents(noised),
-            make_img_ids(lh // 2, lw // 2, n),
-            bc(txt), bc(txt_ids), bc(vec), bc(c_emb), bc(c_ids), bc(c_vec), t_vec,
+        saliency = batched_noise_saliency(
+            self, z, t, num_samples, height, width, seed,
+            txt, txt_ids, vec, c_emb, c_ids, c_vec,
             ConceptAttentionSpec(
                 taps=("output", "cross_attention"), backend=default_backend()
             ),
             stop_after=stop_after_multi_modal_attentions,
-        )
-        # [L, N, C, P] -> samples as the "time" axis [N, L, 1, C, P]
-        saliency = jax.tree.map(
-            lambda a: jnp.transpose(a, (1, 0, 2, 3))[:, :, None], saliency
         )
 
         grid = (lh // 2, lw // 2)

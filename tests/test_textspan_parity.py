@@ -110,6 +110,22 @@ class TestPRSDecomposition:
             np.asarray(collapsed), ref_collapsed.numpy(), atol=1e-4, rtol=1e-4
         )
 
+    def test_encode_image_matches_prs_representation(self, jax_params):
+        """The plain (no-decomposition) forward must produce the identical
+        representation the PRS path computes."""
+        from conceptattention_tpu.models.clip_vit import (
+            encode_image, prs_decomposition,
+        )
+
+        params, vis_cfg, _ = jax_params
+        torch.manual_seed(5)
+        images = jnp.asarray(torch.randn(2, 3, 16, 16).numpy())
+        want, _ = prs_decomposition(params["visual"], vis_cfg, images)
+        got = encode_image(params["visual"], vis_cfg, images)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
     def test_text_encode(self, ref_clip, jax_params):
         from conceptattention_tpu.models.clip_vit import text_encode
 

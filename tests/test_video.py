@@ -101,7 +101,9 @@ def _pos_embedding_t(cfg):
     gw = torch.arange(w).float() / cfg.spatial_interpolation_scale
     gt = torch.arange(f).float() / cfg.temporal_interpolation_scale
     wg, hg = torch.meshgrid(gw, gh, indexing="xy")
-    spatial = torch.cat([_sincos_1d_t(d_s // 2, hg), _sincos_1d_t(d_s // 2, wg)], -1)
+    # diffusers puts f(grid[0]) = f(w-mesh) first (its "emb_h" is computed on
+    # the W mesh because grid = meshgrid(grid_w, grid_h)).
+    spatial = torch.cat([_sincos_1d_t(d_s // 2, wg), _sincos_1d_t(d_s // 2, hg)], -1)
     temporal = _sincos_1d_t(d_t, gt)
     joint = torch.cat(
         [temporal[:, None].expand(f, h * w, d_t), spatial[None].expand(f, h * w, d_s)],
@@ -334,6 +336,40 @@ def _j(x):
 
 # ----------------------------------------------------------------- tests ----
 class TestCogVideoXParity:
+    def test_pos_embed_puts_w_axis_first(self):
+        """diffusers' get_2d_sincos_pos_embed_from_grid feeds grid[0] — the W
+        mesh — into the FIRST spatial half (its 'emb_h' name is misleading);
+        the published CogVideoX-2B weights depend on that layout. On a
+        non-square grid, tokens differing only in w must differ in the first
+        half and be identical in the second half."""
+        from conceptattention_tpu.models.video.dit import (
+            CogVideoXConfig, cogvideox_pos_embedding,
+        )
+
+        cfg = CogVideoXConfig(
+            num_layers=1, num_attention_heads=2, attention_head_dim=8,
+            time_embed_dim=8, text_embed_dim=8,
+            sample_height=12, sample_width=8, sample_frames=9,
+            patch_size=2, max_text_seq_length=3, use_rotary_positional_embeddings=False,
+        )
+        pos = np.asarray(cogvideox_pos_embedding(cfg))[0]
+        t0 = cfg.max_text_seq_length  # first video token: (f=0, h=0, w=0)
+        d = cfg.hidden_size
+        d_t = d // 4
+        d_half = (d - d_t) // 2
+        w_tokens = cfg.sample_width // cfg.patch_size
+        same_h_next_w = pos[t0 + 1]
+        next_h_same_w = pos[t0 + w_tokens]
+        base = pos[t0]
+        first = slice(d_t, d_t + d_half)
+        second = slice(d_t + d_half, d)
+        # w varies -> first half changes, second half identical
+        assert np.abs(same_h_next_w[first] - base[first]).max() > 1e-3
+        np.testing.assert_array_equal(same_h_next_w[second], base[second])
+        # h varies -> second half changes, first half identical
+        np.testing.assert_array_equal(next_h_same_w[first], base[first])
+        assert np.abs(next_h_same_w[second] - base[second]).max() > 1e-3
+
     def test_forward_and_maps(self, oracle_pair, vid_inputs):
         cfg, oracle, params = oracle_pair
         r_pred, r_omaps, r_cmaps = oracle(**vid_inputs)
