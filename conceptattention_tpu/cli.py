@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--num_steps", type=int, default=None,
                    help="default: 4 (schnell) / 50 (dev)")
-    p.add_argument("--guidance", type=float, default=0.0)
+    p.add_argument("--guidance", type=float, default=None,
+                   help="default: 3.5 for guidance-distilled models "
+                        "(flux-dev, reference cli.py:61), else 0.0")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--attention_norm", default="softmax",
                    choices=["softmax", "sparsemax", "entmax15"])
@@ -98,13 +100,23 @@ def run_once(pipe, args) -> None:
 
 
 def main():
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    if args.width != args.height:
+        # the pipeline currently asserts square outputs; fail before the
+        # (multi-second) model construction rather than after
+        parser.error("--width and --height must be equal (square outputs only)")
     from conceptattention_tpu import ConceptAttentionFluxPipeline
 
     pipe = ConceptAttentionFluxPipeline(args.model_name)
+    if args.guidance is None:
+        # guidance-distilled models (flux-dev) degrade badly at guidance=0;
+        # reference cli.py defaults to 3.5
+        args.guidance = 3.5 if pipe.cfg.guidance_embed else 0.0
     if not args.loop:
         run_once(pipe, args)
         return
+    first = True
     while True:
         try:
             prompt = input("prompt> ").strip()
@@ -112,6 +124,14 @@ def main():
             break
         if prompt in ("q", "quit", "exit", ""):
             break
+        if not first:
+            # fresh seed per iteration like the reference interactive
+            # sampler (cli.py: rng-drawn opts.seed each loop)
+            import random
+
+            args.seed = random.randrange(2**31)
+            print(f"seed: {args.seed}")
+        first = False
         args.prompt = prompt
         concepts = input("concepts (space-separated)> ").strip()
         if concepts:

@@ -127,5 +127,9 @@ configs = {
         ),
         ae_params=AutoEncoderConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4),
         t5_max_length=16,
+        # never inherit the real models' AE env var: a full-size VAE
+        # checkpoint cannot load into the tiny config
+        ckpt_env_var="FLUX_TINY",
+        ae_env_var="AE_TINY",
     ),
 }

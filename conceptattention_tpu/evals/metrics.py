@@ -19,8 +19,7 @@ from typing import List, Tuple
 import numpy as np
 
 
-def batch_pix_accuracy(predict: np.ndarray, target: np.ndarray) -> Tuple[int, int]:
-    """(correct, labeled) pixel counts; inputs are integer class maps."""
+def _pix_accuracy_np(predict: np.ndarray, target: np.ndarray) -> Tuple[int, int]:
     predict = np.asarray(predict).astype(np.int64) + 1
     target = np.asarray(target).astype(np.int64) + 1
     labeled = int(np.sum(target > 0))
@@ -29,10 +28,22 @@ def batch_pix_accuracy(predict: np.ndarray, target: np.ndarray) -> Tuple[int, in
     return correct, labeled
 
 
-def batch_intersection_union(
+def batch_pix_accuracy(predict: np.ndarray, target: np.ndarray) -> Tuple[int, int]:
+    """(correct, labeled) pixel counts; inputs are integer class maps.
+
+    Delegates to the native C++ kernel (native/eval_ops.cpp) when the
+    library is built; numpy otherwise (identical counts either way —
+    tests/test_native.py)."""
+    from conceptattention_tpu import native
+
+    if native.get_lib() is not None:
+        return native.pix_acc(predict, target)
+    return _pix_accuracy_np(predict, target)
+
+
+def _intersection_union_np(
     predict: np.ndarray, target: np.ndarray, nclass: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-class (intersection, union) histograms over bins 1..nclass."""
     predict = np.asarray(predict).astype(np.int64) + 1
     target = np.asarray(target).astype(np.int64) + 1
     predict = predict * (target > 0)
@@ -43,6 +54,18 @@ def batch_intersection_union(
     area_union = area_pred + area_lab - area_inter
     assert (area_inter <= area_union).all(), "Intersection must be <= union"
     return area_inter, area_union
+
+
+def batch_intersection_union(
+    predict: np.ndarray, target: np.ndarray, nclass: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-class (intersection, union) histograms over bins 1..nclass.
+    Native C++ fast path when available (see batch_pix_accuracy)."""
+    from conceptattention_tpu import native
+
+    if native.get_lib() is not None:
+        return native.hist_iou(predict, target, nclass)
+    return _intersection_union_np(predict, target, nclass)
 
 
 def average_precision(target: np.ndarray, predict: np.ndarray) -> float:

@@ -79,7 +79,11 @@ class SegmentationModel(abc.ABC):
             )
             coefficients = np.asarray(coefficients, dtype=np.float32)
             if apply_blur:
-                coefficients = gaussian_blur_3x3(coefficients).astype(np.float32)
+                # native C++ kernel when built; numpy (gaussian_blur_3x3)
+                # otherwise — identical output (tests/test_native.py)
+                from conceptattention_tpu.native import gaussian_blur3
+
+                coefficients = gaussian_blur3(coefficients).astype(np.float32)
             if target_concepts is None:
                 mean_values = coefficients.mean(axis=(1, 2), keepdims=True)
                 all_masks.append(coefficients > mean_values)

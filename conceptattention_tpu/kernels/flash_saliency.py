@@ -311,18 +311,26 @@ def fused_concept_flash_attention(
         128 * 1024 * 1024,
         max(32 * 1024 * 1024, 6 * block_q * block_k * 4),
     )
-    try:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=vmem_limit,
-        )
-    except TypeError:  # older pallas without these fields
+    # CompilerParams was TPUCompilerParams before the pallas rename; resolve
+    # whichever exists (an AttributeError here would escape the TypeError
+    # fallbacks below).
+    _cp_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams", None
+    )
+    compiler_params = None
+    if _cp_cls is not None:
         try:
-            compiler_params = pltpu.CompilerParams(
+            compiler_params = _cp_cls(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=vmem_limit,
             )
-        except TypeError:
-            compiler_params = None
+        except TypeError:  # older pallas without these fields
+            try:
+                compiler_params = _cp_cls(
+                    dimension_semantics=("parallel", "parallel", "arbitrary"),
+                )
+            except TypeError:
+                compiler_params = None
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),

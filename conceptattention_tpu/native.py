@@ -87,7 +87,7 @@ def hist_iou(pred: np.ndarray, target: np.ndarray, nclass: int) -> Tuple[np.ndar
     if lib is None:
         from conceptattention_tpu.evals import metrics
 
-        return metrics.batch_intersection_union(pred, target, nclass)
+        return metrics._intersection_union_np(pred, target, nclass)
     p = np.ascontiguousarray(pred, dtype=np.int64).ravel()
     t = np.ascontiguousarray(target, dtype=np.int64).ravel()
     inter = np.zeros(nclass, np.int64)
@@ -101,7 +101,7 @@ def pix_acc(pred: np.ndarray, target: np.ndarray) -> Tuple[int, int]:
     if lib is None:
         from conceptattention_tpu.evals import metrics
 
-        return metrics.batch_pix_accuracy(pred, target)
+        return metrics._pix_accuracy_np(pred, target)
     p = np.ascontiguousarray(pred, dtype=np.int64).ravel()
     t = np.ascontiguousarray(target, dtype=np.int64).ravel()
     out = np.zeros(2, np.int64)
@@ -116,15 +116,19 @@ def gaussian_blur3(src: np.ndarray, sigma: float = 1.0) -> np.ndarray:
         from conceptattention_tpu.evals.segmentation import gaussian_blur_3x3
 
         return gaussian_blur_3x3(src32, sigma).astype(np.float32)
-    dst = np.empty_like(src32)
     if src32.ndim == 2:
+        dst = np.empty_like(src32)
         lib.gaussian_blur3_f32(_f32p(src32), src32.shape[0], src32.shape[1],
                                ctypes.c_float(sigma), _f32p(dst))
-    else:
-        for i in range(src32.shape[0]):
-            s = np.ascontiguousarray(src32[i])
-            d = np.empty_like(s)
-            lib.gaussian_blur3_f32(_f32p(s), s.shape[0], s.shape[1],
-                                   ctypes.c_float(sigma), _f32p(d))
-            dst[i] = d
-    return dst
+        return dst
+    # Any rank: blur over the LAST two axes (h, w); leading axes flatten to a
+    # batch (a naive per-[0] loop passed wrong dims for 4D+ inputs).
+    h, w = src32.shape[-2], src32.shape[-1]
+    flat = src32.reshape(-1, h, w)
+    dst = np.empty_like(flat)
+    for i in range(flat.shape[0]):
+        s = np.ascontiguousarray(flat[i])
+        d = np.empty_like(s)
+        lib.gaussian_blur3_f32(_f32p(s), h, w, ctypes.c_float(sigma), _f32p(d))
+        dst[i] = d
+    return dst.reshape(src32.shape)

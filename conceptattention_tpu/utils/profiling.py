@@ -26,20 +26,43 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class _PhaseHandle:
+    """Yielded by PhaseTimer.phase; register arrays PRODUCED INSIDE the block
+    so the phase's device work is billed to it: `ph.fence(latents)`."""
+
+    def __init__(self, fences):
+        self._fences = fences
+
+    def fence(self, *arrays):
+        self._fences.extend(arrays)
+
+
 class PhaseTimer:
-    """Named wall-clock phases with block_until_ready fencing."""
+    """Named wall-clock phases with block_until_ready fencing.
+
+    `fence=` (evaluated at entry) fences a pre-existing array; for arrays
+    created inside the block, call `.fence(arr)` on the yielded handle —
+    without either, a phase wrapping async dispatches records only dispatch
+    time, and a stale `fence=` array would bill a PREVIOUS phase's device
+    work to this one:
+
+        with timer.phase("denoise") as ph:
+            latents = run(...)
+            ph.fence(latents)
+    """
 
     def __init__(self):
         self.times: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def phase(self, name: str, fence: Any = None):
+        fences = [] if fence is None else [fence]
         t0 = time.perf_counter()
         try:
-            yield
+            yield _PhaseHandle(fences)
         finally:
-            if fence is not None:
-                jax.block_until_ready(fence)
+            for f in fences:
+                jax.block_until_ready(f)
             self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
 
     def report(self) -> str:

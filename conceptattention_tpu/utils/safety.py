@@ -39,7 +39,11 @@ def _load():
                 "models--Falconsai--nsfw_image_detection",
             )
         )
-        offline = os.environ.get("HF_HUB_OFFLINE", "0") not in ("0", "")
+        # huggingface_hub truthiness: only 1/ON/YES/TRUE mean offline.
+        offline = (
+            os.environ.get("HF_HUB_OFFLINE", "").upper()
+            in ("1", "ON", "YES", "TRUE")
+        )
         if not cached and offline:
             # Standard hub semantics: HF_HUB_OFFLINE=1 means no network.
             # Skip the hub's multi-minute retry loop when the checkpoint

@@ -45,7 +45,7 @@ def make_concept_attention_video(
         return ims
 
     anim = animation.FuncAnimation(fig, update, frames=f, blit=True)
-    writer = _pick_writer(fps)
+    writer, save_path = _pick_writer(fps, save_path)
     anim.save(save_path, writer=writer)
     plt.close(fig)
 
@@ -71,12 +71,23 @@ def make_individual_videos(
     return paths
 
 
-def _pick_writer(fps: int):
+def _pick_writer(fps: int, save_path: str):
+    """-> (writer, effective_path). PillowWriter can only encode GIF, so
+    without ffmpeg a non-.gif request degrades to .gif (with a notice)
+    instead of crashing after rendering every frame."""
     from matplotlib import animation
 
     if animation.writers.is_available("ffmpeg"):
-        return animation.FFMpegWriter(fps=fps)
-    return animation.PillowWriter(fps=fps)
+        return animation.FFMpegWriter(fps=fps), save_path
+    if not save_path.lower().endswith(".gif"):
+        import os
+        import sys
+
+        new_path = os.path.splitext(save_path)[0] + ".gif"
+        print(f"ffmpeg unavailable: writing {new_path} instead of "
+              f"{save_path}", file=sys.stderr)
+        save_path = new_path
+    return animation.PillowWriter(fps=fps), save_path
 
 
 def write_video(frames: np.ndarray, save_path: str, fps: int = 8) -> None:
@@ -110,5 +121,6 @@ def write_video(frames: np.ndarray, save_path: str, fps: int = 8) -> None:
         return [im]
 
     anim = animation.FuncAnimation(fig, update, frames=len(frames), blit=True)
-    anim.save(save_path, writer=_pick_writer(fps))
+    writer, save_path = _pick_writer(fps, save_path)
+    anim.save(save_path, writer=writer)
     plt.close(fig)
