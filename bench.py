@@ -109,14 +109,19 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
         )
         return jnp.sum(pixels.astype(jnp.float32))
 
-    def timed(with_concepts, backend, iters=4):
+    def timed(with_concepts, backend, iters=6):
+        # 6 iters: the heatmap-overhead number is the RATIO of two separately
+        # timed loops; at 4 iters its run-to-run spread was 0-6%.
         chk, out = run(params, img, with_concepts, backend)  # compile + warm
         float(chk)
         float(run_decode(ae_params, out))
         t0 = time.perf_counter()
         chks = []
         for i in range(iters):
-            chk, out = run(params, img * (1.0 + 1e-4 * i), with_concepts, backend)
+            # Perturbation must survive bf16 rounding (1 + 1e-4 rounds to
+            # exactly 1.0 at bf16's 2^-7 spacing, making iterations
+            # bit-identical); 1 + i/64 steps are exactly representable.
+            chk, out = run(params, img * (1.0 + i / 64.0), with_concepts, backend)
             chks.append(chk)
             chks.append(run_decode(ae_params, out))
         for c in chks:  # deferred fetch: throughput semantics, true sync

@@ -129,6 +129,46 @@ class VOCSingleClassSegmentation:
         return img, mask, VOC_CLASSES[class_idx - 1]
 
 
+class VOCMultiClassSegmentation:
+    """ALL PascalVOC split images with their full class masks and present
+    foreground class names (the reference's multi-class harness runs the full
+    VOCSegmentation split and builds each image's concept vocabulary from its
+    present classes — run_multi_class_seg_experiment.py:144-157)."""
+
+    def __init__(self, voc_root: str, split: str = "val"):
+        self.voc_root = voc_root
+        split_file = os.path.join(
+            voc_root, "ImageSets", "Segmentation", f"{split}.txt"
+        )
+        with open(split_file) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+
+    @staticmethod
+    def available(voc_root: str) -> bool:
+        return os.path.exists(os.path.join(voc_root, "ImageSets", "Segmentation"))
+
+    def _load_mask(self, image_id: str) -> np.ndarray:
+        import PIL.Image
+
+        path = os.path.join(self.voc_root, "SegmentationClass", f"{image_id}.png")
+        return np.asarray(PIL.Image.open(path))
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+        import PIL.Image
+
+        image_id = self.ids[idx]
+        img_path = os.path.join(self.voc_root, "JPEGImages", f"{image_id}.jpg")
+        img = np.asarray(PIL.Image.open(img_path).convert("RGB"))
+        mask = self._load_mask(image_id)
+        classes = np.unique(mask)
+        fg = classes[(classes > 0) & (classes < 255)]
+        present = [VOC_CLASSES[c - 1] for c in fg]
+        return img, mask, present
+
+
 def resize_mask_nearest(mask: np.ndarray, height: int, width: int) -> np.ndarray:
     h, w = mask.shape
     rows = (np.arange(height) * h // height).clip(0, h - 1)

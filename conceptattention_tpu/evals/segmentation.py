@@ -173,6 +173,35 @@ class FluxTapSegmentationModel(SegmentationModel):
         coeff = coeff.reshape(len(concepts), lh // 2, lw // 2)
         return np.asarray(coeff, dtype=np.float32), None
 
+    def per_layer_coefficients(self, image, concepts, caption) -> np.ndarray:
+        """[depth, C, h, w] coefficient maps, one per double-stream layer,
+        from ONE forward (the per-layer sweep harness consumes these a layer
+        at a time — re-running the full DiT per layer would cost depth x)."""
+        from conceptattention_tpu.pipeline.concept_pipeline import (
+            batched_noise_saliency,
+        )
+
+        pipe = self.pipe
+        z = pipe._encode_pixels(image, self.height, self.width, self.seed)
+        _, _, lh, lw = z.shape
+        schedule = get_schedule(
+            self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
+        )
+        t = schedule[self.noise_timestep]
+        txt, txt_ids, vec = pipe._prepare_text(caption, 1)
+        c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
+        saliency = batched_noise_saliency(
+            pipe, z, t, self.num_samples, self.height, self.width, self.seed,
+            txt, txt_ids, vec, c_emb, c_ids, c_vec,
+            ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
+        )
+        stacked = saliency[self.tap]  # [N, L, 1, C, P]
+        if self.softmax:
+            stacked = apply_attention_norm(stacked, "softmax", axis=-2)
+        coeff = jnp.mean(stacked, axis=(0, 2))  # [L, C, P]
+        coeff = coeff.reshape(-1, len(concepts), lh // 2, lw // 2)
+        return np.asarray(coeff, dtype=np.float32)
+
 
 def RawOutputSpaceSegmentationModel(pipeline, **kw):
     """The ConceptAttention method itself as a segmentation baseline

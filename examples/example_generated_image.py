@@ -7,8 +7,8 @@ Parity target: `example_generated_image.py:1-31` in the reference
 import os as _os
 import sys as _sys
 
-# Allow running as a plain script from anywhere: put the repo root (two
-# levels up) on sys.path so `conceptattention_tpu` imports without install.
+# Allow running as a plain script from anywhere: put the repo root (one
+# level up) on sys.path so `conceptattention_tpu` imports without install.
 _sys.path.insert(
     0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
 )

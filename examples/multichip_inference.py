@@ -8,8 +8,8 @@ Run on real hardware with N chips, or locally on a virtual CPU mesh:
 import os as _os
 import sys as _sys
 
-# Allow running as a plain script from anywhere: put the repo root (two
-# levels up) on sys.path so `conceptattention_tpu` imports without install.
+# Allow running as a plain script from anywhere: put the repo root (one
+# level up) on sys.path so `conceptattention_tpu` imports without install.
 _sys.path.insert(
     0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
 )
@@ -37,7 +37,12 @@ def main():
     from conceptattention_tpu.parallel.mesh import make_mesh
 
     n = len(jax.devices())
-    model = args.model or n // args.data
+    model = args.model if args.model is not None else n // args.data
+    if model < 1 or args.data < 1 or args.data * model > n:
+        raise SystemExit(
+            f"invalid mesh: data={args.data} model={model} needs "
+            f"{args.data * max(model, 1)} devices, have {n}"
+        )
     mesh = make_mesh(data=args.data, model=model)
     print(f"mesh: data={args.data} model={model} over {n} devices")
 

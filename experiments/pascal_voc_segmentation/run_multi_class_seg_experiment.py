@@ -2,9 +2,13 @@
 
 Parity target: `experiments/pascal_voc_segmentation/
 run_multi_class_seg_experiment.py:39-279` in the reference
-(manuragkhullar/ConceptAttention): all 20 VOC classes + background as the
-concept vocabulary; per-pixel argmax over concept coefficient maps; mIoU over
-classes present in each image.
+(manuragkhullar/ConceptAttention): the FULL VOC split (multi-class images
+included), each image's concept vocabulary = background concepts + the
+classes PRESENT in that image (reference :144-157), per-pixel argmax mapped
+back to VOC class ids (:27-35), and the reference's metric loop — per-image
+mIoU over classes with nonzero union plus running dataset-level mIoU and
+pixel accuracy (:205-233; border/ignore pixels stay 255 and score as errors,
+exactly like the reference's labels).
 """
 
 import os as _os
@@ -33,54 +37,88 @@ def main():
     parser.add_argument("--noise_timestep", type=int, default=2)
     parser.add_argument("--layers", type=int, nargs="+", default=list(range(14, 19)))
     parser.add_argument("--num_images", type=int, default=None)
+    parser.add_argument("--background_concepts", nargs="+",
+                        default=["background", "floor", "grass", "tree", "sky"])
     args = parser.parse_args()
 
     from conceptattention_tpu import ConceptAttentionFluxPipeline
     from conceptattention_tpu.evals.datasets import (
         VOC_CLASSES,
-        VOCSingleClassSegmentation,
+        VOCMultiClassSegmentation,
         resize_mask_nearest,
     )
-    from conceptattention_tpu.evals.metrics import batch_intersection_union
+    from conceptattention_tpu.evals.metrics import batch_pix_accuracy
     from conceptattention_tpu.evals.segmentation import FluxMultiClassSegmentationModel
     from conceptattention_tpu.utils.plotting import upsample_nearest
 
-    if not VOCSingleClassSegmentation.available(args.voc_root):
+    if not VOCMultiClassSegmentation.available(args.voc_root):
         print(f"VOC dataset not found at {args.voc_root}", file=sys.stderr)
         sys.exit(2)
 
-    dataset = VOCSingleClassSegmentation(args.voc_root)
+    dataset = VOCMultiClassSegmentation(args.voc_root)
     pipe = ConceptAttentionFluxPipeline(args.model_name)
     model = FluxMultiClassSegmentationModel(
         pipe, tap="output", num_steps=args.num_steps,
         noise_timestep=args.noise_timestep, layer_indices=args.layers,
         width=args.width, height=args.width,
     )
-    concepts = ["background"] + list(VOC_CLASSES)
-    nclass = len(concepts)
+    bg = list(args.background_concepts)
+    n_voc = len(VOC_CLASSES) + 1  # 21 incl. background
 
-    total_inter = np.zeros(nclass)
-    total_union = np.zeros(nclass)
+    total_inter = np.zeros(n_voc)
+    total_union = np.zeros(n_voc)
+    total_correct = 0
+    total_label = 0
     n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
+    done = 0
     for i in range(n):
-        image, gt_mask, _ = dataset[i]
-        pred_tokens, _ = model.segment_multi_class(image, concepts, "")
+        image, gt_mask, present = dataset[i]
+        if not present:  # background-only image: nothing to segment
+            continue
+        done += 1
+        # Concepts = background concepts then THIS image's present classes
+        # (reference :177: "Must be background then present classes").
+        concepts = bg + present
+        caption = ",".join(f"a {c}" for c in present)
+        pred_tokens, _ = model.segment_multi_class(image, concepts, caption)
         pred = upsample_nearest(
             pred_tokens.astype(np.float64), args.label_size, args.label_size
         ).astype(np.int64)
+        # Map argmax indices back to VOC ids: any background concept -> 0,
+        # present-class slots -> their VOC class index (reference :27-35).
+        remapped = np.zeros_like(pred)
+        for j, cname in enumerate(present):
+            remapped[pred == len(bg) + j] = VOC_CLASSES.index(cname) + 1
+        # Labels keep the 255 ignore/border pixels — the reference scores
+        # them (never matched by any class prediction).
         label = resize_mask_nearest(
-            np.where(gt_mask == 255, 0, gt_mask).astype(np.int64),
-            args.label_size, args.label_size,
+            gt_mask.astype(np.int64), args.label_size, args.label_size
         )
-        inter, union = batch_intersection_union(pred, label, nclass=nclass)
-        total_inter += inter
-        total_union += union
-        present = total_union > 0
-        miou = float(np.mean(total_inter[present] / total_union[present]))
-        print(f"[{i+1}/{n}] mIoU {miou:.4f}", flush=True)
 
-    present = total_union > 0
-    print(f"FINAL mIoU {float(np.mean(total_inter[present] / total_union[present])):.4f}")
+        correct, labeled = batch_pix_accuracy(remapped, label)
+        total_correct += correct
+        total_label += labeled
+        img_miou, img_classes = 0.0, 0
+        for c in range(n_voc):
+            inter = int(np.sum((remapped == c) & (label == c)))
+            union = int(np.sum((remapped == c) | (label == c)))
+            total_inter[c] += inter
+            total_union[c] += union
+            if union == 0:
+                continue
+            img_classes += 1
+            img_miou += inter / union
+        img_miou /= img_classes + 1e-6
+
+        nz = total_union > 0
+        run_miou = float(np.mean(total_inter[nz] / total_union[nz]))
+        pix_acc = total_correct / (total_label + 1e-6)
+        print(f"[{done}] {dataset.ids[i]}: img mIoU {img_miou:.4f} "
+              f"running mIoU {run_miou:.4f} pixAcc {pix_acc:.4f}", flush=True)
+
+    nz = total_union > 0
+    print(f"FINAL mIoU {float(np.mean(total_inter[nz] / total_union[nz])):.4f} "
+          f"pixAcc {total_correct / (total_label + 1e-6):.4f}")
 
 
 if __name__ == "__main__":

@@ -54,8 +54,8 @@ def main():
     pipe = ConceptAttentionFluxPipeline(args.model_name)
     depth = pipe.cfg.depth
 
-    # One model per layer shares the same underlying forward; coefficients per
-    # layer come from a single segment_individual_image call with layer slicing.
+    # One forward per image (per_layer_coefficients) yields all layers' maps;
+    # the layer loop below only thresholds and scores.
     stats = {l: dict(correct=0, labeled=0, inter=np.zeros(2), union=np.zeros(2)) for l in range(depth)}
 
     n = min(args.num_images, len(dataset))
@@ -67,20 +67,19 @@ def main():
         image, gt_mask, name = dataset[i]
         target = name.split("_")[0].replace("-", " ")
         concepts = [target, "background", "floor", "sky"]
+        # ONE forward yields every layer's maps; the per-layer loop only
+        # thresholds and scores.
+        coeffs = base_model.per_layer_coefficients(image, concepts, target)
+        label = (
+            upsample_nearest(
+                (gt_mask > 0).astype(np.float64), args.label_size, args.label_size
+            ) > 0.5
+        ).astype(np.int64)
         for layer in range(depth):
-            base_model.layer_indices = [layer]
-            masks, _, _ = base_model(
-                [image], target_concepts=[target], concepts=concepts, captions=[target]
-            )
-            label = (
-                upsample_nearest(
-                    (gt_mask > 0).astype(np.float64), args.label_size, args.label_size
-                ) > 0.5
-            ).astype(np.int64)
+            cmap = coeffs[layer, 0]  # target concept is index 0
+            mask = (cmap > cmap.mean()).astype(np.float64)
             pred = (
-                upsample_nearest(
-                    masks[0].astype(np.float64), args.label_size, args.label_size
-                ) > 0.5
+                upsample_nearest(mask, args.label_size, args.label_size) > 0.5
             ).astype(np.int64)
             c, lab = batch_pix_accuracy(pred, label)
             inter, union = batch_intersection_union(pred, label, 2)

@@ -44,8 +44,13 @@ def main():
     from conceptattention_tpu.utils.plotting import plot_concept_heatmaps
 
     image = np.asarray(PIL.Image.open(args.image).convert("RGB"))
-    pipe = ConceptAttentionFluxPipeline(args.model_name)
     target = args.target or args.concepts[0]
+    if target not in args.concepts:
+        # validate before the (minutes-long) model forwards run
+        raise SystemExit(
+            f"--target {target!r} is not one of --concepts {args.concepts}"
+        )
+    pipe = ConceptAttentionFluxPipeline(args.model_name)
 
     methods = {
         "concept_attention": FluxTapSegmentationModel(
