@@ -25,12 +25,17 @@ def build_demo(model_name: str = "flux-schnell"):
     from conceptattention_tpu import ConceptAttentionFluxPipeline
 
     pipe = ConceptAttentionFluxPipeline(model_name)
+    # Model-aware defaults: guidance-distilled (flux-dev) wants ~3.5 / 50
+    # steps; schnell 0.0 / 4 (reference demo + cli defaults).
+    default_guidance = 3.5 if pipe.cfg.guidance_embed else 0.0
+    default_steps = 50 if pipe.cfg.guidance_embed else 4
 
-    def generate(prompt, concepts_text, width, height, steps, seed, norm):
+    def generate(prompt, concepts_text, size, steps, guidance, seed, norm):
         concepts = [c.strip() for c in concepts_text.split(",") if c.strip()]
         out = pipe.generate_image(
-            prompt=prompt, concepts=concepts, width=int(width), height=int(height),
-            num_inference_steps=int(steps), seed=int(seed),
+            prompt=prompt, concepts=concepts, width=int(size), height=int(size),
+            num_inference_steps=int(steps), guidance=float(guidance),
+            seed=int(seed),
             softmax=(norm == "softmax"), attention_norm=norm,
         )
         gallery = list(zip(out.concept_heatmaps, concepts))
@@ -42,9 +47,11 @@ def build_demo(model_name: str = "flux-schnell"):
             with gr.Column():
                 prompt = gr.Textbox(label="Prompt", value="A dragon standing on a rock")
                 concepts = gr.Textbox(label="Concepts (comma-separated)", value="dragon, rock, sky")
-                width = gr.Slider(256, 1024, value=1024, step=64, label="Width")
-                height = gr.Slider(256, 1024, value=1024, step=64, label="Height")
-                steps = gr.Slider(1, 50, value=4, step=1, label="Steps")
+                # single size control: the pipeline requires square outputs
+                size = gr.Slider(256, 1024, value=1024, step=64, label="Size (square)")
+                steps = gr.Slider(1, 50, value=default_steps, step=1, label="Steps")
+                guidance = gr.Slider(0.0, 10.0, value=default_guidance, step=0.5,
+                                     label="Guidance (distilled models)")
                 seed = gr.Number(value=0, label="Seed")
                 norm = gr.Radio(["softmax", "sparsemax", "entmax15"], value="softmax",
                                 label="Heatmap normalization")
@@ -52,7 +59,7 @@ def build_demo(model_name: str = "flux-schnell"):
             with gr.Column():
                 image = gr.Image(label="Generated image")
                 heatmaps = gr.Gallery(label="Concept heatmaps")
-        btn.click(generate, [prompt, concepts, width, height, steps, seed, norm],
+        btn.click(generate, [prompt, concepts, size, steps, guidance, seed, norm],
                   [image, heatmaps])
     return demo
 

@@ -52,11 +52,13 @@ def main():
             h, w = init_image.shape[:2]
             st.write(f"Got image of size {w}x{h} ({h * w / 1e6:.2f}MP)")
         strength = st.number_input(
-            "Noising strength", min_value=0.0, max_value=1.0, value=0.8
+            # strength 0 would leave no denoise steps (generate_image raises)
+            "Noising strength", min_value=0.05, max_value=1.0, value=0.8
         )
 
-    width = 16 * (st.number_input("Width", min_value=128, value=1024, step=16) // 16)
-    height = 16 * (st.number_input("Height", min_value=128, value=1024, step=16) // 16)
+    # One size control: the pipeline requires square outputs.
+    size = 16 * (st.number_input("Size (square)", min_value=128, value=1024, step=16) // 16)
+    width = height = size
     num_steps = int(
         st.number_input("Number of steps", min_value=1, value=(4 if is_schnell else 50))
     )

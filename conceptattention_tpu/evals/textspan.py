@@ -179,12 +179,25 @@ class CLIPTextSpanSegmentationModel(SegmentationModel):
         self.embed_proj = embed_proj
 
     def _text_embedding(self, concept: str) -> np.ndarray:
-        embs = [
-            np.asarray(self.text_encoders.encode_clip([t.format(concept)])[0])
-            for t in PROMPT_TEMPLATES
-        ]
+        if not hasattr(self, "_text_cache"):
+            self._text_cache = {}
+        if concept in self._text_cache:
+            return self._text_cache[concept]
+        # One batched encode for all 80 templates (80 sequential single-prompt
+        # dispatches cost ~30-90 ms each on the TPU plugin).
+        embs = np.asarray(
+            self.text_encoders.encode_clip(
+                [t.format(concept) for t in PROMPT_TEMPLATES]
+            ),
+            np.float32,
+        )
+        # Reference protocol (clip_text_span_baseline.py:44-56): normalize
+        # each template embedding, mean, renormalize.
+        embs = embs / (np.linalg.norm(embs, axis=-1, keepdims=True) + 1e-8)
         e = np.mean(embs, axis=0)
-        return e / (np.linalg.norm(e) + 1e-8)
+        e = e / (np.linalg.norm(e) + 1e-8)
+        self._text_cache[concept] = e
+        return e
 
     def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):
         x = _preprocess(image, self.cfg.image_size)
@@ -229,14 +242,19 @@ class OpenCLIPTextSpanSegmentationModel(SegmentationModel):
 
     def _concept_vectors(self, concepts: List[str]) -> np.ndarray:
         """[embed_dim, C]: per-template-normalized mean, renormalized
-        (reference clip_text_span_baseline.py:44-56)."""
+        (reference clip_text_span_baseline.py:44-56). Cached per concept —
+        the eval loop reuses the same vocabulary for every image."""
+        if not hasattr(self, "_concept_cache"):
+            self._concept_cache = {}
         cols = []
         for concept in concepts:
-            ids = self.tokenize([t.format(concept) for t in PROMPT_TEMPLATES])
-            emb = np.asarray(self._encode_text(jnp.asarray(ids)), np.float32)
-            emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
-            e = emb.mean(axis=0)
-            cols.append(e / (np.linalg.norm(e) + 1e-8))
+            if concept not in self._concept_cache:
+                ids = self.tokenize([t.format(concept) for t in PROMPT_TEMPLATES])
+                emb = np.asarray(self._encode_text(jnp.asarray(ids)), np.float32)
+                emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+                e = emb.mean(axis=0)
+                self._concept_cache[concept] = e / (np.linalg.norm(e) + 1e-8)
+            cols.append(self._concept_cache[concept])
         return np.stack(cols, axis=1)
 
     def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):

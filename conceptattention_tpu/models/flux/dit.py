@@ -57,6 +57,7 @@ def flux_forward(
     concept_vec: Optional[jax.Array] = None,
     stop_after_multimodal_attentions: bool = False,
     spec: ConceptAttentionSpec = ConceptAttentionSpec(),
+    remat: bool = False,
 ) -> Tuple[Optional[jax.Array], Dict[str, jax.Array]]:
     """Run the DiT.
 
@@ -117,6 +118,11 @@ def flux_forward(
         )
         return (img, txt, concepts), saliency
 
+    if remat:
+        # Rematerialize per layer under grad: backward recomputes each block's
+        # activations from its boundary carry instead of saving every
+        # intermediate of all depth layers (training/train_step.py sets this).
+        double_step = jax.checkpoint(double_step)
     (img, txt, concepts), saliency = jax.lax.scan(
         double_step, (img, txt, concepts), params["double"]
     )
@@ -136,6 +142,8 @@ def flux_forward(
             None,
         )
 
+    if remat:
+        single_step = jax.checkpoint(single_step)
     x, _ = jax.lax.scan(single_step, x, params["single"])
     x = x[:, txt.shape[1] :]
     pred = last_layer(params["final"], x, vec)

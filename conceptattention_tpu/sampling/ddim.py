@@ -37,7 +37,14 @@ def make_ddim_schedule(
     beta_schedule: str = "scaled_linear",
     prediction_type: str = "v_prediction",
     set_alpha_to_one: bool = True,
+    snr_shift_scale: float = 3.0,
+    rescale_betas_zero_snr: bool = True,
 ) -> DDIMSchedule:
+    """Defaults match the published CogVideoX scheduler configs
+    (snr_shift_scale=3.0, rescale_betas_zero_snr=True) — real checkpoints
+    were trained against the SHIFTED noise levels, so omitting the transform
+    queries the model off-distribution. Pass snr_shift_scale=1.0,
+    rescale_betas_zero_snr=False for a plain Song-et-al DDIM table."""
     if beta_schedule == "scaled_linear":
         betas = (
             np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps) ** 2
@@ -47,6 +54,20 @@ def make_ddim_schedule(
     else:
         raise ValueError(beta_schedule)
     alphas_cumprod = np.cumprod(1.0 - betas)
+
+    # SNR shift (diffusers CogVideoXDDIMScheduler.__init__):
+    # a_c <- a_c / (s + (1 - s) * a_c).
+    if snr_shift_scale != 1.0:
+        alphas_cumprod = alphas_cumprod / (
+            snr_shift_scale + (1.0 - snr_shift_scale) * alphas_cumprod
+        )
+    # Zero terminal SNR (Lin et al. 2023, diffusers rescale_zero_terminal_snr):
+    # shift/scale sqrt(a_c) so the last step is pure noise.
+    if rescale_betas_zero_snr:
+        s = np.sqrt(alphas_cumprod)
+        s0, sT = s[0], s[-1]
+        s = (s - sT) * (s0 / (s0 - sT))
+        alphas_cumprod = s**2
 
     step_ratio = num_train_timesteps // num_inference_steps
     timesteps = (np.arange(num_inference_steps) * step_ratio).round()[::-1].astype(np.int32)
@@ -66,8 +87,11 @@ def ddim_step(
     prev_timestep: jax.Array,
     sample: jax.Array,
     eta: float = 0.0,
+    key: jax.Array = None,
 ) -> jax.Array:
-    """One deterministic DDIM update (eta=0). All inputs may be traced."""
+    """One DDIM update. eta=0 (default) is deterministic; eta>0 adds the
+    Song-et-al stochastic variance term and requires a PRNG `key`. All array
+    inputs may be traced."""
     a_t = sched.alphas_cumprod[timestep]
     a_prev = jnp.where(
         prev_timestep >= 0,
@@ -88,6 +112,18 @@ def ddim_step(
     else:
         raise ValueError(sched.prediction_type)
 
+    if eta > 0.0:
+        if key is None:
+            raise ValueError("ddim_step with eta > 0 requires a PRNG key")
+        # sigma_t^2 = eta^2 (1-a_prev)/(1-a_t) (1 - a_t/a_prev)
+        var = (1.0 - a_prev) / jnp.maximum(1.0 - a_t, 1e-12) * (
+            1.0 - a_t / jnp.maximum(a_prev, 1e-12)
+        )
+        sigma = eta * jnp.sqrt(jnp.maximum(var, 0.0))
+        dir_coef = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
+        noise = jax.random.normal(key, sample.shape, jnp.float32)
+        prev = jnp.sqrt(a_prev) * pred_x0 + dir_coef * pred_eps + sigma * noise
+        return prev.astype(sample.dtype)
     prev = jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1.0 - a_prev) * pred_eps
     return prev.astype(sample.dtype)
 

@@ -55,6 +55,7 @@ def flow_matching_loss(
         txt=batch["txt"], txt_ids=batch["txt_ids"],
         timesteps=t, y=batch["y"],
         guidance=batch.get("guidance"),
+        remat=True,  # backward recomputes block activations per layer
     )
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
 

@@ -16,7 +16,9 @@ def test_mask_top_pixels_removes_exactly_k():
     key = jax.random.PRNGKey(0)
     images = jnp.ones((2, 3, 8, 8))
     rel = jax.random.normal(key, (2, 64))
-    masked = _mask_top_pixels(images, rel, jnp.asarray(10))
+    from conceptattention_tpu.evals.perturbation import _pixel_ranks
+
+    masked = _mask_top_pixels(images, _pixel_ranks(rel), jnp.asarray(10))
     removed = np.asarray((masked[:, 0] == 0).sum(axis=(1, 2)))
     np.testing.assert_array_equal(removed, [10, 10])
     # the removed pixels are exactly the top-10 by relevance
