@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -101,9 +103,6 @@ def quantize_layer_stack(stack: Any, min_size: int = 1 << 20, act_quant: bool = 
     return visit(stack)
 
 
-import functools
-
-
 @functools.partial(jax.jit, static_argnums=1)
 def _randint8_layer(key, shape):
     return jax.random.randint(key, shape, -127, 128, dtype=jnp.int8)
@@ -128,8 +127,9 @@ def init_flux_params_quantized(
     """Random *already-quantized* Flux params: int8 weights + scales generated
     directly, so the full 11.9B model never materializes in bf16 (24 GB) on a
     16 GB chip. Weight distribution matches init_flux_params' 1/sqrt(in) std.
-    For real checkpoints use quantize_flux_params(convert_flux_state_dict(...))
-    with layerwise streaming."""
+    For real checkpoints, convert + quantize on HOST memory and device_put
+    only the int8 result (the pipeline's quantize=True load path does this
+    under jax.default_device(cpu))."""
     from conceptattention_tpu.models.flux.params import init_flux_params
 
     tiny_like = cfg.__class__(**{**cfg.__dict__, "depth": 1, "depth_single_blocks": 1})

@@ -66,7 +66,11 @@ def _route(
 
     Returns:
       (dispatch [n, E, C] {0,1}, combine [n, E, C] gate-weighted,
-       aux_loss scalar — the Switch load-balancing term).
+       frac [E] first-choice routing fractions, gate_mean [E] mean router
+       probabilities) — aux loss = E * sum(frac * gate_mean), assembled by
+       the caller so the expert-parallel path can aggregate frac/gate_mean
+       GLOBALLY before the product (mean-of-per-shard aux products is not
+       the global Switch loss when routing is shard-unbalanced).
     """
     n, num_experts = gates.shape
     topv, topi = jax.lax.top_k(gates, top_k)  # [n, k]
@@ -87,10 +91,10 @@ def _route(
     dispatch = jnp.einsum("kne,knc->nec", keep, slot_oh)
     combine = jnp.einsum("kn,kne,knc->nec", jnp.swapaxes(topv, 0, 1), keep, slot_oh)
 
-    # Switch aux loss: fraction of tokens routed (first choice) x mean gate.
+    # Switch aux statistics: fraction of tokens routed (first choice), mean gate.
     frac = jnp.mean(onehot[:, 0, :], axis=0)
-    aux = num_experts * jnp.sum(frac * jnp.mean(gates, axis=0))
-    return dispatch, combine, aux
+    gate_mean = jnp.mean(gates, axis=0)
+    return dispatch, combine, frac, gate_mean
 
 
 def _expert_mlp(w_in: jax.Array, w_out: jax.Array, x: jax.Array) -> jax.Array:
@@ -109,10 +113,11 @@ def moe_mlp(
     if capacity is None:
         capacity = _default_capacity(n, top_k, num_experts)
     gates = jax.nn.softmax((x @ params["router"]).astype(jnp.float32), axis=-1)
-    dispatch, combine, aux = _route(gates, top_k, capacity)
+    dispatch, combine, frac, gate_mean = _route(gates, top_k, capacity)
     staged = jnp.einsum("nec,nd->ecd", dispatch.astype(x.dtype), x)
     y = jax.vmap(_expert_mlp)(params["w_in"], params["w_out"], staged)
     out = jnp.einsum("nec,ecd->nd", combine.astype(x.dtype), y)
+    aux = num_experts * jnp.sum(frac * gate_mean)
     return out, aux
 
 
@@ -149,7 +154,7 @@ def moe_mlp_expert_parallel(
 
     def body(router, w_in, w_out, x_loc):
         gates = jax.nn.softmax((x_loc @ router).astype(jnp.float32), axis=-1)
-        dispatch, combine, aux = _route(gates, top_k, cap)
+        dispatch, combine, frac, gate_mean = _route(gates, top_k, cap)
         # [E, C, d] expert-major token blocks for THIS device's tokens.
         staged = jnp.einsum("nec,nd->ecd", dispatch.astype(x_loc.dtype), x_loc)
         # Ship each expert block to its owner; receive every device's block
@@ -159,8 +164,15 @@ def moe_mlp_expert_parallel(
         # Route results back to the tokens' home devices: [E, C, d].
         y = jax.lax.all_to_all(y, axis, 1, 0, tiled=True)
         out = jnp.einsum("nec,ecd->nd", combine.astype(x_loc.dtype), y)
-        # aux is a per-shard statistic over local tokens; average the group.
-        return out, jax.lax.pmean(aux, axis)
+        # Global Switch aux: aggregate the per-expert statistics over the ep
+        # group FIRST (tokens are evenly sharded, so the pmean of shard means
+        # is the global mean), then take the product — pmean of per-shard
+        # aux products would diverge from the dense loss under unbalanced
+        # routing.
+        frac_g = jax.lax.pmean(frac, axis)
+        gate_mean_g = jax.lax.pmean(gate_mean, axis)
+        aux = num_experts * jnp.sum(frac_g * gate_mean_g)
+        return out, aux
 
     return _shard_map(
         body,

@@ -16,14 +16,18 @@ exactly the shape classic GPipe-style SPMD pipelining wants:
 
 The whole schedule is one jit-compiled program: the tick loop is a Python
 loop over static tick indices, so XLA sees a straight-line schedule it can
-overlap with the per-stage compute. Composes with the `data`/`model`/`seq`
-axes of parallel/mesh.py (pp exchanges only layer-boundary activations, so
-it rides the slower ICI axis).
+overlap with the per-stage compute.
+
+Sharding semantics: inside the shard_map, params are sharded ONLY over the
+`pipe` axis and the carry is replicated — every other mesh axis holds a full
+copy of its stage's weights and repeats the stage compute. Composing pp with
+tensor parallelism requires the layer_fn itself to partition its matmuls
+over `model` (e.g. psum-decomposed blocks inside the stage body); the
+current entry point targets pure-pp serving of stage-partitioned stacks.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

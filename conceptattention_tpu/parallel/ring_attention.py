@@ -15,7 +15,6 @@ permute between per-chunk flash updates; a Pallas-RDMA fused variant
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -106,7 +106,14 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]
                 "scale": jax.device_put(p["scale"], NamedSharding(mesh, P())),
             }
         if isinstance(p, dict):
-            return {k: place(p[k], s[k] if isinstance(s, dict) else s) for k in p}
+            # Param keys the spec doesn't know (e.g. guidance_in when called
+            # with the cfg=None convenience form) replicate rather than
+            # KeyError — tiny MLP embedders are replicated anyway.
+            rep = NamedSharding(mesh, P())
+            return {
+                k: place(p[k], s.get(k, rep) if isinstance(s, dict) else s)
+                for k in p
+            }
         if isinstance(p, (list, tuple)):
             return type(p)(place(a, b) for a, b in zip(p, s))
         return jax.device_put(p, s)

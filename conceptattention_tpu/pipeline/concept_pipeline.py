@@ -172,11 +172,23 @@ class ConceptAttentionFluxPipeline:
                     load_safetensors,
                 )
 
-                params = convert_flux_state_dict(load_safetensors(ckpt), self.cfg, dtype)
                 if quantize:
+                    # Convert AND quantize on host memory, then move only the
+                    # int8 weights + scales to the accelerator — staging the
+                    # full ~24 GB bf16 tree in HBM first would OOM the 16 GB
+                    # chip the int8 path exists for.
                     from conceptattention_tpu.ops.quant import quantize_flux_params
 
-                    params = quantize_flux_params(params)
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        params = convert_flux_state_dict(
+                            load_safetensors(ckpt), self.cfg, dtype
+                        )
+                        params = quantize_flux_params(params)
+                    params = jax.device_put(params)
+                else:
+                    params = convert_flux_state_dict(
+                        load_safetensors(ckpt), self.cfg, dtype
+                    )
             elif quantize:
                 from conceptattention_tpu.ops.quant import init_flux_params_quantized
 

@@ -146,3 +146,17 @@ def test_quantized_params_shard_and_match(batch, act_quant):
     np.testing.assert_allclose(
         np.asarray(pred_single), np.asarray(pred_sharded), rtol=5e-4, atol=5e-5
     )
+
+
+def test_shard_params_guidance_model_without_cfg():
+    """The cfg=None convenience form must not KeyError on flux-dev's
+    guidance_in subtree — unknown keys replicate."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, guidance_embed=True)
+    params = init_flux_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh)  # no cfg
+    assert "guidance_in" in sharded
+    leaf = jax.tree.leaves(sharded["guidance_in"])[0]
+    assert leaf.sharding.is_fully_replicated
