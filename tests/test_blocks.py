@@ -133,6 +133,22 @@ class TestDoubleBlock:
         np.testing.assert_allclose(np.asarray(got_img), want[0].numpy(), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_txt), want[1].numpy(), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_con), want[2].numpy(), rtol=2e-4, atol=2e-4)
+        # The 4 vector sets (the reference's
+        # modified_double_stream_block.py:185-191 taps) against the oracle.
+        _, _, _, raw = double_block(
+            p, img, txt, vec, pe, CFG.num_heads,
+            concepts=concepts, concept_vec=cvec, concept_pe=cpe,
+            spec=ConceptAttentionSpec(return_raw_vectors=True),
+        )
+        for key, w in [
+            ("output_space_image_vectors", want[3]),
+            ("output_space_concept_vectors", want[4]),
+            ("cross_attention_concept_vectors", want[5]),
+            ("cross_attention_image_vectors", want[6]),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(raw[key]), w.numpy(), rtol=2e-4, atol=2e-4, err_msg=key
+            )
 
     def test_saliency_taps_match_vector_einsum(self, setup):
         p, img, txt, vec, concepts, cvec, pe, cpe = setup

@@ -55,7 +55,10 @@ class TestMoE:
         d, e, n, ep = 16, 8, 32, 4
         params = init_moe_params(jax.random.PRNGKey(6), d, 32, e)
         x = jax.random.normal(jax.random.PRNGKey(7), (n, d))
-        # No-drop capacity on both sides -> exact equality.
+        # No-drop capacity on both sides -> exact equality. The ep bound is
+        # seed-INDEPENDENT: each token claims an expert at most once (top_k
+        # distinct experts), so per-shard claims on any expert <= n_local =
+        # n/ep <= top_k*n/ep = capacity.
         want, want_aux = moe_mlp(params, x, top_k=top_k, capacity=n)
         mesh = make_mesh(expert=ep, model=2)
         got, aux = jax.jit(

@@ -60,17 +60,23 @@ def test_negative_mode_flips_order():
     key = jax.random.PRNGKey(3)
     images = jax.random.normal(key, (2, 3, 8, 8))
     rel = jax.random.normal(jax.random.PRNGKey(4), (2, 64))
+    w = jax.random.normal(jax.random.PRNGKey(5), (192, 4))
 
     def classify(x):
-        return x.reshape(x.shape[0], -1) @ jnp.ones((192, 4))
+        # distinct per-class weights: an all-ones classifier gives uniform
+        # softmax for ANY masking, which would make this test vacuous
+        return x.reshape(x.shape[0], -1) @ w
 
     pos = run_perturbation_eval(classify, images, jnp.zeros(2, jnp.int32), rel)
     neg = run_perturbation_eval(
         classify, images, jnp.zeros(2, jnp.int32), rel, negative=True
     )
-    # at 90% masking both remove almost everything, but the first step masks
-    # disjoint pixel sets -> different logits
     assert pos.accuracy.shape == neg.accuracy.shape
+    # The two modes mask DISJOINT pixel sets at low fractions (most- vs
+    # least-relevant first), so the masked logits — and therefore the
+    # probability drops — must differ; equal drops would mean negative=True
+    # is being ignored.
+    assert not np.allclose(pos.target_prob_drop, neg.target_prob_drop)
 
 
 def test_upsample_token_relevance():
