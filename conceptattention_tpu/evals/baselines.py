@@ -24,14 +24,14 @@ import numpy as np
 
 from conceptattention_tpu.evals.segmentation import SegmentationModel
 from conceptattention_tpu.models.vit import ViTConfig, vit_forward
+from conceptattention_tpu.utils.images import as_float01_chw
 
 
 def _preprocess(image, size: int) -> jnp.ndarray:
-    arr = np.asarray(image, dtype=np.float32)
-    if arr.ndim == 3 and arr.shape[-1] in (3, 4):
-        arr = arr[..., :3].transpose(2, 0, 1)
-    if arr.max() > 1.5:
-        arr = arr / 255.0
+    # Dtype-branching scaler (utils/images.py): a dark uint8 image (max <= 1)
+    # is still byte-valued — the old `arr.max() > 1.5` range heuristic
+    # mis-scaled it for the whole ViT baseline zoo + TextSpan path.
+    arr = as_float01_chw(image)
     mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
     std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
     arr = (arr - mean) / std

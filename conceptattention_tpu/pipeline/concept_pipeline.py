@@ -42,6 +42,7 @@ from conceptattention_tpu.ops.packing import make_img_ids, pack_latents, unpack_
 from conceptattention_tpu.ops.schedule import get_schedule
 from conceptattention_tpu.pipeline.heatmaps import heatmaps_to_pil, reduce_maps
 from conceptattention_tpu.sampling.rectified_flow import denoise, forward_noise, get_noise
+from conceptattention_tpu.utils.images import as_float01_chw
 
 
 @dataclasses.dataclass
@@ -283,7 +284,12 @@ class ConceptAttentionFluxPipeline:
         if layer_indices is None:
             layer_indices = list(range(max(0, depth - 4), depth))
         assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
-        assert height == width, "Height and width must be the same for now"
+        # Rectangles are fully supported: the heatmap path is grid-general
+        # (reduce_maps(spatial_shape=...), make_img_ids(lh//2, lw//2)) — the
+        # reference is square-locked only by its hardcoded 64x64 reshape
+        # (concept_attention_pipeline.py:84-90).
+        assert height % 16 == 0 and width % 16 == 0, (
+            "height/width must be multiples of 16 (VAE 8x + 2x2 packing)")
         if timesteps is None:
             timesteps = list(range(num_inference_steps))
 
@@ -390,7 +396,12 @@ class ConceptAttentionFluxPipeline:
         if layer_indices is None:
             layer_indices = list(range(max(0, depth - 4), depth))
         assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
-        assert height == width, "Height and width must be the same for now"
+        # Rectangles are fully supported: the heatmap path is grid-general
+        # (reduce_maps(spatial_shape=...), make_img_ids(lh//2, lw//2)) — the
+        # reference is square-locked only by its hardcoded 64x64 reshape
+        # (concept_attention_pipeline.py:84-90).
+        assert height % 16 == 0 and width % 16 == 0, (
+            "height/width must be multiples of 16 (VAE 8x + 2x2 packing)")
         if timesteps is None:
             timesteps = list(range(num_inference_steps))
 
@@ -484,7 +495,12 @@ class ConceptAttentionFluxPipeline:
         if layer_indices is None:
             layer_indices = list(range(max(0, depth - 4), depth))
         assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
-        assert height == width, "Height and width must be the same for now"
+        # Rectangles are fully supported: the heatmap path is grid-general
+        # (reduce_maps(spatial_shape=...), make_img_ids(lh//2, lw//2)) — the
+        # reference is square-locked only by its hardcoded 64x64 reshape
+        # (concept_attention_pipeline.py:84-90).
+        assert height % 16 == 0 and width % 16 == 0, (
+            "height/width must be multiples of 16 (VAE 8x + 2x2 packing)")
 
         z = self._encode_pixels(image, height, width, seed)
 
@@ -522,17 +538,9 @@ class ConceptAttentionFluxPipeline:
     # ------------------------------------------------------------------
     def _encode_pixels(self, image, height: int, width: int, seed: int) -> jax.Array:
         """PIL/array -> [1, 3, H, W] in [-1, 1] -> VAE latents [1, 16, H/8, W/8]."""
-        raw = np.asarray(image)
-        # Integer inputs (uint8 PIL images) are byte-valued; float inputs are
-        # assumed [0, 1]. Branching on dtype instead of a value-range heuristic
-        # keeps dark uint8 images (max <= 1) correctly scaled.
-        is_int = np.issubdtype(raw.dtype, np.integer)
-        arr = raw.astype(np.float32)
-        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
-            arr = arr[..., :3].transpose(2, 0, 1)  # HWC -> CHW
-        if is_int:
-            arr = arr / 255.0
-        arr = 2.0 * arr - 1.0
+        # Shared dtype-branching scaler (utils/images.py): integer inputs are
+        # byte-valued, floats are trusted as [0, 1] — no value-range heuristic.
+        arr = 2.0 * as_float01_chw(image) - 1.0
         x = jnp.asarray(arr)[None]
         x = jax.image.resize(x, (1, 3, height, width), method="bilinear")
         # Encoder stays NCHW: measured 3x faster than NHWC on TPU at 1024^2

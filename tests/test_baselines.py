@@ -137,3 +137,35 @@ class TestTextSpan:
         # concept-specific: different concepts give different maps
         c, _ = model.segment_individual_image(image, ["cat", "sky"], "a cat")
         assert not np.allclose(c[0], c[1])
+
+
+class TestPreprocessDtype:
+    """Regression: integer inputs must scale by dtype, not value range.
+
+    The old heuristic (`arr.max() > 1.5`) skipped the /255 for a dark uint8
+    image whose max pixel is <= 1, mis-scaling the whole ViT baseline zoo and
+    the TextSpan path (VERDICT r2 weak #2).
+    """
+
+    def test_dark_uint8_matches_float(self):
+        from conceptattention_tpu.evals.baselines import _preprocess
+
+        dark_u8 = np.ones((16, 16, 3), dtype=np.uint8)  # max == 1
+        dark_f = np.full((16, 16, 3), 1.0 / 255.0, dtype=np.float32)
+        a = np.asarray(_preprocess(dark_u8, 16))
+        b = np.asarray(_preprocess(dark_f, 16))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_float01_not_rescaled(self):
+        from conceptattention_tpu.utils.images import as_float01_chw
+
+        img = np.full((8, 8, 3), 0.75, dtype=np.float32)
+        out = as_float01_chw(img)
+        assert out.shape == (3, 8, 8)
+        np.testing.assert_allclose(out, 0.75)
+
+    def test_uint8_scaled(self):
+        from conceptattention_tpu.utils.images import as_float01_chw
+
+        img = np.full((8, 8, 3), 255, dtype=np.uint8)
+        np.testing.assert_allclose(as_float01_chw(img), 1.0)
