@@ -3,7 +3,8 @@
 Parity target: `experiments/per_layer_segmentation/
 test_segmentations_per_layer.py:28-244` in the reference
 (manuragkhullar/ConceptAttention): evaluate segmentation metrics per DiT
-double-block layer (19 for full Flux), emit CSV + line plot.
+double-block layer (19 for full Flux), emit CSV (and a line plot with
+--plot, or via plot_segmentations_per_layer.py from the CSV afterwards).
 
 TPU-first: the forward pass already returns maps for ALL layers in one run
 ([depth, B, C, P]); the sweep reuses a single forward per image instead of
@@ -38,6 +39,8 @@ def main():
     parser.add_argument("--noise_timestep", type=int, default=2)
     parser.add_argument("--num_images", type=int, default=50)
     parser.add_argument("--output_csv", default="per_layer_metrics.csv")
+    parser.add_argument("--plot", action="store_true",
+                        help="also write <output_csv>.png line plot")
     args = parser.parse_args()
 
     from conceptattention_tpu import ConceptAttentionFluxPipeline
@@ -101,6 +104,12 @@ def main():
                 float(np.mean(s["inter"] / np.maximum(s["union"], 1))),
             ])
     print(f"wrote {args.output_csv}")
+    if args.plot:
+        from conceptattention_tpu.utils.sweep_plots import plot_sweep_csv
+
+        png = _os.path.splitext(args.output_csv)[0] + ".png"
+        print("wrote", plot_sweep_csv(args.output_csv, png, x_col="layer",
+                                      title="Layer vs Segmentation Performance"))
 
 
 if __name__ == "__main__":

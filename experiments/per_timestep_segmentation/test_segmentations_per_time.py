@@ -3,7 +3,8 @@
 Parity target: `experiments/per_timestep_segmentation/
 test_segmentations_per_time.py:30-175` in the reference
 (manuragkhullar/ConceptAttention): flux-dev 50-step shifted schedule,
-segmentation quality per noise timestep, CSV output.
+segmentation quality per noise timestep, CSV output (and a line plot with
+--plot, or via plot_segmentations_per_time.py from the CSV afterwards).
 """
 
 import os as _os
@@ -35,6 +36,8 @@ def main():
     parser.add_argument("--layers", type=int, nargs="+", default=list(range(14, 18)))
     parser.add_argument("--num_images", type=int, default=25)
     parser.add_argument("--output_csv", default="per_timestep_metrics.csv")
+    parser.add_argument("--plot", action="store_true",
+                        help="also write <output_csv>.png line plot")
     args = parser.parse_args()
 
     from conceptattention_tpu import ConceptAttentionFluxPipeline
@@ -98,6 +101,12 @@ def main():
                 float(np.mean(s["inter"] / np.maximum(s["union"], 1))),
             ])
     print(f"wrote {args.output_csv}")
+    if args.plot:
+        from conceptattention_tpu.utils.sweep_plots import plot_sweep_csv
+
+        png = _os.path.splitext(args.output_csv)[0] + ".png"
+        print("wrote", plot_sweep_csv(args.output_csv, png, x_col="timestep",
+                                      title="Noise Timestep vs Segmentation Performance"))
 
 
 if __name__ == "__main__":

@@ -165,3 +165,49 @@ class TestReduceMapsValidation:
             reduce_maps(maps, layer_indices=[3], timesteps=[0])
         out = reduce_maps(maps, layer_indices=[0, 2], timesteps=[1])
         assert out.shape == (1, 4, 4, 4)
+
+
+class TestSweepPlots:
+    """The sweeps' plot companions (VERDICT r2 #9): reference parity with
+    plot_segmentations_per_layer.py, smoke-tested headless from a CSV."""
+
+    def _write_csv(self, path, xname):
+        import csv
+
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow([xname, "pix_acc", "miou"])
+            for i in range(5):
+                w.writerow([i, 0.5 + 0.05 * i, 0.3 + 0.04 * i])
+
+    def test_plot_sweep_csv(self, tmp_path):
+        from conceptattention_tpu.utils.sweep_plots import plot_sweep_csv, read_sweep_csv
+
+        csv_path = str(tmp_path / "per_layer_metrics.csv")
+        self._write_csv(csv_path, "layer")
+        cols = read_sweep_csv(csv_path)
+        assert cols["layer"] == [0.0, 1.0, 2.0, 3.0, 4.0]
+        png = plot_sweep_csv(csv_path, str(tmp_path / "out.png"), x_col="layer")
+        import os
+
+        assert os.path.getsize(png) > 1000  # a real PNG, not an empty file
+
+    def test_plot_scripts_run(self, tmp_path):
+        import subprocess
+        import sys
+
+        for script, xname in [
+            ("experiments/per_layer_segmentation/plot_segmentations_per_layer.py", "layer"),
+            ("experiments/per_timestep_segmentation/plot_segmentations_per_time.py", "timestep"),
+        ]:
+            csv_path = str(tmp_path / f"{xname}.csv")
+            self._write_csv(csv_path, xname)
+            out = str(tmp_path / f"{xname}.png")
+            r = subprocess.run(
+                [sys.executable, script, "--csv", csv_path, "--out", out],
+                capture_output=True, text=True, timeout=120,
+            )
+            assert r.returncode == 0, r.stderr
+            import os
+
+            assert os.path.exists(out)
