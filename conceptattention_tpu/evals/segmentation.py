@@ -220,6 +220,36 @@ def RawValueSpaceSegmentationModel(pipeline, **kw):
     return FluxTapSegmentationModel(pipeline, tap="value", **kw)
 
 
+def _norm_word(w: str) -> str:
+    return "".join(ch for ch in w.lower() if ch.isalnum())
+
+
+def _same_word(a: str, b: str) -> bool:
+    """Case/punctuation-insensitive, plural-tolerant word equality."""
+    return a == b or a == b + "s" or b == a + "s" or a == b + "es" or b == a + "es"
+
+
+def match_concept_word_indices(concept: str, words: Sequence[str]) -> List[int]:
+    """Indices of `words` a DAAM concept heatmap should aggregate.
+
+    Real daam aligns on the subword tokens of each prompt word; the unit here
+    is whole words, so matching is token-exact rather than substring ("cat"
+    must NOT match "category" — the old substring heuristic did). Multi-word
+    concepts match consecutive word n-grams and return every constituent
+    word's index.
+    """
+    cw = [_norm_word(w) for w in concept.split() if _norm_word(w)]
+    ws = [_norm_word(w) for w in words]
+    if not cw:
+        return []
+    idx: set = set()
+    n = len(cw)
+    for i in range(len(ws) - n + 1):
+        if all(_same_word(ws[i + j], cw[j]) for j in range(n)):
+            idx.update(range(i, i + n))
+    return sorted(idx)
+
+
 class DAAMFluxSegmentationModel(FluxTapSegmentationModel):
     """DAAM-style baseline: the caption's own words act as the concept set and
     per-word cross-attention maps give the saliency (reference
@@ -235,14 +265,10 @@ class DAAMFluxSegmentationModel(FluxTapSegmentationModel):
             image, words, caption, **kwargs
         )
         # Reduce word maps onto the requested concepts: a concept's map is the
-        # max over caption words that contain it (DAAM word-matching rule).
+        # max over matching caption words (DAAM word-matching rule).
         maps = []
         for concept in concepts:
-            hits = [
-                coeff_words[i]
-                for i, w in enumerate(words)
-                if concept.lower() in w.lower() or w.lower() in concept.lower()
-            ]
+            hits = [coeff_words[i] for i in match_concept_word_indices(concept, words)]
             maps.append(
                 np.maximum.reduce(hits) if hits else np.mean(coeff_words, axis=0)
             )
@@ -282,11 +308,9 @@ class DAAMStableDiffusionSegmentationModel(SegmentationModel):
         """Image -> SD latents (reference daam_sd2.py:30-48: VAE encode x
         scaling_factor). Falls back to channel-stacked pseudo-latents when no
         VAE weights are provided (random-weight test configs)."""
-        arr = np.asarray(image, dtype=np.float32)
-        if arr.ndim == 3 and arr.shape[-1] in (3, 4):
-            arr = arr[..., :3].transpose(2, 0, 1)
-        if np.issubdtype(np.asarray(image).dtype, np.integer) or arr.max() > 1.5:
-            arr = arr / 255.0
+        from conceptattention_tpu.utils.images import as_float01_chw
+
+        arr = as_float01_chw(image)
         if self.vae_params is not None:
             from conceptattention_tpu.models.flux.autoencoder import encode
 
@@ -304,7 +328,6 @@ class DAAMStableDiffusionSegmentationModel(SegmentationModel):
         return jnp.concatenate([x, jnp.mean(x, axis=1, keepdims=True)], axis=1) * 2 - 1
 
     def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):
-        from conceptattention_tpu.models.sd_unet import unet_forward
         from conceptattention_tpu.sampling.ddim import add_noise, make_ddim_schedule
 
         words = [w for w in caption.replace(",", " ").split() if w] or list(concepts)
@@ -328,9 +351,9 @@ class DAAMStableDiffusionSegmentationModel(SegmentationModel):
         noise = jax.random.normal(jax.random.PRNGKey(self.seed), z.shape)
         z_t = add_noise(sched, z, noise, t)
 
-        _, maps = unet_forward(
-            self.params, self.cfg, z_t.astype(jnp.float32),
-            jnp.asarray([t], jnp.float32), ctx.astype(jnp.float32),
+        _, maps = self._unet_call(
+            z_t.astype(jnp.float32), jnp.asarray([t], jnp.float32),
+            ctx.astype(jnp.float32), caption,
         )
         # Aggregate per-word: mean over heads, upsample each level to the
         # finest map resolution, mean over layers (DAAM's aggregation).
@@ -347,13 +370,51 @@ class DAAMStableDiffusionSegmentationModel(SegmentationModel):
 
         coeff = []
         for concept in concepts:
-            hits = [
-                per_word[i]
-                for i, w in enumerate(words)
-                if concept.lower() in w.lower() or w.lower() in concept.lower()
-            ]
+            hits = [per_word[i] for i in match_concept_word_indices(concept, words)]
             coeff.append(np.maximum.reduce(hits) if hits else per_word.mean(axis=0))
         return np.stack(coeff), None
+
+    def _unet_call(self, z_t, t_vec, ctx, caption):
+        from conceptattention_tpu.models.sd_unet import unet_forward
+
+        return unet_forward(self.params, self.cfg, z_t, t_vec, ctx)
+
+
+class DAAMStableDiffusionXLSegmentationModel(DAAMStableDiffusionSegmentationModel):
+    """DAAM over the SDXL UNet (reference daam_sdxl.py:10-190): identical
+    encode->noise->one-forward->word-heatmap flow, plus SDXL's text_time
+    added conditions — pooled text embeddings and the six micro-conditioning
+    time-ids (orig_h, orig_w, crop_top, crop_left, target_h, target_w), which
+    the reference builds via `pipeline._get_add_time_ids((512, 512), (0, 0),
+    (512, 512))` (daam_sdxl.py:55-63, 107-113).
+
+    Use with `SDXL_BASE_CONFIG` + `convert_sd_unet_state_dict` over an
+    sd_xl_base checkpoint; the context must be [B, T, 2048] (dual-encoder)
+    and pooled [B, 1280] in production — any width works for test configs.
+    """
+
+    def __init__(self, *args, height: int = 512, width: int = 512, **kw):
+        super().__init__(*args, **kw)
+        self.height = height
+        self.width = width
+
+    def _unet_call(self, z_t, t_vec, ctx, caption):
+        from conceptattention_tpu.models.sd_unet import unet_forward
+
+        pooled = np.asarray(self.text_encoders.encode_clip([caption]))
+        want = self.cfg.pooled_text_dim
+        if pooled.shape[-1] > want:
+            pooled = pooled[..., :want]
+        elif pooled.shape[-1] < want:
+            pooled = np.pad(pooled, ((0, 0), (0, want - pooled.shape[-1])))
+        time_ids = jnp.asarray(
+            [[self.height, self.width, 0, 0, self.height, self.width]],
+            jnp.float32,
+        )
+        return unet_forward(
+            self.params, self.cfg, z_t, t_vec, ctx,
+            text_embeds=jnp.asarray(pooled, jnp.float32), time_ids=time_ids,
+        )
 
 
 class FluxMultiClassSegmentationModel(FluxTapSegmentationModel):

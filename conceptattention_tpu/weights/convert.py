@@ -402,9 +402,12 @@ def convert_vit_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) -> Dic
 
 
 def convert_sd_unet_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) -> Dict[str, Any]:
-    """diffusers `UNet2DConditionModel` (SD2 layout, use_linear_projection)
-    state dict -> our param pytree (models/sd_unet.py). Reference runs this
-    model via StableDiffusionPipeline (daam_sd2.py:26-27)."""
+    """diffusers `UNet2DConditionModel` (SD2 or SDXL layout,
+    use_linear_projection) state dict -> our param pytree (models/sd_unet.py).
+    Reference runs these models via StableDiffusionPipeline
+    (daam_sd2.py:26-27) and DiffusionPipeline sdxl-base (daam_sdxl.py:14-20);
+    pass SDXL_BASE_CONFIG to ingest an sd_xl_base checkpoint (multi-block
+    transformers + add_embedding)."""
     s = _SD(sd, dtype)
 
     def conv(key):
@@ -431,11 +434,8 @@ def convert_sd_unet_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) ->
             "proj": s.linear(f"{key}.to_out.0"),
         }
 
-    def transformer(key):
-        tb = f"{key}.transformer_blocks.0"
+    def basic_block(tb):
         return {
-            "norm": gn(f"{key}.norm"),
-            "proj_in": s.linear(f"{key}.proj_in"),
             "norm1": gn(f"{tb}.norm1"),
             "attn1": attn_inner(f"{tb}.attn1"),
             "norm2": gn(f"{tb}.norm2"),
@@ -443,6 +443,18 @@ def convert_sd_unet_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) ->
             "norm3": gn(f"{tb}.norm3"),
             "ff_in": s.linear(f"{tb}.ff.net.0.proj"),
             "ff_out": s.linear(f"{tb}.ff.net.2"),
+        }
+
+    def transformer(key, n_blocks=1):
+        # SDXL carries transformer_layers_per_block > 1 inner blocks
+        # (sd-xl-base: 1/2/10); SD1/SD2 always exactly one.
+        return {
+            "norm": gn(f"{key}.norm"),
+            "proj_in": s.linear(f"{key}.proj_in"),
+            "blocks": [
+                basic_block(f"{key}.transformer_blocks.{n}")
+                for n in range(n_blocks)
+            ],
             "proj_out": s.linear(f"{key}.proj_out"),
         }
 
@@ -455,7 +467,7 @@ def convert_sd_unet_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) ->
         }
         if cfg.cross_attention_levels[i]:
             block["attentions"] = [
-                transformer(f"{base}.attentions.{j}")
+                transformer(f"{base}.attentions.{j}", cfg.tlayers(i))
                 for j in range(cfg.layers_per_block)
             ]
         if f"{base}.downsamplers.0.conv.weight" in s.sd:
@@ -473,24 +485,31 @@ def convert_sd_unet_state_dict(sd: Mapping[str, Any], cfg, dtype=jnp.float32) ->
         }
         if cfg.cross_attention_levels[i]:
             block["attentions"] = [
-                transformer(f"{base}.attentions.{j}")
+                transformer(f"{base}.attentions.{j}", cfg.tlayers(i))
                 for j in range(cfg.layers_per_block + 1)
             ]
         if f"{base}.upsamplers.0.conv.weight" in s.sd:
             block["upsample"] = conv(f"{base}.upsamplers.0.conv")
         up.append(block)
 
-    return {
+    out = {
         "time1": s.linear("time_embedding.linear_1"),
         "time2": s.linear("time_embedding.linear_2"),
         "conv_in": conv("conv_in"),
         "down": down,
         "mid": {
             "res1": res("mid_block.resnets.0"),
-            "attn": transformer("mid_block.attentions.0"),
+            "attn": transformer(
+                "mid_block.attentions.0", cfg.tlayers(n_levels - 1)
+            ),
             "res2": res("mid_block.resnets.1"),
         },
         "up": up,
         "norm_out": gn("conv_norm_out"),
         "conv_out": conv("conv_out"),
     }
+    if getattr(cfg, "addition_embed_type", None) == "text_time":
+        # SDXL pooled-text + time-ids augmentation MLP (add_embedding).
+        out["add1"] = s.linear("add_embedding.linear_1")
+        out["add2"] = s.linear("add_embedding.linear_2")
+    return out
