@@ -121,3 +121,73 @@ def upsample_token_relevance(token_rel: jax.Array, image_size: int) -> jax.Array
     return jax.image.resize(
         token_rel.astype(jnp.float32), (b, image_size, image_size), "nearest"
     )
+
+
+CHEFER_METHODS = (
+    "rollout",
+    "last_layer_attn",
+    "gradcam",
+    "transformer_attribution",
+    "last_layer_lrp",
+    "lrp",
+    "full_lrp",
+)
+
+
+def compute_vit_relevance(
+    params,
+    cfg,
+    x: jax.Array,
+    method: str,
+    index=None,
+) -> jax.Array:
+    """Per-patch (or per-pixel for full LRP) relevance for one of the 7
+    Chefer explanation variants (reference
+    chefer_clip_vit_baselines.py:72-271 / ViT_explanation_generator.py:20-106),
+    class-conditioned on `index` ([B] int labels; None = predicted class).
+
+    Returns [B, grid, grid] for token methods, [B, H, W] for 'full_lrp'.
+    """
+    from conceptattention_tpu.evals.baselines import attention_rollout
+    from conceptattention_tpu.models.vit import vit_forward
+
+    if method == "rollout":
+        _, attns = vit_forward(params, cfg, x, return_attn=True)
+        sal = attention_rollout(attns)[:, 0, 1:]
+    elif method == "last_layer_attn":
+        _, attns = vit_forward(params, cfg, x, return_attn=True)
+        sal = jnp.mean(attns[-1, :, :, 0, 1:], axis=1)
+    elif method == "gradcam":
+        logits, _ = vit_forward(params, cfg, x, return_attn=True)
+        if index is None:
+            index = jnp.argmax(logits, axis=-1)
+        b = x.shape[0]
+        n = cfg.num_patches + 1
+        zeros = jnp.zeros((cfg.depth, b, cfg.num_heads, n, n), x.dtype)
+
+        def score_fn(deltas):
+            lg, at = vit_forward(
+                params, cfg, x, return_attn=True, attn_deltas=deltas
+            )
+            return jnp.take_along_axis(lg, index[:, None], axis=-1).sum(), at
+
+        grads, attns = jax.grad(score_fn, has_aux=True)(zeros)
+        weights = jnp.mean(grads[-1][:, :, 0, 1:], axis=-1)[..., None, None]
+        sal = jax.nn.relu(jnp.mean(weights * attns[-1], axis=1))[:, 0, 1:]
+    elif method in ("transformer_attribution", "last_layer_lrp", "lrp", "full_lrp"):
+        from conceptattention_tpu.evals.lrp import vit_relprop
+
+        m = {
+            "transformer_attribution": "transformer_attribution",
+            "last_layer_lrp": "last_layer",
+            "lrp": "full",
+            "full_lrp": "full",
+        }[method]
+        rel = vit_relprop(params, cfg, x, index=index, method=m)
+        if m == "full":
+            return jax.nn.relu(rel)  # already [B, H, W] pixel relevance
+        sal = rel
+    else:
+        raise ValueError(f"unknown method {method!r}; one of {CHEFER_METHODS}")
+    g = cfg.grid
+    return sal.reshape(-1, g, g)

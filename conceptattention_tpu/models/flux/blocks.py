@@ -43,7 +43,7 @@ from conceptattention_tpu.ops.norms import layer_norm, modulation, rms_norm
 from conceptattention_tpu.ops.rope import apply_rope
 
 
-def _linear(x, p):
+def _linear(x, p, psum_axis=None):
     """Linear with optional int8 weights.
 
     - {"q", "scale"}: weight-only int8 — per-output-channel scales fold into
@@ -52,6 +52,11 @@ def _linear(x, p):
     - {"qa", "scale"}: w8a8 — activations are dynamically quantized per token
       and the dot runs int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e);
       both scales fold into the output.
+    - psum_axis: Megatron row-parallel mode — the weight's INPUT axis is
+      sharded over that mesh axis, each shard computes a partial product, and
+      the psum runs BEFORE the bias (adding b per shard would scale it by the
+      axis size). Output-channel quant scales are full-width, so they fold in
+      before the psum unchanged.
     """
     w = p["w"]
     if isinstance(w, dict) and "qa" in w:
@@ -68,6 +73,8 @@ def _linear(x, p):
         y = y * w["scale"][0]
     else:
         y = x @ w
+    if psum_axis is not None:
+        y = jax.lax.psum(y, psum_axis)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -108,8 +115,13 @@ def _qkv_heads(x_mod, qkv_p, qnorm, knorm, num_heads):
     return q, k, v
 
 
-def _mlp(x, p_in, p_out):
-    return _linear(jax.nn.gelu(_linear(x, p_in), approximate=True), p_out)
+def _mlp(x, p_in, p_out, psum_axis=None):
+    """Column-parallel in (sharded hidden + per-channel bias), row-parallel
+    out (psum) — the classic Megatron MLP decomposition when psum_axis set."""
+    return _linear(
+        jax.nn.gelu(_linear(x, p_in), approximate=True), p_out,
+        psum_axis=psum_axis,
+    )
 
 
 def _round_up_pow2(x: int) -> int:
@@ -130,13 +142,27 @@ def double_block(
     concept_vec: Optional[jax.Array] = None,
     concept_pe: Optional[Tuple[jax.Array, jax.Array]] = None,
     spec: ConceptAttentionSpec = ConceptAttentionSpec(),
+    tp_axis: Optional[str] = None,
 ):
     """One double-stream block step.
 
     Returns (img, txt, concepts, saliency) where saliency is a dict of
     [B, C, P] float32 maps keyed by tap name (or raw vectors when
     spec.return_raw_vectors), empty when concepts is None.
+
+    tp_axis: run Megatron tensor-parallel INSIDE a shard_map whose mesh has
+    that axis — qkv/mlp_in weights arrive column-sharded (local heads / local
+    hidden), proj/mlp_out row-sharded, and this body inserts the psums after
+    the row-parallel matmuls and over the head-summed saliency maps. The
+    result equals the dense block exactly (tests/test_sharding.py); this is
+    what makes pp x tp composition real rather than per-stage replication
+    (parallel/pipeline.py layer_param_spec).
     """
+    if tp_axis is not None and spec.return_raw_vectors:
+        raise ValueError(
+            "return_raw_vectors emits merged-head vectors, which are "
+            "partial-width under tensor parallelism; use the reduced taps"
+        )
     img_mod1, img_mod2 = modulation(vec, p["img_mod"]["w"], p["img_mod"]["b"], double=True)
     txt_mod1, txt_mod2 = modulation(vec, p["txt_mod"]["w"], p["txt_mod"]["b"], double=True)
 
@@ -189,23 +215,31 @@ def double_block(
                 saliency["value"] = similarity_map_heads(
                     extras["concept_v"], extras["img_v"]
                 )
+            if tp_axis is not None:
+                # the head sum ran over LOCAL heads only; psum completes it
+                saliency = {
+                    k: jax.lax.psum(v, tp_axis) for k, v in saliency.items()
+                }
 
-    # Residual + MLP updates.
-    img = img + img_mod1.gate * _linear(img_attn, p["img_proj"])
+    # Residual + MLP updates (attn-proj and mlp_out are row-parallel under
+    # tp_axis: partial products psum'd before the bias).
+    img = img + img_mod1.gate * _linear(img_attn, p["img_proj"], psum_axis=tp_axis)
     img = img + img_mod2.gate * _mlp(
         (1 + img_mod2.scale) * layer_norm(img) + img_mod2.shift,
-        p["img_mlp_in"], p["img_mlp_out"],
+        p["img_mlp_in"], p["img_mlp_out"], psum_axis=tp_axis,
     )
-    txt = txt + txt_mod1.gate * _linear(txt_attn, p["txt_proj"])
+    txt = txt + txt_mod1.gate * _linear(txt_attn, p["txt_proj"], psum_axis=tp_axis)
     txt = txt + txt_mod2.gate * _mlp(
         (1 + txt_mod2.scale) * layer_norm(txt) + txt_mod2.shift,
-        p["txt_mlp_in"], p["txt_mlp_out"],
+        p["txt_mlp_in"], p["txt_mlp_out"], psum_axis=tp_axis,
     )
     if concepts is not None:
-        concepts = concepts + con_mod1.gate * _linear(concept_attn, p["txt_proj"])
+        concepts = concepts + con_mod1.gate * _linear(
+            concept_attn, p["txt_proj"], psum_axis=tp_axis
+        )
         concepts = concepts + con_mod2.gate * _mlp(
             (1 + con_mod2.scale) * layer_norm(concepts) + con_mod2.shift,
-            p["txt_mlp_in"], p["txt_mlp_out"],
+            p["txt_mlp_in"], p["txt_mlp_out"], psum_axis=tp_axis,
         )
 
     return img, txt, concepts, saliency

@@ -18,12 +18,13 @@ The whole schedule is one jit-compiled program: the tick loop is a Python
 loop over static tick indices, so XLA sees a straight-line schedule it can
 overlap with the per-stage compute.
 
-Sharding semantics: inside the shard_map, params are sharded ONLY over the
-`pipe` axis and the carry is replicated — every other mesh axis holds a full
-copy of its stage's weights and repeats the stage compute. Composing pp with
-tensor parallelism requires the layer_fn itself to partition its matmuls
-over `model` (e.g. psum-decomposed blocks inside the stage body); the
-current entry point targets pure-pp serving of stage-partitioned stacks.
+Sharding semantics: params shard over the `pipe` axis (one stage per
+device row) and, when `layer_param_spec` is given, ALSO over the other mesh
+axes per-leaf (e.g. Megatron `model`-axis specs from parallel/sharding.py)
+— each stage's weights are then genuinely tensor-sharded and `layer_fn`
+must be TP-aware (psum-decomposed matmuls, e.g.
+`double_block(..., tp_axis="model")`). Without it, non-pipe axes replicate
+the stage compute (pure-pp serving).
 """
 
 from __future__ import annotations
@@ -49,6 +50,8 @@ def pipeline_apply(
     axis: str = "pipe",
     num_microbatches: int | None = None,
     with_outputs: bool = False,
+    layer_param_spec: Any = None,
+    shape_probe_fn: Callable[[Any, Any], Any] | None = None,
 ) -> Any:
     """Apply `depth` stacked layers to `carry` with GPipe pipelining.
 
@@ -64,6 +67,14 @@ def pipeline_apply(
     outputs it computed and one all-gather over the pipe axis assembles the
     full [depth, batch, ...] stack, so tap traffic never rides the per-tick
     boundary hops.
+
+    `layer_param_spec` is an optional per-LAYER PartitionSpec pytree (leaf
+    specs WITHOUT the depth axis, e.g. sharding._double_block_spec()): leaves
+    become P(pipe, None, *leaf_spec), so stage weights are tensor-sharded
+    over the other mesh axes and layer_fn must psum accordingly
+    (`double_block(..., tp_axis=...)`). `shape_probe_fn` is a psum-free
+    equivalent of layer_fn used only to eval_shape the per-layer outputs
+    (collectives cannot trace outside the shard_map); defaults to layer_fn.
 
     Equals `lax.scan(layer_fn, carry, stacked_params)` exactly (same layer
     order, same microbatch-independent math) — tested in
@@ -148,14 +159,23 @@ def pipeline_apply(
         ys_local = jax.tree.map(lambda *xs: jnp.stack(xs)[None], *[select_mb(j) for j in range(m)])
         return y, ys_local
 
-    spec_p = jax.tree.map(lambda _: P(axis), p_staged)
+    if layer_param_spec is None:
+        spec_p = jax.tree.map(lambda _: P(axis), p_staged)
+    else:
+        # [stages, local_depth, ...leaf dims]: pipe on the stage axis, the
+        # caller's tensor-parallel spec on the trailing weight dims.
+        spec_p = jax.tree.map(
+            lambda leaf_spec: P(axis, None, *leaf_spec), layer_param_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        )
     spec_x = jax.tree.map(lambda _: P(), c_micro)
     spec_y = jax.tree.map(lambda _: P(), c_micro)
     if with_outputs:
         # Probe output structure to build specs for ys: [stages, m, local_depth, mb, ...]
         probe_c = jax.tree.map(lambda a: a[0], c_micro)
         probe_p = jax.tree.map(lambda a: a[0, 0], p_staged)
-        _, y_shape = jax.eval_shape(lambda p, c: layer_fn(p, c), probe_p, probe_c)
+        probe = shape_probe_fn or layer_fn
+        _, y_shape = jax.eval_shape(lambda p, c: probe(p, c), probe_p, probe_c)
         spec_ys = jax.tree.map(lambda _: P(axis), y_shape)
         y, ys = _shard_map(
             stage_body, mesh, (spec_p, spec_x), (spec_y, spec_ys)

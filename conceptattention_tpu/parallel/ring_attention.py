@@ -7,9 +7,15 @@ video-DiT sequences the K/V shards rotate around the ICI ring while each
 device's query shard accumulates exact softmax statistics online
 (Liu et al. 2023), so no device ever holds the full sequence.
 
-This is the shard_map/ppermute formulation: XLA schedules the collective
-permute between per-chunk flash updates; a Pallas-RDMA fused variant
-(pltpu.make_async_remote_copy double-buffering) is the planned upgrade path.
+This is the shard_map/ppermute formulation with software double-buffering:
+the ring step count equals the (static) mesh-axis size, so the hop loop is
+UNROLLED and each step issues the ppermute for chunk i+1 *before* computing
+chunk i's online-softmax update — the permute and the update share no data
+dependency, so XLA's latency-hiding scheduler turns the hop into an async
+collective-permute-start/done pair that rides ICI underneath the matmuls
+(and the wasted n-th rotation of the old fori_loop formulation is gone). A
+Pallas-RDMA fused variant (pltpu.make_async_remote_copy inside the kernel)
+remains the further upgrade path.
 """
 
 from __future__ import annotations
@@ -56,25 +62,25 @@ def ring_attention(
     Call inside shard_map with q/k/v sharded on the sequence axis:
     q/k/v local shards [B, H, L_local, D] -> output [B, H, L_local, D].
     """
-    n = jax.lax.psum(1, axis_name)
+    n = jax.lax.psum(1, axis_name)  # static: psum of a literal folds to the axis size
     scale = 1.0 / (q.shape[-1] ** 0.5)
     b, h, lq, d = q.shape
 
-    m0 = jnp.full((b, h, lq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, lq, 1), jnp.float32)
-    acc0 = jnp.zeros((b, h, lq, d), jnp.float32)
+    m = jnp.full((b, h, lq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, lq, 1), jnp.float32)
+    acc = jnp.zeros((b, h, lq, d), jnp.float32)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def body(i, carry):
-        m, l, acc, k_cur, v_cur = carry
+    k_cur, v_cur = k, v
+    for step in range(n):  # unrolled: n is the static mesh-axis size
+        if step + 1 < n:
+            # issue the next hop BEFORE the update — no data dependency, so
+            # the collective-permute overlaps the matmuls (double-buffering)
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         m, l, acc = _partial_update(q, k_cur, v_cur, m, l, acc, scale)
-        # rotate K/V to the next device (skippable on the last step, but a
-        # static-extra permute keeps the loop body uniform)
-        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        return m, l, acc, k_cur, v_cur
-
-    m, l, acc, _, _ = jax.lax.fori_loop(0, n, body, (m0, l0, acc0, k, v))
+        if step + 1 < n:
+            k_cur, v_cur = k_nxt, v_nxt
     return (acc / jnp.maximum(l, 1e-30)).astype(v.dtype)
 
 
@@ -128,7 +134,7 @@ def ring_concept_attention(
     chunk's position from the ring step, so the result equals the dense
     fused attention (kernels/flash_saliency contract) with padded rows zero.
     """
-    n = jax.lax.psum(1, axis_name)
+    n = jax.lax.psum(1, axis_name)  # static: psum of a literal folds to the axis size
     my = jax.lax.axis_index(axis_name)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     b, h, lq, d = q.shape
@@ -136,24 +142,24 @@ def ring_concept_attention(
     iota = jnp.arange(lq, dtype=jnp.int32)
     q_idx = my * lq + iota
 
-    m0 = jnp.full((b, h, lq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, lq, 1), jnp.float32)
-    acc0 = jnp.zeros((b, h, lq, d), jnp.float32)
+    m = jnp.full((b, h, lq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, lq, 1), jnp.float32)
+    acc = jnp.zeros((b, h, lq, d), jnp.float32)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def body(step, carry):
-        m, l, acc, k_cur, v_cur = carry
+    k_cur, v_cur = k, v
+    for step in range(n):  # unrolled; see module docstring (double-buffering)
+        if step + 1 < n:
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         src = jnp.mod(my - step, n)  # origin device of the current chunk
         k_idx = src * lq + iota
         allowed = _segment_mask(
             q_idx, k_idx, txt_len, img_len, concept_len, cross, self_attention
         )
         m, l, acc = _partial_update(q, k_cur, v_cur, m, l, acc, scale, allowed)
-        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-        return m, l, acc, k_cur, v_cur
-
-    m, l, acc, _, _ = jax.lax.fori_loop(0, n, body, (m0, l0, acc0, k, v))
+        if step + 1 < n:
+            k_cur, v_cur = k_nxt, v_nxt
     safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked (padding) rows -> 0
     return (acc / safe_l).astype(v.dtype)
 

