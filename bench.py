@@ -2,16 +2,31 @@
 
 Measures images/sec for a 4-step 1024x1024 rectified-flow generation with
 4-concept saliency extraction (the BASELINE.json north-star config), plus the
-heatmap-extraction overhead vs. a plain generation pass.
+heatmap-extraction overhead vs. a plain generation pass, the model FLOP
+utilization against the chip's mixed-precision roofline, a
+{attention, matmul, decode} phase split, and a depth-scaled bf16 companion
+reading next to the int8 headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+transparency fields ("mfu", "phases", "bf16_companion") — extra keys, same
+contract.
 
 vs_baseline: BASELINE.json targets >= 1x A100 images/sec for the full 12B
-flux-schnell. An A100 runs full flux-schnell 4-step 1024^2 at ~0.5 img/s
-(~2 s/image, common public measurements; the reference repo publishes no
-numbers — BASELINE.md). Config ladder (first that fits the chip wins):
-  1. full d19/38 with weight-only int8 (true architecture; ~12 GB on a
-     16 GB v5e),
+flux-schnell. The A100 constant is ~0.5 img/s (~2 s/image) for BF16
+flux-schnell 4-step 1024^2: the reference repo publishes no numbers
+(BASELINE.md), so this is the round-number midpoint of public community
+measurements of stock bf16 flux-schnell on A100-80GB — e.g. Replicate's
+flux-schnell A100 listings and BFL community benchmarks cluster at
+1.7-2.2 s/image end-to-end (encode+denoise+decode) in 2024-2025 posts. NOTE
+the comparison is int8-w8a8 TPU *serving* vs that bf16 A100 figure —
+legitimate for a serving headline, and the bf16_companion field carries the
+same-precision rung (full-depth bf16 cannot fit one 16 GB chip, so the
+depth-scaled bf16 FLOP-equivalent is the honest companion). The w8a8 path's
+end-to-end quality is gated in tests/test_quant.py (heatmap IoU >= 0.99 vs
+fp32 on the tiny config).
+
+Config ladder (first that fits the chip wins):
+  1. full d19/38 with w8a8 int8 (true architecture; ~12 GB on a 16 GB v5e),
   2. depth-scaled bf16, throughput normalized to full-depth FLOP-equivalents.
 """
 
@@ -22,8 +37,39 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_FULL_FLUX_IMGS_PER_SEC = 0.5  # full 12B flux-schnell, 4-step 1024^2
+# See module docstring for sourcing; bf16 A100 end-to-end, 4-step 1024^2.
+A100_FULL_FLUX_IMGS_PER_SEC = 0.5
 FULL_DEPTH = (19, 38)
+# v5e datasheet peaks (per chip): bf16 197 TFLOP/s, int8 394 TOP/s.
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
+
+
+def flux_denoise_ops(depth, depth_single, num_steps, p_tokens, t_tokens, c_tokens,
+                     hidden=3072, mlp_ratio=4.0):
+    """Analytic (matmul_ops, attention_ops) per image for the denoise loop,
+    counting multiply-adds as 2 ops.
+
+    Double block per layer: each stream's tokens pass qkv (6*D^2/token),
+    proj (2*D^2), mlp (2*(1+mlp_ratio)*2*D^2) -> 2*D^2*(4 + 2*(1+r)) per
+    token; joint attention 4*S_joint^2*D plus the concept pass
+    4*C*(C+P)*D. Single block: linear1 D->(3+r)D and linear2 (1+r)D->D give
+    2*D^2*(4+2r+2... ) — computed explicitly below.
+    """
+    d2 = hidden * hidden
+    r = mlp_ratio
+    l_tot = p_tokens + t_tokens + c_tokens
+    s_joint = p_tokens + t_tokens
+    s_single = p_tokens + t_tokens
+    # double: qkv 2*3*D^2, proj 2*D^2, mlp 2*r*D^2*2 per token
+    mm_double = depth * l_tot * d2 * 2 * (3 + 1 + 2 * r)
+    # single: linear1 D->(3+r)D, linear2 (1+r)D->D per token
+    mm_single = depth_single * s_single * d2 * 2 * ((3 + r) + (1 + r))
+    at_double = depth * (4 * s_joint**2 * hidden
+                         + 4 * c_tokens * (c_tokens + p_tokens) * hidden)
+    at_single = depth_single * 4 * s_single**2 * hidden
+    return (num_steps * (mm_double + mm_single),
+            num_steps * (at_double + at_single))
 
 
 def hbm_limit() -> float:
@@ -35,6 +81,43 @@ def hbm_limit() -> float:
     except Exception:
         pass
     return 16e9  # v5e default; memory_stats absent under the axon plugin
+
+
+def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6):
+    """Measured TFLOP/s of the fused flash kernel at the bench's joint-
+    attention shape — one in-jit fori_loop (per-dispatch overhead through the
+    axon tunnel is 30-90 ms, so separate dispatches measure dispatch, not
+    compute); the i/64 perturbation is bf16-representable so iterations are
+    not foldable."""
+    from conceptattention_tpu.kernels.flash_saliency import (
+        _auto_tiles,
+        fused_concept_flash_attention,
+    )
+
+    bq, bk = _auto_tiles(seq)
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (batch, heads, seq, head_dim), jnp.bfloat16)
+    k = jax.random.normal(kk, (batch, heads, seq, head_dim), jnp.bfloat16)
+    v = jax.random.normal(kv, (batch, heads, seq, head_dim), jnp.bfloat16)
+
+    @jax.jit
+    def loop(q, k, v):
+        def body(i, acc):
+            o = fused_concept_flash_attention(
+                q * (1.0 + i.astype(jnp.bfloat16) / 64.0), k, v,
+                txt_len=seq, img_len=0, concept_len=0, block_q=bq, block_k=bk,
+            )
+            return acc + jnp.sum(o[:, :, :seq].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(loop(q, k, v))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(q, k, v))
+    dt = (time.perf_counter() - t0) / iters
+    ops = 4 * seq * seq * head_dim * heads * batch  # qk + av, 2 ops per MAC
+    return ops / dt
 
 
 def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int = 1):
@@ -109,7 +192,7 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
         )
         return jnp.sum(pixels.astype(jnp.float32))
 
-    def timed(with_concepts, backend, iters=6):
+    def timed(with_concepts, backend, iters=6, decode=True):
         # 6 iters: the heatmap-overhead number is the RATIO of two separately
         # timed loops; at 4 iters its run-to-run spread was 0-6%.
         chk, out = run(params, img, with_concepts, backend)  # compile + warm
@@ -123,9 +206,10 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
             # bit-identical); 1 + i/64 steps are exactly representable.
             chk, out = run(params, img * (1.0 + i / 64.0), with_concepts, backend)
             chks.append(chk)
-            chks.append(run_decode(ae_params, out))
-        for c in chks:  # deferred fetch: throughput semantics, true sync
-            float(c)
+            if decode:
+                chks.append(run_decode(ae_params, out))
+        for c_ in chks:  # deferred fetch: throughput semantics, true sync
+            float(c_)
         return (time.perf_counter() - t0) / iters
 
     results = {}
@@ -140,7 +224,10 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
     t_with = results[backend]
     t_plain = timed(False, backend)
     overhead = max(0.0, 100.0 * (t_with - t_plain) / t_plain)
-    return b / t_with, overhead, backend
+    # Denoise-only time for the phase split / MFU: same compiled fns, no
+    # extra compile — the decode loop is simply not dispatched.
+    t_nodecode = timed(True, backend, decode=False)
+    return b / t_with, overhead, backend, t_with, t_nodecode
 
 
 def main():
@@ -158,11 +245,14 @@ def main():
             (19, 38, "w8", ("pallas",), 1),    # full arch, int8, single image
             (min(19, n), min(38, 2 * n), False, ("xla", "pallas"), 1),
         ]
+    bf16_rung = (min(19, max(1, int(hbm * 0.5 / 1.25e9))),
+                 min(38, 2 * max(1, int(hbm * 0.5 / 1.25e9))),
+                 False, ("pallas", "xla"), 1)
 
     for depth, depth_single, quantize, backends, batch in ladder:
         try:
             try:
-                imgs_per_sec, overhead_pct, backend = attempt(
+                imgs_per_sec, overhead_pct, backend, t_with, t_nodecode = attempt(
                     depth, depth_single, quantize, backends, batch
                 )
             except Exception as first:
@@ -174,7 +264,7 @@ def main():
                 import gc as _gc
 
                 _gc.collect()
-                imgs_per_sec, overhead_pct, backend = attempt(
+                imgs_per_sec, overhead_pct, backend, t_with, t_nodecode = attempt(
                     depth, depth_single, quantize, backends, batch
                 )
         except Exception as e:
@@ -193,19 +283,74 @@ def main():
         flop_scale = (depth + 0.5 * depth_single) / (FULL_DEPTH[0] + 0.5 * FULL_DEPTH[1])
         full_equiv = imgs_per_sec * flop_scale
         vs_baseline = full_equiv / A100_FULL_FLUX_IMGS_PER_SEC
-        print(json.dumps({
+
+        # ---- transparency extras (no extra full-size compiles) ----
+        mm_ops, at_ops = flux_denoise_ops(depth, depth_single, 4, 4096, 256, 4)
+        mm_ops *= batch
+        at_ops *= batch
+        t_denoise = t_nodecode
+        t_decode = max(0.0, t_with - t_nodecode)
+        # Mixed-precision roofline: matmuls ride the int8 MXU path under
+        # w8a8, attention stays bf16 — ideal time weights each phase by its
+        # own peak; MFU = ideal / measured (denoise only; decode is reported
+        # as its own phase share).
+        mm_peak = PEAK_INT8 if quantize == "w8a8" else PEAK_BF16
+        ideal_t = mm_ops / mm_peak + at_ops / PEAK_BF16
+        mfu = ideal_t / t_denoise if t_denoise > 0 else 0.0
+        phases = {}
+        try:
+            # In-jit kernel microbench at the bench's joint-attention shape:
+            # measured rate x analytic attention ops -> attention seconds;
+            # the denoise remainder is the matmul phase. (Device traces break
+            # on the axon backend, so this ablation IS the profiler.)
+            attn_rate = measure_attention_rate(batch=batch)
+            t_attn = at_ops / attn_rate
+            phases = {
+                "attention_pct": round(100.0 * t_attn / t_with, 1),
+                "matmul_pct": round(100.0 * (t_denoise - t_attn) / t_with, 1),
+                "decode_pct": round(100.0 * t_decode / t_with, 1),
+                "attention_tflops_measured": round(attn_rate / 1e12, 1),
+            }
+        except Exception as e:
+            print(f"# phase split skipped: {type(e).__name__}", file=sys.stderr)
+
+        bf16_companion = None
+        if quantize:
+            try:
+                d2, s2, q2, be2, b2 = bf16_rung
+                bf_imgs, _, bf_backend, _, _ = attempt(d2, s2, q2, be2, b2)
+                bf_scale = (d2 + 0.5 * s2) / (FULL_DEPTH[0] + 0.5 * FULL_DEPTH[1])
+                bf_equiv = bf_imgs * bf_scale
+                bf16_companion = {
+                    "config": f"d{d2}/{s2} b{b2} bf16 attn={bf_backend}",
+                    "imgs_per_sec": round(bf_imgs, 4),
+                    "full_depth_equiv": round(bf_equiv, 4),
+                    "vs_baseline": round(bf_equiv / A100_FULL_FLUX_IMGS_PER_SEC, 3),
+                }
+            except Exception as e:
+                print(f"# bf16 companion skipped: {type(e).__name__}",
+                      file=sys.stderr)
+
+        record = {
             "metric": (
                 f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step b{batch} "
                 f"4-concept heatmaps + VAE decode, "
                 f"{'int8-w8a8' if quantize == 'w8a8' else ('int8-weights' if quantize else 'bf16')}, "
                 f"1 chip, attn={backend} "
                 f"(full-depth-equiv {full_equiv:.3f} img/s, "
-                f"heatmap overhead {overhead_pct:.1f}%)"
+                f"heatmap overhead {overhead_pct:.1f}%; vs_baseline compares "
+                f"int8 serving to a ~0.5 img/s public bf16 A100 figure — see "
+                f"bf16_companion for the same-precision rung)"
             ),
             "value": round(imgs_per_sec, 4),
             "unit": "images/sec",
             "vs_baseline": round(vs_baseline, 3),
-        }))
+            "mfu": round(mfu, 3),
+            "phases": phases,
+        }
+        if bf16_companion:
+            record["bf16_companion"] = bf16_companion
+        print(json.dumps(record))
         return
     raise SystemExit("no benchmark configuration fit the device")
 
