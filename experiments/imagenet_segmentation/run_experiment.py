@@ -10,6 +10,11 @@ Usage:
   python experiments/imagenet_segmentation/run_experiment.py \
       --mat_path /data/gtsegs_ijcv.mat --model_name flux-schnell \
       --tap output --num_images 100
+
+`--segmentation_model` selects any of the reference's 13 baselines
+(evals/model_zoo.py; ViT/UNet/CLIP baselines need their env-var checkpoint
+paths, or --random_weights for a smoke run). The default RawOutputSpace +
+`--tap` preserves the flux-tap shortcut.
 """
 
 import os as _os
@@ -32,6 +37,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mat_path", required=True)
     parser.add_argument("--model_name", default="flux-schnell")
+    parser.add_argument("--segmentation_model", default=None,
+                        help="any evals/model_zoo.py choice (13 baselines); "
+                        "default: flux tap per --tap")
+    parser.add_argument("--random_weights", action="store_true",
+                        help="smoke-run non-flux baselines without checkpoints")
     parser.add_argument(
         "--tap", default="output", choices=["output", "cross_attention", "value"]
     )
@@ -54,6 +64,7 @@ def main():
         batch_pix_accuracy,
         get_ap_scores,
     )
+    from conceptattention_tpu.evals.model_zoo import build_segmentation_model
     from conceptattention_tpu.evals.segmentation import FluxTapSegmentationModel
     from conceptattention_tpu.utils.plotting import upsample_nearest
 
@@ -62,12 +73,33 @@ def main():
         sys.exit(2)
 
     dataset = ImagenetSegmentation(args.mat_path)
-    pipe = ConceptAttentionFluxPipeline(args.model_name)
-    model = FluxTapSegmentationModel(
-        pipe, tap=args.tap, num_steps=args.num_steps,
-        noise_timestep=args.noise_timestep, layer_indices=args.layers,
-        softmax=args.softmax, width=args.width, height=args.width,
-    )
+    if args.segmentation_model and args.segmentation_model not in (
+        "RawOutputSpace", "RawCrossAttention", "RawValueSpace", "DAAMFlux"
+    ):
+        # Non-flux baseline from the zoo (checkpoints via env vars).
+        model = build_segmentation_model(
+            args.segmentation_model, random_weights=args.random_weights
+        )
+    else:
+        pipe = ConceptAttentionFluxPipeline(args.model_name)
+        tap = {
+            "RawOutputSpace": "output",
+            "RawCrossAttention": "cross_attention",
+            "RawValueSpace": "value",
+            None: args.tap,
+        }.get(args.segmentation_model, args.tap)
+        if args.segmentation_model == "DAAMFlux":
+            model = build_segmentation_model(
+                "DAAMFlux", pipeline=pipe, num_steps=args.num_steps,
+                noise_timestep=args.noise_timestep, layer_indices=args.layers,
+                width=args.width, height=args.width,
+            )
+        else:
+            model = FluxTapSegmentationModel(
+                pipe, tap=tap, num_steps=args.num_steps,
+                noise_timestep=args.noise_timestep, layer_indices=args.layers,
+                softmax=args.softmax, width=args.width, height=args.width,
+            )
 
     total_correct = total_labeled = 0
     total_inter = np.zeros(2)
