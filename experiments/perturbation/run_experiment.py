@@ -46,6 +46,13 @@ def main():
                         "(reference --vis-class: predicted vs ground truth)")
     parser.add_argument("--ckpt", default=_os.environ.get("VIT_B16", ""))
     parser.add_argument("--image_size", type=int, default=224)
+    # ViT architecture overrides (ViT-B/16 defaults); the test fixture uses a
+    # tiny tower so the smoke run does not compile a 12-layer LRP graph.
+    parser.add_argument("--vit_depth", type=int, default=12)
+    parser.add_argument("--vit_hidden", type=int, default=768)
+    parser.add_argument("--vit_heads", type=int, default=12)
+    parser.add_argument("--vit_patch", type=int, default=16)
+    parser.add_argument("--vit_classes", type=int, default=1000)
     parser.add_argument("--output_csv", default="perturbation_auc.csv")
     args = parser.parse_args()
 
@@ -71,7 +78,11 @@ def main():
 
     dataset = ImageNetFolder(args.imagenet_dir)
     n = min(args.num_images, len(dataset))
-    cfg = ViTConfig(image_size=args.image_size)
+    cfg = ViTConfig(
+        image_size=args.image_size, patch_size=args.vit_patch,
+        hidden_size=args.vit_hidden, depth=args.vit_depth,
+        num_heads=args.vit_heads, num_classes=args.vit_classes,
+    )
     if args.ckpt:
         from conceptattention_tpu.weights.convert import (
             convert_vit_state_dict,

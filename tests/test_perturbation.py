@@ -161,6 +161,8 @@ class TestImageNetDataPath:
             [sys.executable, "experiments/perturbation/run_experiment.py",
              "--imagenet_dir", str(root), "--num_images", "4",
              "--batch_size", "2", "--image_size", "32",
+             "--vit_depth", "2", "--vit_hidden", "32", "--vit_heads", "2",
+             "--vit_patch", "8", "--vit_classes", "5",
              "--methods", "rollout", "gradcam", "transformer_attribution",
              "--output_csv", out_csv],
             capture_output=True, text=True, timeout=420,
