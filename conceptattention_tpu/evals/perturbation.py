@@ -32,6 +32,9 @@ class PerturbationResult:
     accuracy: np.ndarray          # [num_steps] mean top-1 accuracy after masking
     target_prob_drop: np.ndarray  # [num_steps] mean P(target) drop vs unmasked
     auc: float                    # trapezoidal area under accuracy(step)
+    # reference pertubation_eval_from_hdf5.py:100-117 also records, per step:
+    logit_diff: np.ndarray = None      # mean(max-logit - unmasked max-logit)
+    dissimilarity: np.ndarray = None   # mean log(P(target)/P(second-best))
 
     def as_dict(self) -> Dict[str, object]:
         return {
@@ -39,6 +42,8 @@ class PerturbationResult:
             "accuracy": self.accuracy.tolist(),
             "target_prob_drop": self.target_prob_drop.tolist(),
             "auc": float(self.auc),
+            "logit_diff": self.logit_diff.tolist(),
+            "dissimilarity": self.dissimilarity.tolist(),
         }
 
 
@@ -50,16 +55,23 @@ def _pixel_ranks(relevance: jax.Array) -> jax.Array:
     return jnp.argsort(order, axis=-1)  # rank of each pixel
 
 
-def _mask_top_pixels(images: jax.Array, ranks: jax.Array, k: jax.Array):
-    """Zero the k highest-relevance pixels of each image.
+def _mask_top_pixels(images: jax.Array, ranks: jax.Array, k: jax.Array,
+                     fill=None):
+    """Replace the k highest-relevance pixels of each image with `fill`.
 
     images [B, C, H, W]; ranks [B, H*W] from `_pixel_ranks` (pixel
     resolution, as the reference upsamples token maps before ranking,
-    pertubation_eval:86-96); k scalar int (count of pixels to remove).
+    pertubation_eval:86-96); k scalar int (count of pixels to remove);
+    fill: per-channel [C] replacement value. The reference zeroes the
+    UNNORMALIZED pixels then normalizes (pertubation_eval:90-96) — on
+    already-normalized inputs that is fill = -mean/std, NOT zero.
     """
     b, c, h, w = images.shape
     keep = (ranks >= k).reshape(b, 1, h, w)
-    return images * keep
+    if fill is None:
+        return images * keep
+    fill = jnp.asarray(fill, images.dtype).reshape(1, c, 1, 1)
+    return jnp.where(keep, images, fill)
 
 
 def run_perturbation_eval(
@@ -69,6 +81,7 @@ def run_perturbation_eval(
     relevance: jax.Array,
     negative: bool = False,
     steps: Sequence[float] = PERTURBATION_STEPS,
+    fill=None,
 ) -> PerturbationResult:
     """Run the perturbation sweep.
 
@@ -80,6 +93,9 @@ def run_perturbation_eval(
         maps first; see `upsample_token_relevance`).
       negative: mask the LEAST relevant pixels first (reference's negative
         test, triggered by --neg).
+      fill: per-channel [C] replacement for masked pixels. The reference
+        zeroes pixels BEFORE normalization; pass (-mean/std) to reproduce
+        that on normalized inputs (the experiment driver does).
     """
     b, _, h, w = images.shape
     rel = jnp.reshape(relevance, (b, h * w)).astype(jnp.float32)
@@ -96,7 +112,8 @@ def run_perturbation_eval(
     # One [steps * B] classification batch: amortizes per-dispatch overhead
     # (tens of ms on the TPU plugin) across the whole sweep.
     masked = jnp.concatenate(
-        [_mask_top_pixels(images, ranks, jnp.asarray(int(n * f))) for f in steps],
+        [_mask_top_pixels(images, ranks, jnp.asarray(int(n * f)), fill)
+         for f in steps],
         axis=0,
     )
     logits = classify(masked).reshape(s, b, -1)
@@ -106,11 +123,21 @@ def run_perturbation_eval(
     )[..., 0]
     accs = jnp.mean((jnp.argmax(logits, -1) == labels[None, :]).astype(jnp.float32), axis=1)
     drops = jnp.mean(base_p_target[None, :] - p_target, axis=1)
+    # Reference extras (pertubation_eval:100-117): max-logit drift and
+    # log(P(target)/P(second-best)) dissimilarity.
+    base_max_logit = jnp.max(base_logits, axis=-1)
+    logit_diff = jnp.mean(jnp.max(logits, -1) - base_max_logit[None, :], axis=1)
+    second = jax.lax.top_k(probs, 2)[0][..., 1]  # second-highest, as reference
+    dissim = jnp.mean(jnp.log((p_target + 1e-12) / (second + 1e-12)), axis=1)
     accuracy = np.asarray(jax.device_get(accs), np.float64)
     drop = np.asarray(jax.device_get(drops), np.float64)
     trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy < 2.0
     auc = float(trapezoid(accuracy, np.asarray(steps)))
-    return PerturbationResult(steps, accuracy, drop, auc)
+    return PerturbationResult(
+        steps, accuracy, drop, auc,
+        logit_diff=np.asarray(jax.device_get(logit_diff), np.float64),
+        dissimilarity=np.asarray(jax.device_get(dissim), np.float64),
+    )
 
 
 def upsample_token_relevance(token_rel: jax.Array, image_size: int) -> jax.Array:

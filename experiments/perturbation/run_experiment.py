@@ -116,9 +116,15 @@ def main():
             rel = compute_vit_relevance(params, cfg, x, method, index=index)
             if rel.shape[-1] != args.image_size:  # token map -> pixel map
                 rel = upsample_token_relevance(rel, args.image_size)
+            # The reference zeroes UNNORMALIZED pixels then normalizes
+            # (pertubation_eval:90-96): on normalized inputs the equivalent
+            # masked value is -mean/std per channel.
+            mean = np.array([0.485, 0.456, 0.406], np.float32)
+            std = np.array([0.229, 0.224, 0.225], np.float32)
             for negative in (False, True):
                 res = run_perturbation_eval(
-                    classify, x, labels, rel, negative=negative
+                    classify, x, labels, rel, negative=negative,
+                    fill=-mean / std,
                 )
                 accs[negative].append(res.accuracy)
             weights.append(x.shape[0])

@@ -53,7 +53,8 @@ def test_relevant_masking_hurts_more_than_random():
     assert good.accuracy[-1] <= bad.accuracy[0] + 1e-6
     assert len(good.accuracy) == len(PERTURBATION_STEPS)
     d = good.as_dict()
-    assert set(d) == {"steps", "accuracy", "target_prob_drop", "auc"}
+    assert set(d) == {"steps", "accuracy", "target_prob_drop", "auc",
+                      "logit_diff", "dissimilarity"}
 
 
 def test_negative_mode_flips_order():
@@ -176,3 +177,49 @@ class TestImageNetDataPath:
         assert len(body) == 3 * 2  # 3 methods x pos/neg
         for row in body:
             assert np.isfinite(float(row[2]))
+
+
+class TestReferenceMetricFidelity:
+    """The reference's masking and extra metrics (pertubation_eval:88-117):
+    pixels are zeroed BEFORE normalization (= per-channel -mean/std fill on
+    normalized inputs), and logit-diff / log(P(target)/P(second)) are
+    tracked per step."""
+
+    def test_fill_value_applied(self):
+        from conceptattention_tpu.evals.perturbation import (
+            _mask_top_pixels,
+            _pixel_ranks,
+        )
+
+        img = jnp.ones((1, 3, 4, 4))
+        rel = jnp.arange(16.0)[None]
+        ranks = _pixel_ranks(rel)
+        fill = jnp.asarray([-2.0, 0.5, 3.0])
+        out = np.asarray(_mask_top_pixels(img, ranks, jnp.asarray(4), fill))
+        # the 4 highest-relevance pixels got the per-channel fill
+        masked = out.reshape(3, 16)[:, 12:]  # rel is ascending: last 4 masked
+        np.testing.assert_allclose(
+            masked, np.broadcast_to(np.asarray(fill)[:, None], (3, 4))
+        )
+        np.testing.assert_allclose(out.reshape(3, 16)[:, :12], 1.0)
+
+    def test_extra_metrics_present_and_finite(self):
+        from conceptattention_tpu.evals.perturbation import run_perturbation_eval
+
+        key = jax.random.PRNGKey(0)
+        w = jax.random.normal(key, (3 * 8 * 8, 5))
+
+        def classify(x):
+            return x.reshape(x.shape[0], -1) @ w
+
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 8))
+        labels = jnp.asarray([0, 3])
+        rel = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8))
+        res = run_perturbation_eval(classify, imgs, labels, rel,
+                                    fill=jnp.asarray([-1.0, -1.0, -1.0]))
+        assert res.logit_diff.shape == (9,)
+        assert res.dissimilarity.shape == (9,)
+        assert np.isfinite(res.logit_diff).all()
+        assert np.isfinite(res.dissimilarity).all()
+        d = res.as_dict()
+        assert "logit_diff" in d and "dissimilarity" in d
