@@ -42,6 +42,22 @@ def _conditioning_vector(params, cfg: FluxConfig, timesteps, guidance, y):
     return vec + mlp_embedder(y, params["vector_in"])
 
 
+def _controlnet_per_layer(samples, depth: int, repeat: bool):
+    """[n, B, P, D] ControlNet residuals -> [depth, B, P, D] scan xs (sample
+    i % n when `repeat` — Xlabs layout — else i // ceil(depth/n), matching
+    diffusers' interval_control). None passes through (the scan body then
+    skips the add statically)."""
+    if samples is None:
+        return None
+    n = samples.shape[0]
+    if repeat:
+        idx = [i % n for i in range(depth)]
+    else:
+        interval = -(-depth // n)  # ceil
+        idx = [min(i // interval, n - 1) for i in range(depth)]
+    return samples[jnp.asarray(idx)]
+
+
 def flux_forward(
     params: Dict[str, Any],
     cfg: FluxConfig,
@@ -58,6 +74,9 @@ def flux_forward(
     stop_after_multimodal_attentions: bool = False,
     spec: ConceptAttentionSpec = ConceptAttentionSpec(),
     remat: bool = False,
+    controlnet_block_samples: Optional[jax.Array] = None,
+    controlnet_single_block_samples: Optional[jax.Array] = None,
+    controlnet_blocks_repeat: bool = False,
 ) -> Tuple[Optional[jax.Array], Dict[str, jax.Array]]:
     """Run the DiT.
 
@@ -70,6 +89,12 @@ def flux_forward(
       concepts: [B, C, context_in_dim] per-concept T5 embeddings, or None.
       concept_vec: [B, vec_in_dim] concept CLIP vector (zeros in the reference
         method — utils.py:31).
+      controlnet_block_samples: [n, B, P, hidden] residuals added to the img
+        stream after each double block — reference diffusers wrapper
+        flux_dit_with_concept_attention.py:224-235: sample i // ceil(depth/n)
+        per layer, or i % n when `controlnet_blocks_repeat` (Xlabs layout).
+      controlnet_single_block_samples: [m, B, P, hidden] residuals added to
+        the image slice after each single block (reference :261-268).
 
     Returns:
       (pred, saliency): pred is [B, P, in_channels] (None when
@@ -108,23 +133,29 @@ def flux_forward(
         # (23 GB) out of the loop.
         return jax.lax.optimization_barrier(layer_params)
 
-    def double_step(carry, layer_params):
+    def double_step(carry, xs):
         img, txt, concepts = carry
+        layer_params, cn = xs
         layer_params = _dequant_layer(layer_params)
         img, txt, concepts, saliency = double_block(
             layer_params, img, txt, vec, pe, cfg.num_heads,
             concepts=concepts, concept_vec=cvec, concept_pe=concept_pe,
             spec=spec,
         )
+        if cn is not None:
+            img = img + cn.astype(img.dtype)
         return (img, txt, concepts), saliency
 
+    cn_double = _controlnet_per_layer(
+        controlnet_block_samples, cfg.depth, controlnet_blocks_repeat
+    )
     if remat:
         # Rematerialize per layer under grad: backward recomputes each block's
         # activations from its boundary carry instead of saving every
         # intermediate of all depth layers (training/train_step.py sets this).
         double_step = jax.checkpoint(double_step)
     (img, txt, concepts), saliency = jax.lax.scan(
-        double_step, (img, txt, concepts), params["double"]
+        double_step, (img, txt, concepts), (params["double"], cn_double)
     )
 
     if stop_after_multimodal_attentions:
@@ -132,19 +163,28 @@ def flux_forward(
 
     x = jnp.concatenate([txt, img], axis=1)
 
-    def single_step(x, layer_params):
-        return (
-            single_block(
-                _dequant_layer(layer_params), x, vec, pe, cfg.num_heads,
-                cfg.mlp_hidden_dim, backend=spec.backend,
-                block_q=spec.block_q, block_k=spec.block_k,
-            ),
-            None,
-        )
+    t_len = txt.shape[1]
 
+    def single_step(x, xs):
+        layer_params, cn = xs
+        x = single_block(
+            _dequant_layer(layer_params), x, vec, pe, cfg.num_heads,
+            cfg.mlp_hidden_dim, backend=spec.backend,
+            block_q=spec.block_q, block_k=spec.block_k,
+        )
+        if cn is not None:
+            # residual lands on the image slice only (reference :261-268)
+            x = jnp.concatenate(
+                [x[:, :t_len], x[:, t_len:] + cn.astype(x.dtype)], axis=1
+            )
+        return x, None
+
+    cn_single = _controlnet_per_layer(
+        controlnet_single_block_samples, cfg.depth_single_blocks, False
+    )
     if remat:
         single_step = jax.checkpoint(single_step)
-    x, _ = jax.lax.scan(single_step, x, params["single"])
+    x, _ = jax.lax.scan(single_step, x, (params["single"], cn_single))
     x = x[:, txt.shape[1] :]
     pred = last_layer(params["final"], x, vec)
     return pred, saliency

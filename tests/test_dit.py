@@ -222,3 +222,77 @@ class TestHeatmapReduction:
         # and the tiny test config stays tiny
         tiny_params = init_flux_params(jax.random.PRNGKey(0), CFG, jnp.float32)
         assert param_count(tiny_params) < 10e6
+
+
+class TestControlNetResiduals:
+    """Ecosystem-compat ControlNet hooks (reference diffusers wrapper
+    flux_dit_with_concept_attention.py:224-268): per-double-block img
+    residuals with interval or Xlabs-repeat mapping, per-single-block
+    residuals on the image slice."""
+
+    def _setup(self, depth=4):
+        from conceptattention_tpu.config import FluxConfig
+        from conceptattention_tpu.models.flux.params import init_flux_params
+        from conceptattention_tpu.ops.packing import make_img_ids
+
+        cfg = FluxConfig(
+            in_channels=4, vec_in_dim=8, context_in_dim=8, hidden_size=32,
+            mlp_ratio=2.0, num_heads=2, depth=depth, depth_single_blocks=2,
+            axes_dim=(4, 6, 6), qkv_bias=True, guidance_embed=False,
+        )
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        b, p_tok, t_tok = 1, 16, 4
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        kwargs = dict(
+            img=jax.random.normal(keys[0], (b, p_tok, cfg.in_channels)),
+            img_ids=make_img_ids(4, 4, b),
+            txt=jax.random.normal(keys[1], (b, t_tok, cfg.context_in_dim)),
+            txt_ids=jnp.zeros((b, t_tok, 3)),
+            timesteps=jnp.asarray([0.5]),
+            y=jax.random.normal(keys[2], (b, cfg.vec_in_dim)),
+        )
+        return cfg, params, kwargs, (b, p_tok)
+
+    def test_per_layer_mapping(self):
+        from conceptattention_tpu.models.flux.dit import _controlnet_per_layer
+
+        samples = jnp.arange(2.0)[:, None, None, None] * jnp.ones((2, 1, 1, 1))
+        # interval: ceil(4/2)=2 -> [0,0,1,1]; repeat (Xlabs): i%2 -> [0,1,0,1]
+        interval = _controlnet_per_layer(samples, 4, False)
+        repeat = _controlnet_per_layer(samples, 4, True)
+        np.testing.assert_array_equal(interval[:, 0, 0, 0], [0, 0, 1, 1])
+        np.testing.assert_array_equal(repeat[:, 0, 0, 0], [0, 1, 0, 1])
+        assert _controlnet_per_layer(None, 4, False) is None
+
+    def test_zero_residuals_are_identity(self):
+        from conceptattention_tpu.models.flux.dit import flux_forward
+
+        cfg, params, kwargs, (b, p) = self._setup()
+        base, _ = flux_forward(params, cfg, **kwargs)
+        zeros = jnp.zeros((2, b, p, cfg.hidden_size))
+        same, _ = flux_forward(
+            params, cfg, **kwargs,
+            controlnet_block_samples=zeros,
+            controlnet_single_block_samples=zeros,
+        )
+        np.testing.assert_allclose(np.asarray(base), np.asarray(same),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_residuals_change_output(self):
+        from conceptattention_tpu.models.flux.dit import flux_forward
+
+        cfg, params, kwargs, (b, p) = self._setup()
+        base, _ = flux_forward(params, cfg, **kwargs)
+        cn = 0.1 * jax.random.normal(jax.random.PRNGKey(9),
+                                     (2, b, p, cfg.hidden_size))
+        out_d, _ = flux_forward(params, cfg, **kwargs,
+                                controlnet_block_samples=cn)
+        out_s, _ = flux_forward(params, cfg, **kwargs,
+                                controlnet_single_block_samples=cn)
+        assert not np.allclose(np.asarray(base), np.asarray(out_d))
+        assert not np.allclose(np.asarray(base), np.asarray(out_s))
+        # repeat mapping differs from interval mapping (different layer order)
+        out_r, _ = flux_forward(params, cfg, **kwargs,
+                                controlnet_block_samples=cn,
+                                controlnet_blocks_repeat=True)
+        assert not np.allclose(np.asarray(out_d), np.asarray(out_r))
