@@ -245,9 +245,13 @@ def main():
             (19, 38, "w8", ("pallas",), 1),    # full arch, int8, single image
             (min(19, n), min(38, 2 * n), False, ("xla", "pallas"), 1),
         ]
-    bf16_rung = (min(19, max(1, int(hbm * 0.5 / 1.25e9))),
-                 min(38, 2 * max(1, int(hbm * 0.5 / 1.25e9))),
-                 False, ("pallas", "xla"), 1)
+    n_bf = max(1, int(hbm * 0.5 / 1.25e9))
+    # b4 measured 0.773x vs b1's 0.705x (better dispatch amortization); b1
+    # stays as the fallback rung if activations OOM on a smaller chip.
+    bf16_rungs = [
+        (min(19, n_bf), min(38, 2 * n_bf), False, ("pallas",), 4),
+        (min(19, n_bf), min(38, 2 * n_bf), False, ("pallas", "xla"), 1),
+    ]
 
     for depth, depth_single, quantize, backends, batch in ladder:
         try:
@@ -316,9 +320,13 @@ def main():
 
         bf16_companion = None
         if quantize:
-            try:
-                d2, s2, q2, be2, b2 = bf16_rung
-                bf_imgs, _, bf_backend, _, _ = attempt(d2, s2, q2, be2, b2)
+            for d2, s2, q2, be2, b2 in bf16_rungs:
+                try:
+                    bf_imgs, _, bf_backend, _, _ = attempt(d2, s2, q2, be2, b2)
+                except Exception as e:
+                    print(f"# bf16 companion b{b2} skipped: {type(e).__name__}",
+                          file=sys.stderr)
+                    continue
                 bf_scale = (d2 + 0.5 * s2) / (FULL_DEPTH[0] + 0.5 * FULL_DEPTH[1])
                 bf_equiv = bf_imgs * bf_scale
                 bf16_companion = {
@@ -327,9 +335,7 @@ def main():
                     "full_depth_equiv": round(bf_equiv, 4),
                     "vs_baseline": round(bf_equiv / A100_FULL_FLUX_IMGS_PER_SEC, 3),
                 }
-            except Exception as e:
-                print(f"# bf16 companion skipped: {type(e).__name__}",
-                      file=sys.stderr)
+                break
 
         record = {
             "metric": (

@@ -14,6 +14,32 @@ Public API parity target: `concept_attention/__init__.py:2` in the reference.
 __version__ = "0.1.0"
 
 
+def _honor_jax_platforms_env() -> None:
+    """Restore standard JAX semantics for an EXPLICIT JAX_PLATFORMS env var.
+
+    This environment's sitecustomize registers the axon TPU plugin and resets
+    jax_platforms to "axon,cpu" after import, trampling a user's
+    JAX_PLATFORMS=cpu — which silently routes experiment subprocesses to the
+    remote TPU relay (minutes-long compiles). Re-applying the env value here
+    is a no-op everywhere sitecustomize doesn't interfere.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # backends already initialized: leave whatever the host chose
+
+
+_honor_jax_platforms_env()
+
+
 def __getattr__(name):
     # Lazy public-API imports: keep `import conceptattention_tpu` light so ops
     # and model modules are usable without pulling the full pipeline stack.
