@@ -37,7 +37,12 @@ def main():
     parser.add_argument("--num_images", type=int, default=None)
     parser.add_argument("--background_concepts", nargs="+",
                         default=["background", "floor", "grass", "tree", "sky"])
+    parser.add_argument("--state_path", default=None,
+                        help="JSON checkpoint of running metrics; resumes an "
+                        "interrupted eval from the next image")
     args = parser.parse_args()
+
+    import json
 
     from conceptattention_tpu import ConceptAttentionFluxPipeline
     from conceptattention_tpu.evals.datasets import (
@@ -68,9 +73,19 @@ def main():
     total_inter = np.zeros(2)
     total_union = np.zeros(2)
     ap_scores = []
+    start = 0
+    if args.state_path and _os.path.exists(args.state_path):
+        with open(args.state_path) as f:
+            st = json.load(f)
+        start = st["next_index"]
+        total_correct, total_labeled = st["correct"], st["labeled"]
+        total_inter = np.asarray(st["inter"], np.float64)
+        total_union = np.asarray(st["union"], np.float64)
+        ap_scores = list(st["ap_scores"])
+        print(f"resuming from image {start} ({args.state_path})", flush=True)
 
     n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
-    for i in range(n):
+    for i in range(start, n):
         image, gt_mask, target = dataset[i]
         concepts = [target] + [c for c in args.background_concepts if c != target]
         masks, coeffs, _ = model(
@@ -102,6 +117,18 @@ def main():
             f"mAP {np.mean(ap_scores):.4f}",
             flush=True,
         )
+        if args.state_path:
+            tmp = args.state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({
+                    "next_index": i + 1,
+                    "correct": int(total_correct),
+                    "labeled": int(total_labeled),
+                    "inter": total_inter.tolist(),
+                    "union": total_union.tolist(),
+                    "ap_scores": [float(a) for a in ap_scores],
+                }, f)
+            _os.replace(tmp, args.state_path)
 
     print(
         f"FINAL pixAcc {total_correct/max(total_labeled,1):.4f} "
