@@ -98,12 +98,19 @@ def main():
     classify = jax.jit(lambda x: vit_forward(params, cfg, x)[0])
 
     # Batch the images once; relevance + the 9-step sweep run per method.
-    batches = []
-    for start in range(0, n, args.batch_size):
-        idxs = range(start, min(start + args.batch_size, n))
-        imgs, labels = zip(*(dataset[i] for i in idxs))
+    # Image decode + preprocessing runs on a background thread pool
+    # (utils/data.py) so the host never serializes PIL decodes.
+    from conceptattention_tpu.utils.data import PrefetchIterator, batched_indices
+
+    def load(idx):
+        imgs, labels = zip(*(dataset[i] for i in idx))
         x = jnp.concatenate([_preprocess(im, args.image_size) for im in imgs])
-        batches.append((x, jnp.asarray(labels)))
+        return x, jnp.asarray(labels)
+
+    idx_stream = (
+        idx for idx in batched_indices(n, args.batch_size)
+    )
+    batches = list(PrefetchIterator(idx_stream, load, num_threads=4))
 
     rows = []
     for method in methods:
