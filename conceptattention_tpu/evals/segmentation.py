@@ -118,7 +118,13 @@ class FluxTapSegmentationModel(SegmentationModel):
         seed: int = 4,
         width: int = 1024,
         height: int = 1024,
+        concept_cross_attention: bool = True,
+        concept_self_attention: bool = True,
     ):
+        """concept_cross_attention / concept_self_attention reproduce the
+        reference's joint_attention_kwargs ablations (run_cross_self_
+        ablation.sh; modified_double_stream_block.py:126-159): which key set
+        the concept queries attend over."""
         assert tap in ("output", "cross_attention", "value")
         self.pipe = pipeline
         self.tap = tap
@@ -141,6 +147,8 @@ class FluxTapSegmentationModel(SegmentationModel):
         self.seed = seed
         self.width = width
         self.height = height
+        self.concept_cross_attention = concept_cross_attention
+        self.concept_self_attention = concept_self_attention
 
     def segment_individual_image(self, image, concepts, caption, **kwargs):
         from conceptattention_tpu.pipeline.concept_pipeline import (
@@ -163,7 +171,11 @@ class FluxTapSegmentationModel(SegmentationModel):
         saliency = batched_noise_saliency(
             pipe, z, t, self.num_samples, self.height, self.width, self.seed,
             txt, txt_ids, vec, c_emb, c_ids, c_vec,
-            ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
+            ConceptAttentionSpec(
+                taps=(self.tap,), backend=default_backend(),
+                cross_attention=self.concept_cross_attention,
+                self_attention=self.concept_self_attention,
+            ),
         )
         stacked = saliency[self.tap]  # [N, L, 1, C, P]
         if self.softmax:
@@ -193,7 +205,11 @@ class FluxTapSegmentationModel(SegmentationModel):
         saliency = batched_noise_saliency(
             pipe, z, t, self.num_samples, self.height, self.width, self.seed,
             txt, txt_ids, vec, c_emb, c_ids, c_vec,
-            ConceptAttentionSpec(taps=(self.tap,), backend=default_backend()),
+            ConceptAttentionSpec(
+                taps=(self.tap,), backend=default_backend(),
+                cross_attention=self.concept_cross_attention,
+                self_attention=self.concept_self_attention,
+            ),
         )
         stacked = saliency[self.tap]  # [N, L, 1, C, P]
         if self.softmax:

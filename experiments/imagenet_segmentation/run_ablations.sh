@@ -24,3 +24,10 @@ $RUN --tap output --apply_blur
 # Layer-range ablation
 $RUN --tap output --layers 0 1 2 3
 $RUN --tap output --layers 14 15 16 17
+
+# Cross/self concept-attention ablation (reference run_cross_self_ablation.sh)
+$RUN --tap output --no-concept_self_attention
+$RUN --tap output --no-concept_cross_attention --concept_self_attention
+
+# "Chefer-fair" 14x14 downscale test (reference run_downscale_test.sh)
+$RUN --tap output --downscale 14

@@ -52,6 +52,15 @@ def main():
     parser.add_argument("--layers", type=int, nargs="+", default=list(range(14, 18)))
     parser.add_argument("--softmax", action="store_true")
     parser.add_argument("--apply_blur", action="store_true")
+    # joint_attention_kwargs ablations (reference run_cross_self_ablation.sh)
+    parser.add_argument("--concept_cross_attention",
+                        action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument("--concept_self_attention",
+                        action=argparse.BooleanOptionalAction, default=True)
+    # "Chefer-fair" downscale test (reference run_downscale_test.sh):
+    # coefficients are first reduced to NxN (ViT token resolution, 14) so all
+    # methods are scored at the same map granularity.
+    parser.add_argument("--downscale", type=int, default=None)
     parser.add_argument("--num_images", type=int, default=None)
     parser.add_argument("--background_concepts", nargs="+",
                         default=["background", "floor", "grass", "tree", "sky"])
@@ -105,6 +114,8 @@ def main():
                 pipe, tap=tap, num_steps=args.num_steps,
                 noise_timestep=args.noise_timestep, layer_indices=args.layers,
                 softmax=args.softmax, width=args.width, height=args.width,
+                concept_cross_attention=args.concept_cross_attention,
+                concept_self_attention=args.concept_self_attention,
             )
 
     total_correct = total_labeled = 0
@@ -133,6 +144,12 @@ def main():
             [image], target_concepts=[target], concepts=concepts,
             captions=[target], apply_blur=args.apply_blur,
         )
+        if args.downscale:
+            d = args.downscale
+            coeffs[0] = np.asarray(
+                upsample_nearest(coeffs[0].astype(np.float64), d, d)
+            )
+            masks[0] = coeffs[0] > coeffs[0].mean()
         # Upsample token-grid prediction to label resolution
         label = (gt_mask > 0).astype(np.int64)
         label224 = label if label.shape == (args.label_size,) * 2 else (

@@ -71,3 +71,50 @@ def test_harness_runs_and_resumes(tmp_path):
     st = json.load(open(state))
     assert st["next_index"] == 3
     assert "FINAL" in r2.stdout
+
+
+def test_cross_self_ablations_differ(tmp_path):
+    """The joint_attention_kwargs ablations (reference
+    run_cross_self_ablation.sh) must actually change the maps."""
+    import jax.numpy as jnp
+
+    import conceptattention_tpu as cat
+    from conceptattention_tpu.evals.segmentation import FluxTapSegmentationModel
+
+    pipe = cat.ConceptAttentionFluxPipeline("flux-tiny", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    maps = {}
+    for name, (cross, self_) in {
+        "both": (True, True), "cross_only": (True, False),
+        "self_only": (False, True),
+    }.items():
+        m = FluxTapSegmentationModel(
+            pipe, tap="output", num_steps=2, noise_timestep=1,
+            width=64, height=64, layer_indices=[0, 1],
+            concept_cross_attention=cross, concept_self_attention=self_,
+        )
+        coeff, _ = m.segment_individual_image(image, ["cat", "sky"], "a cat")
+        maps[name] = coeff
+    assert not np.allclose(maps["both"], maps["cross_only"])
+    assert not np.allclose(maps["both"], maps["self_only"])
+    assert not np.allclose(maps["cross_only"], maps["self_only"])
+
+
+def test_downscale_flag(tmp_path):
+    """--downscale N scores at NxN map granularity (reference
+    run_downscale_test.sh 'Chefer-fair' protocol)."""
+    mat = str(tmp_path / "gtsegs.mat")
+    _make_mat(mat, n=1)
+    r = subprocess.run(
+        [sys.executable, "experiments/imagenet_segmentation/run_experiment.py",
+         "--mat_path", mat, "--model_name", "flux-tiny",
+         "--width", "64", "--label_size", "40", "--num_steps", "2",
+         "--noise_timestep", "1", "--layers", "0", "1",
+         "--downscale", "8", "--num_images", "1"],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "JAX_COMPILATION_CACHE_DIR": "/root/repo/.jax_cache"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "FINAL" in r.stdout
