@@ -52,9 +52,12 @@ class ConceptAttentionSpec:
     block_q: int = None
     block_k: int = None
     # Ring backend only: the jax.sharding.Mesh to shard over and its
-    # sequence axis name.
+    # sequence axis name. batch_axis/head_axis optionally compose the ring
+    # with dp (batch) and tp (heads) in one mesh — dp x sp x tp.
     mesh: Optional[object] = None
     seq_axis: str = "seq"
+    batch_axis: Optional[str] = None
+    head_axis: Optional[str] = None
 
 
 def default_backend() -> str:
@@ -254,6 +257,7 @@ def _ring_joint_concept_attention(txt_qkv, img_qkv, concept_qkv, pe, concept_pe,
     fn = make_ring_concept_attention(
         spec.mesh, spec.seq_axis, txt_len=t, img_len=p, concept_len=c_real,
         cross=spec.cross_attention, self_attention=spec.self_attention,
+        batch_axis=spec.batch_axis, head_axis=spec.head_axis,
     )
     out = fn(q, k, v)
 

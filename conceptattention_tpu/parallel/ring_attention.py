@@ -172,14 +172,22 @@ def make_ring_concept_attention(
     concept_len: int,
     cross: bool = True,
     self_attention: bool = True,
+    batch_axis: str = None,
+    head_axis: str = None,
 ):
     """shard_map-wrapped `ring_concept_attention` over [B, H, S, D] inputs
-    sharded on S (S divisible by the mesh's `axis_name` size)."""
+    sharded on S (S divisible by the mesh's `axis_name` size).
+
+    `batch_axis` / `head_axis` compose the ring with data and tensor
+    parallelism in ONE mesh (dp x sp x tp): batch shards over `batch_axis`,
+    heads over `head_axis`, and each (data, model) slice runs its own
+    independent seq ring — the online-softmax body is per-(batch, head), so
+    nothing else changes."""
     from jax.sharding import PartitionSpec as P
 
     from conceptattention_tpu.parallel._compat import shard_map_compat
 
-    spec = P(None, None, axis_name, None)
+    spec = P(batch_axis, head_axis, axis_name, None)
     fn = functools.partial(
         ring_concept_attention,
         axis_name=axis_name,
@@ -192,13 +200,15 @@ def make_ring_concept_attention(
     return shard_map_compat(fn, mesh, (spec, spec, spec), spec)
 
 
-def make_ring_attention(mesh, axis_name: str = "seq"):
-    """shard_map-wrapped ring attention over [B, H, L, D] inputs sharded on L."""
+def make_ring_attention(mesh, axis_name: str = "seq",
+                        batch_axis: str = None, head_axis: str = None):
+    """shard_map-wrapped ring attention over [B, H, L, D] inputs sharded on L
+    (optionally also on batch/heads — see make_ring_concept_attention)."""
     from jax.sharding import PartitionSpec as P
 
     from conceptattention_tpu.parallel._compat import shard_map_compat
 
-    spec = P(None, None, axis_name, None)
+    spec = P(batch_axis, head_axis, axis_name, None)
     return shard_map_compat(
         functools.partial(ring_attention, axis_name=axis_name),
         mesh, (spec, spec, spec), spec,

@@ -200,3 +200,67 @@ def test_ring_backend_flux_forward_matches_dense():
             np.asarray(sal_ref[tap]), np.asarray(sal_ring[tap]),
             rtol=1e-3, atol=1e-4,
         )
+
+
+def test_dp_sp_tp_composed_flux_forward():
+    """Full 3D composition in ONE (data=2, seq=2, model=2) mesh: flux params
+    Megatron-sharded over `model` (GSPMD), the batch sharded over `data`, and
+    the fused attention computed as per-(data, model)-slice seq rings with
+    heads sharded over `model` inside the ring shard_map — equal to the
+    dense single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from conceptattention_tpu.config import FluxConfig
+    from conceptattention_tpu.models.flux.dit import flux_forward
+    from conceptattention_tpu.models.flux.params import init_flux_params
+    from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+    from conceptattention_tpu.ops.packing import make_img_ids
+    from conceptattention_tpu.parallel.sharding import shard_params
+
+    cfg = FluxConfig(
+        in_channels=4, vec_in_dim=8, context_in_dim=8, hidden_size=32,
+        mlp_ratio=2.0, num_heads=2, depth=2, depth_single_blocks=1,
+        axes_dim=(4, 6, 6), qkv_bias=True, guidance_embed=False,
+    )
+    params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    b, p_tok, t_tok, c_tok = 2, 16, 4, 3
+    keys = jax.random.split(jax.random.PRNGKey(1), 6)
+    inputs = dict(
+        img=jax.random.normal(keys[0], (b, p_tok, cfg.in_channels)),
+        img_ids=make_img_ids(4, 4, b),
+        txt=jax.random.normal(keys[1], (b, t_tok, cfg.context_in_dim)),
+        txt_ids=jnp.zeros((b, t_tok, 3)),
+        timesteps=jnp.asarray([0.5, 0.7]),
+        y=jax.random.normal(keys[2], (b, cfg.vec_in_dim)),
+        concepts=jax.random.normal(keys[3], (b, c_tok, cfg.context_in_dim)),
+        concept_ids=jnp.zeros((b, c_tok, 3)),
+        concept_vec=jax.random.normal(keys[4], (b, cfg.vec_in_dim)),
+    )
+
+    pred_ref, sal_ref = flux_forward(params, cfg, spec=ConceptAttentionSpec(),
+                                     **inputs)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    spec3d = ConceptAttentionSpec(
+        backend="ring", mesh=mesh, seq_axis=AXES.seq,
+        batch_axis=AXES.data, head_axis=AXES.model,
+    )
+    sharded_params = shard_params(params, mesh, cfg)
+    batch_sh = NamedSharding(mesh, P(AXES.data))
+    sharded_inputs = {
+        k: (jax.device_put(v, batch_sh) if hasattr(v, "shape") and v.ndim and
+            v.shape[0] == b else v)
+        for k, v in inputs.items()
+    }
+
+    pred_3d, sal_3d = jax.jit(
+        lambda p, kw: flux_forward(p, cfg, spec=spec3d, **kw)
+    )(sharded_params, sharded_inputs)
+    np.testing.assert_allclose(
+        np.asarray(pred_ref), np.asarray(pred_3d), rtol=2e-3, atol=2e-4
+    )
+    for tap in sal_ref:
+        np.testing.assert_allclose(
+            np.asarray(sal_ref[tap]), np.asarray(sal_3d[tap]),
+            rtol=2e-3, atol=2e-4,
+        )
