@@ -52,6 +52,7 @@ def pipeline_apply(
     with_outputs: bool = False,
     layer_param_spec: Any = None,
     shape_probe_fn: Callable[[Any, Any], Any] | None = None,
+    batch_axis: str | None = None,
 ) -> Any:
     """Apply `depth` stacked layers to `carry` with GPipe pipelining.
 
@@ -67,6 +68,12 @@ def pipeline_apply(
     outputs it computed and one all-gather over the pipe axis assembles the
     full [depth, batch, ...] stack, so tap traffic never rides the per-tick
     boundary hops.
+
+    `batch_axis` composes pp with DATA parallelism in the same mesh: each
+    microbatch's rows shard over that axis (every data row runs the full
+    pipeline schedule on its slice of every microbatch — boundary ppermutes
+    stay within the data slice). Requires batch/num_microbatches divisible
+    by the axis size.
 
     `layer_param_spec` is an optional per-LAYER PartitionSpec pytree (leaf
     specs WITHOUT the depth axis, e.g. sharding._double_block_spec()): leaves
@@ -168,15 +175,19 @@ def pipeline_apply(
             lambda leaf_spec: P(axis, None, *leaf_spec), layer_param_spec,
             is_leaf=lambda x: isinstance(x, P),
         )
-    spec_x = jax.tree.map(lambda _: P(), c_micro)
-    spec_y = jax.tree.map(lambda _: P(), c_micro)
+    # carry layout is [m, batch/m, ...]: with a batch_axis the per-microbatch
+    # rows shard over it (pp x dp); otherwise replicated.
+    spec_x = jax.tree.map(lambda _: P(None, batch_axis), c_micro)
+    spec_y = jax.tree.map(lambda _: P(None, batch_axis), c_micro)
     if with_outputs:
         # Probe output structure to build specs for ys: [stages, m, local_depth, mb, ...]
         probe_c = jax.tree.map(lambda a: a[0], c_micro)
         probe_p = jax.tree.map(lambda a: a[0, 0], p_staged)
         probe = shape_probe_fn or layer_fn
         _, y_shape = jax.eval_shape(lambda p, c: probe(p, c), probe_p, probe_c)
-        spec_ys = jax.tree.map(lambda _: P(axis), y_shape)
+        # ys are [stages, m, local_depth, mb, ...]: stage axis over pipe,
+        # microbatch rows over the data axis when composing pp x dp.
+        spec_ys = jax.tree.map(lambda _: P(axis, None, None, batch_axis), y_shape)
         y, ys = _shard_map(
             stage_body, mesh, (spec_p, spec_x), (spec_y, spec_ys)
         )(p_staged, c_micro)

@@ -351,3 +351,53 @@ class TestPipelineTensorParallelComposition:
                 np.asarray(got_sal[k]), np.asarray(want_sal[k]),
                 rtol=3e-5, atol=3e-5,
             )
+
+
+class TestPipelineDataParallelComposition:
+    """pp x dp (+ tp): microbatch rows shard over `data` inside the pipe
+    mesh, composing all three strategies in ONE mesh — equal to the scan."""
+
+    def test_pp_dp_tp_composed_matches_scan(self):
+        from conceptattention_tpu.models.flux.blocks import double_block
+        from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+        from conceptattention_tpu.parallel.sharding import double_block_layer_spec
+
+        helper = TestPipelineTensorParallelComposition()
+        cfg, stack, carry = helper._fixture(depth=2)
+        spec = ConceptAttentionSpec()
+
+        def make_layer(tp_axis):
+            def layer(lp, c):
+                img, txt, con, sal = double_block(
+                    lp, c["img"], c["txt"], c["vec"], c["pe"], cfg.num_heads,
+                    concepts=c["con"], concept_vec=c["cvec"],
+                    concept_pe=c["cpe"], spec=spec, tp_axis=tp_axis,
+                )
+                return {**c, "img": img, "txt": txt, "con": con}, sal
+
+            return layer
+
+        dense_layer = make_layer(None)
+        want_c, want_sal = jax.lax.scan(
+            lambda c, lp: dense_layer(lp, c), carry, stack
+        )
+
+        mesh = make_mesh(pipe=2, data=2, model=2)
+        got_c, got_sal = jax.jit(
+            lambda p, c: pipeline_apply(
+                make_layer(AXES.model), p, c, mesh, axis=AXES.pipe,
+                num_microbatches=2, with_outputs=True,
+                layer_param_spec=double_block_layer_spec(),
+                shape_probe_fn=dense_layer,
+                batch_axis=AXES.data,
+            )
+        )(stack, carry)
+        for k in ("img", "txt", "con"):
+            np.testing.assert_allclose(
+                np.asarray(got_c[k]), np.asarray(want_c[k]), rtol=3e-5, atol=3e-5
+            )
+        for k in want_sal:
+            np.testing.assert_allclose(
+                np.asarray(got_sal[k]), np.asarray(want_sal[k]),
+                rtol=3e-5, atol=3e-5,
+            )
