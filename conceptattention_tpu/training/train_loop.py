@@ -168,7 +168,9 @@ def train_loop(
     losses = []
     for i in range(start, tc.total_steps):
         batch = next(data)
-        key, sub = jax.random.split(key)
+        # fold_in by step index (not sequential splits): a resumed run uses
+        # the SAME per-step keys an uninterrupted run would have used.
+        sub = jax.random.fold_in(key, i)
         params, ema, opt_state, loss = step_fn(params, ema, opt_state, batch, sub)
         losses.append(float(loss))
         if (i + 1) % tc.log_every == 0:

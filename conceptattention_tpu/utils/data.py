@@ -14,7 +14,6 @@ evals/datasets.ImagenetSegmentation, ...) or any iterator of host batches.
 from __future__ import annotations
 
 import collections
-import queue
 import threading
 from typing import Any, Callable, Iterable, Iterator, Optional, Sequence
 
@@ -37,7 +36,11 @@ class PrefetchIterator:
         buffer_size: int = 4,
         num_threads: int = 2,
     ):
-        self._q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+        # Backpressure: workers acquire a slot before pulling from the
+        # source, the consumer releases it on emit — at most buffer_size
+        # results (computed or in flight) ever exist, so memory is bounded
+        # no matter how slow the consumer is.
+        self._slots = threading.Semaphore(max(1, buffer_size))
         self._src = iter(source)
         self._fn = fn
         self._lock = threading.Lock()  # serializes pulls from the source
@@ -55,13 +58,16 @@ class PrefetchIterator:
 
     def _worker(self):
         while True:
+            self._slots.acquire()
             with self._lock:
                 if self._done:
+                    self._slots.release()
                     return
                 try:
                     item = next(self._src)
                 except StopIteration:
                     self._done = True
+                    self._slots.release()
                     with self._cv:
                         self._cv.notify_all()
                     return
@@ -86,6 +92,7 @@ class PrefetchIterator:
                 self._cv.wait(timeout=0.1)
             seq, value, err = self._pending.pop(self._emit)
             self._emit += 1
+        self._slots.release()  # free the buffer slot for the next load
         if err is not None:
             raise err
         return value

@@ -87,3 +87,27 @@ class TestLoader:
         batches = list(make_loader(ds, 4, collate, device_prefetch=1))
         assert [b[0].shape[0] for b in batches] == [4, 2]
         assert np.asarray(batches[0][1]).tolist() == [0, 0, 0, 1]
+
+
+def test_backpressure_bounds_buffer():
+    """buffer_size is a hard bound: a stalled consumer stops the workers
+    after buffer_size loads (memory stays bounded on huge datasets)."""
+    import threading
+
+    from conceptattention_tpu.utils.data import PrefetchIterator
+
+    calls = []
+    lock = threading.Lock()
+
+    def fn(x):
+        with lock:
+            calls.append(x)
+        return x
+
+    it = PrefetchIterator(range(100), fn, buffer_size=3, num_threads=4)
+    time.sleep(0.3)  # consumer stalls; workers must park after 3 loads
+    assert len(calls) <= 3
+    assert next(it) == 0
+    time.sleep(0.2)  # one slot freed -> exactly one more load
+    assert len(calls) <= 4
+    it.close()
