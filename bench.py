@@ -50,11 +50,10 @@ def flux_denoise_ops(depth, depth_single, num_steps, p_tokens, t_tokens, c_token
     """Analytic (matmul_ops, attention_ops) per image for the denoise loop,
     counting multiply-adds as 2 ops.
 
-    Double block per layer: each stream's tokens pass qkv (6*D^2/token),
-    proj (2*D^2), mlp (2*(1+mlp_ratio)*2*D^2) -> 2*D^2*(4 + 2*(1+r)) per
-    token; joint attention 4*S_joint^2*D plus the concept pass
-    4*C*(C+P)*D. Single block: linear1 D->(3+r)D and linear2 (1+r)D->D give
-    2*D^2*(4+2r+2... ) — computed explicitly below.
+    Double block per layer, per token: qkv 6*D^2, proj 2*D^2, mlp
+    2*r*D^2*2 -> 2*D^2*(4 + 2r); joint attention 4*S_joint^2*D plus the
+    concept pass 4*C*(C+P)*D. Single block per token: linear1 D->(3+r)D and
+    linear2 (1+r)D->D -> 2*D^2*(4 + 2r).
     """
     d2 = hidden * hidden
     r = mlp_ratio

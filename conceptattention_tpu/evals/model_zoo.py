@@ -27,7 +27,7 @@ harness smoke tests; metrics are then meaningless.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 MODEL_CHOICES = (
     "RawOutputSpace", "RawCrossAttention", "RawValueSpace", "DAAMFlux",
