@@ -37,14 +37,19 @@ class PerturbationResult:
     dissimilarity: np.ndarray = None   # mean log(P(target)/P(second-best))
 
     def as_dict(self) -> Dict[str, object]:
-        return {
+        out = {
             "steps": list(self.steps),
             "accuracy": self.accuracy.tolist(),
             "target_prob_drop": self.target_prob_drop.tolist(),
             "auc": float(self.auc),
-            "logit_diff": self.logit_diff.tolist(),
-            "dissimilarity": self.dissimilarity.tolist(),
         }
+        # optional per-step extras: present iff the sweep recorded them (the
+        # dataclass signature allows constructing without)
+        if self.logit_diff is not None:
+            out["logit_diff"] = self.logit_diff.tolist()
+        if self.dissimilarity is not None:
+            out["dissimilarity"] = self.dissimilarity.tolist()
+        return out
 
 
 def _pixel_ranks(relevance: jax.Array) -> jax.Array:

@@ -62,12 +62,15 @@ def pipeline_apply(
     `carry` leaves are [batch, ...] with batch % num_microbatches == 0.
 
     With `with_outputs=True`, layer_fn returns (carry, y) per layer — the
-    lax.scan ys convention — and pipeline_apply returns (carry, ys) with ys
-    leaves stacked [depth, batch, ...]. Every y leaf must be batch-leading
-    (saliency maps are [B, C, P]); each stage keeps only the per-layer
-    outputs it computed and one all-gather over the pipe axis assembles the
-    full [depth, batch, ...] stack, so tap traffic never rides the per-tick
-    boundary hops.
+    lax.scan ys convention — and pipeline_apply returns (carry, ys).
+    Batch-leading y leaves (saliency maps are [B, C, P]) come back stacked
+    [depth, batch, ...], exactly matching scan; non-batch-leading leaves
+    (per-layer scalars/vectors) come back [depth, num_microbatches, ...] with
+    per-microbatch values (scan's single full-batch value does not exist in a
+    pipelined schedule) and stay replicated on any `batch_axis`. Each stage
+    keeps only the per-layer outputs it computed and one all-gather over the
+    pipe axis assembles the full stack, so tap traffic never rides the
+    per-tick boundary hops.
 
     `batch_axis` composes pp with DATA parallelism in the same mesh: each
     microbatch's rows shard over that axis (every data row runs the full
@@ -185,18 +188,35 @@ def pipeline_apply(
         probe_p = jax.tree.map(lambda a: a[0, 0], p_staged)
         probe = shape_probe_fn or layer_fn
         _, y_shape = jax.eval_shape(lambda p, c: probe(p, c), probe_p, probe_c)
-        # ys are [stages, m, local_depth, mb, ...]: stage axis over pipe,
-        # microbatch rows over the data axis when composing pp x dp.
-        spec_ys = jax.tree.map(lambda _: P(axis, None, None, batch_axis), y_shape)
+        # ys are [stages, m, local_depth, *leaf]: stage axis over pipe and —
+        # only for batch-leading leaves — microbatch rows over the data axis
+        # when composing pp x dp. Per-leaf specs: a scalar/vector aux leaf
+        # (per-layer norm, loss, ...) has no mb dim to shard, and a length-4
+        # fixed spec would either over-rank it or misshard a [C] vector over
+        # `data`, so those leaves stay replicated on the data axis.
+        mb_rows = batch // m
+
+        def _spec_for_y(leaf):
+            if (batch_axis is not None and leaf.ndim >= 1
+                    and leaf.shape[0] == mb_rows):
+                return P(axis, None, None, batch_axis)
+            return P(axis, None, None)
+
+        spec_ys = jax.tree.map(_spec_for_y, y_shape)
         y, ys = _shard_map(
             stage_body, mesh, (spec_p, spec_x), (spec_y, spec_ys)
         )(p_staged, c_micro)
         carry_out = jax.tree.map(lambda a: a.reshape(batch, *a.shape[2:]), y)
-        # [stages, m, local_depth, mb, ...] -> [depth, batch, ...]
+        # Batch-leading leaves: [stages, m, local_depth, mb, ...] ->
+        # [depth, batch, ...] (scan-identical). Other leaves (per-layer
+        # scalars/vectors) keep their per-microbatch values:
+        # [depth, m, ...] — scan's full-batch value does not exist here.
         def assemble(a):
-            s, mm, ld, mb = a.shape[:4]
-            a = jnp.moveaxis(a, 2, 1)  # [stages, local_depth, m, mb, ...]
-            return a.reshape(s * ld, mm * mb, *a.shape[4:])
+            s, mm, ld = a.shape[:3]
+            a = jnp.moveaxis(a, 2, 1)  # [stages, local_depth, m, *leaf]
+            if a.ndim >= 4 and a.shape[3] == mb_rows:
+                return a.reshape(s * ld, mm * a.shape[3], *a.shape[4:])
+            return a.reshape(s * ld, mm, *a.shape[3:])
 
         return carry_out, jax.tree.map(assemble, ys)
     y = _shard_map(stage_body, mesh, (spec_p, spec_x), spec_y)(p_staged, c_micro)

@@ -42,17 +42,27 @@ class TrainConfig:
     grad_accum: int = 1            # microbatches per optimizer update
     ema_decay: float = 0.999       # 0 disables the EMA shadow
     checkpoint_dir: Optional[str] = None
-    checkpoint_every: int = 100    # optimizer steps between saves
+    checkpoint_every: int = 100    # MICRO-steps between saves
     log_every: int = 10
 
 
 def make_lr_schedule(tc: TrainConfig) -> optax.Schedule:
-    """Linear warmup -> cosine decay to min_lr_ratio * peak."""
+    """Linear warmup -> cosine decay to min_lr_ratio * peak.
+
+    total_steps / warmup_steps count MICRO-steps; under optax.MultiSteps the
+    inner schedule advances once per OPTIMIZER update (every grad_accum
+    micro-steps), so the schedule is built in optimizer-update units — with
+    grad_accum=4 and total_steps=1000 the cosine spans 250 updates and ends
+    at the floor, not 1/4 of the way down.
+    """
+    k = max(1, tc.grad_accum)
+    warmup = max(0, tc.warmup_steps // k)
+    total = max(tc.total_steps // k, warmup + 1)
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tc.learning_rate,
-        warmup_steps=tc.warmup_steps,
-        decay_steps=max(tc.total_steps, tc.warmup_steps + 1),
+        warmup_steps=warmup,
+        decay_steps=total,
         end_value=tc.learning_rate * tc.min_lr_ratio,
     )
 
@@ -151,11 +161,18 @@ def train_loop(
     latest = latest_checkpoint(tc.checkpoint_dir)
     if latest is not None:
         start, path = latest
-        restored = load_params(path, like={"params": params, "ema": ema})
+        restored = load_params(
+            path, like={"params": params, "ema": ema, "opt_state": opt_state}
+        )
         params, ema = restored["params"], restored["ema"]
-        # Optimizer moments restart (standard practice when only weights are
-        # checkpointed); the schedule position is restored via start.
-        opt_state = tx.init(params)
+        # Full optimizer state restores too: adam moments, the MultiSteps
+        # accumulator, AND the schedule count — a resumed run continues the
+        # warmup/cosine exactly where the interrupted one stopped instead of
+        # replaying warmup from LR ~0.
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt_state),
+            jax.tree.leaves(restored["opt_state"]),
+        )
         for _ in range(start):  # keep the data stream aligned
             next(data)
         log(f"resumed from {path} at step {start}")
@@ -166,17 +183,27 @@ def train_loop(
     )
 
     losses = []
+    device_losses = []  # fetched lazily: a float() per step would block the
+    # next dispatch behind a 30-90 ms host sync on the TPU plugin
+
+    def drain():
+        losses.extend(float(x) for x in device_losses)
+        device_losses.clear()
+
     for i in range(start, tc.total_steps):
         batch = next(data)
         # fold_in by step index (not sequential splits): a resumed run uses
         # the SAME per-step keys an uninterrupted run would have used.
         sub = jax.random.fold_in(key, i)
         params, ema, opt_state, loss = step_fn(params, ema, opt_state, batch, sub)
-        losses.append(float(loss))
+        device_losses.append(loss)
         if (i + 1) % tc.log_every == 0:
+            drain()
             log(f"step {i + 1}/{tc.total_steps} loss {losses[-1]:.5f}")
         if tc.checkpoint_dir and (i + 1) % tc.checkpoint_every == 0:
+            drain()
             save_params(_ckpt_path(tc.checkpoint_dir, i + 1),
-                        {"params": params, "ema": ema})
+                        {"params": params, "ema": ema, "opt_state": opt_state})
+    drain()
     return {"params": params, "ema": ema, "step": tc.total_steps,
             "losses": losses}

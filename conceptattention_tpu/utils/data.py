@@ -100,6 +100,11 @@ class PrefetchIterator:
     def close(self):
         with self._lock:
             self._done = True
+        # Workers park on _slots.acquire() when the buffer is full; one
+        # release wakes one of them, and its own pre-return release (the
+        # `_done` branch in _worker) cascades the wakeup to the rest —
+        # without this, close() leaks every blocked worker thread.
+        self._slots.release()
         with self._cv:
             self._cv.notify_all()
 

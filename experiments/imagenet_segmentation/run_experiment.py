@@ -57,9 +57,11 @@ def main():
                         action=argparse.BooleanOptionalAction, default=True)
     parser.add_argument("--concept_self_attention",
                         action=argparse.BooleanOptionalAction, default=True)
-    # "Chefer-fair" downscale test (reference run_downscale_test.sh):
-    # coefficients are first reduced to NxN (ViT token resolution, 14) so all
-    # methods are scored at the same map granularity.
+    # "Chefer-fair" downscale test (reference run_downscale_test.sh +
+    # run_experiment.py:179-190): ONLY the soft coefficients (the mAP input)
+    # pass through the NxN bottleneck (ViT token resolution, 14) so all
+    # methods are scored at the same map granularity; the binary mask keeps
+    # the full-resolution threshold, exactly as the reference does.
     parser.add_argument("--downscale", type=int, default=None)
     parser.add_argument("--num_images", type=int, default=None)
     parser.add_argument("--background_concepts", nargs="+",
@@ -70,8 +72,6 @@ def main():
                         "of image 0 (the reference harness always restarts)")
     args = parser.parse_args()
 
-    import json
-
     from conceptattention_tpu import ConceptAttentionFluxPipeline
     from conceptattention_tpu.evals.datasets import ImagenetSegmentation
     from conceptattention_tpu.evals.metrics import (
@@ -81,6 +81,7 @@ def main():
     )
     from conceptattention_tpu.evals.model_zoo import build_segmentation_model
     from conceptattention_tpu.evals.segmentation import FluxTapSegmentationModel
+    from conceptattention_tpu.utils.eval_state import SegEvalState
     from conceptattention_tpu.utils.plotting import upsample_nearest
 
     if not ImagenetSegmentation.available(args.mat_path):
@@ -118,20 +119,8 @@ def main():
                 concept_self_attention=args.concept_self_attention,
             )
 
-    total_correct = total_labeled = 0
-    total_inter = np.zeros(2)
-    total_union = np.zeros(2)
-    ap_scores = []
-    start = 0
-    if args.state_path and _os.path.exists(args.state_path):
-        with open(args.state_path) as f:
-            st = json.load(f)
-        start = st["next_index"]
-        total_correct, total_labeled = st["correct"], st["labeled"]
-        total_inter = np.asarray(st["inter"], np.float64)
-        total_union = np.asarray(st["union"], np.float64)
-        ap_scores = list(st["ap_scores"])
-        print(f"resuming from image {start} ({args.state_path})", flush=True)
+    st = SegEvalState.load(args.state_path)
+    start = st.next_index
 
     n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
     for i in range(start, n):
@@ -145,11 +134,11 @@ def main():
             captions=[target], apply_blur=args.apply_blur,
         )
         if args.downscale:
+            # soft coefficients only — pixAcc/mIoU keep the full-res mask
             d = args.downscale
             coeffs[0] = np.asarray(
                 upsample_nearest(coeffs[0].astype(np.float64), d, d)
             )
-            masks[0] = coeffs[0] > coeffs[0].mean()
         # Upsample token-grid prediction to label resolution
         label = (gt_mask > 0).astype(np.int64)
         label224 = label if label.shape == (args.label_size,) * 2 else (
@@ -165,39 +154,14 @@ def main():
 
         correct, labeled = batch_pix_accuracy(pred, label224)
         inter, union = batch_intersection_union(pred, label224, nclass=2)
-        total_correct += correct
-        total_labeled += labeled
-        total_inter += inter
-        total_union += union
         # soft AP over {bg, fg} channels
         soft = np.stack([1.0 - coeff224, coeff224])[None]
-        ap_scores.extend(get_ap_scores(soft, label224[None]))
+        st.update(correct, labeled, inter, union,
+                  get_ap_scores(soft, label224[None]), i + 1)
+        print(f"[{i+1}/{n}] {name}: {st.summary()}", flush=True)
+        st.save(args.state_path)
 
-        pix_acc = total_correct / max(total_labeled, 1)
-        miou = float(np.mean(total_inter / np.maximum(total_union, 1)))
-        print(
-            f"[{i+1}/{n}] {name}: pixAcc {pix_acc:.4f} mIoU {miou:.4f} "
-            f"mAP {np.mean(ap_scores):.4f}",
-            flush=True,
-        )
-        if args.state_path:
-            tmp = args.state_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({
-                    "next_index": i + 1,
-                    "correct": int(total_correct),
-                    "labeled": int(total_labeled),
-                    "inter": total_inter.tolist(),
-                    "union": total_union.tolist(),
-                    "ap_scores": [float(a) for a in ap_scores],
-                }, f)
-            _os.replace(tmp, args.state_path)  # atomic: no torn state on kill
-
-    print(
-        f"FINAL pixAcc {total_correct / max(total_labeled,1):.4f} "
-        f"mIoU {float(np.mean(total_inter / np.maximum(total_union, 1))):.4f} "
-        f"mAP {np.mean(ap_scores):.4f}"
-    )
+    print(f"FINAL {st.summary()}")
 
 
 if __name__ == "__main__":

@@ -42,8 +42,6 @@ def main():
                         "interrupted eval from the next image")
     args = parser.parse_args()
 
-    import json
-
     from conceptattention_tpu import ConceptAttentionFluxPipeline
     from conceptattention_tpu.evals.datasets import (
         VOCSingleClassSegmentation,
@@ -55,6 +53,7 @@ def main():
         get_ap_scores,
     )
     from conceptattention_tpu.evals.segmentation import FluxTapSegmentationModel
+    from conceptattention_tpu.utils.eval_state import SegEvalState
     from conceptattention_tpu.utils.plotting import upsample_nearest
 
     if not VOCSingleClassSegmentation.available(args.voc_root):
@@ -69,20 +68,8 @@ def main():
         width=args.width, height=args.width,
     )
 
-    total_correct = total_labeled = 0
-    total_inter = np.zeros(2)
-    total_union = np.zeros(2)
-    ap_scores = []
-    start = 0
-    if args.state_path and _os.path.exists(args.state_path):
-        with open(args.state_path) as f:
-            st = json.load(f)
-        start = st["next_index"]
-        total_correct, total_labeled = st["correct"], st["labeled"]
-        total_inter = np.asarray(st["inter"], np.float64)
-        total_union = np.asarray(st["union"], np.float64)
-        ap_scores = list(st["ap_scores"])
-        print(f"resuming from image {start} ({args.state_path})", flush=True)
+    st = SegEvalState.load(args.state_path)
+    start = st.next_index
 
     n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
     for i in range(start, n):
@@ -105,36 +92,13 @@ def main():
 
         correct, labeled = batch_pix_accuracy(pred, label)
         inter, union = batch_intersection_union(pred, label, nclass=2)
-        total_correct += correct
-        total_labeled += labeled
-        total_inter += inter
-        total_union += union
         soft = np.stack([1.0 - coeff, coeff])[None]
-        ap_scores.extend(get_ap_scores(soft, label[None]))
-        print(
-            f"[{i+1}/{n}] {target}: pixAcc {total_correct/max(total_labeled,1):.4f} "
-            f"mIoU {float(np.mean(total_inter/np.maximum(total_union,1))):.4f} "
-            f"mAP {np.mean(ap_scores):.4f}",
-            flush=True,
-        )
-        if args.state_path:
-            tmp = args.state_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({
-                    "next_index": i + 1,
-                    "correct": int(total_correct),
-                    "labeled": int(total_labeled),
-                    "inter": total_inter.tolist(),
-                    "union": total_union.tolist(),
-                    "ap_scores": [float(a) for a in ap_scores],
-                }, f)
-            _os.replace(tmp, args.state_path)
+        st.update(correct, labeled, inter, union,
+                  get_ap_scores(soft, label[None]), i + 1)
+        print(f"[{i+1}/{n}] {target}: {st.summary()}", flush=True)
+        st.save(args.state_path)
 
-    print(
-        f"FINAL pixAcc {total_correct/max(total_labeled,1):.4f} "
-        f"mIoU {float(np.mean(total_inter/np.maximum(total_union,1))):.4f} "
-        f"mAP {np.mean(ap_scores):.4f}"
-    )
+    print(f"FINAL {st.summary()}")
 
 
 if __name__ == "__main__":

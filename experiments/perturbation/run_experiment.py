@@ -16,7 +16,9 @@ Usage:
         --num_images 500 --methods transformer_attribution gradcam rollout
 
 Weights: --ckpt (a ViT-B/16 .npz/safetensors ingested by
-convert_vit_state_dict) or the VIT_B16 env var; random init otherwise
+convert_vit_state_dict) or the CHEFER_VITB16 env var (the same
+variable model_zoo.py and CLAUDE.md document for this checkpoint); random
+init otherwise
 (smoke-testing the harness only — AUCs are then meaningless).
 """
 
@@ -44,7 +46,7 @@ def main():
     parser.add_argument("--vis_class", default="top", choices=["top", "target"],
                         help="class the explanation is computed for "
                         "(reference --vis-class: predicted vs ground truth)")
-    parser.add_argument("--ckpt", default=_os.environ.get("VIT_B16", ""))
+    parser.add_argument("--ckpt", default=_os.environ.get("CHEFER_VITB16", _os.environ.get("VIT_B16", "")))
     parser.add_argument("--image_size", type=int, default=224)
     # ViT architecture overrides (ViT-B/16 defaults); the test fixture uses a
     # tiny tower so the smoke run does not compile a 12-layer LRP graph.
@@ -91,7 +93,7 @@ def main():
 
         params = convert_vit_state_dict(load_safetensors(args.ckpt), cfg)
     else:
-        print("WARNING: no --ckpt / VIT_B16 checkpoint — random weights, "
+        print("WARNING: no --ckpt / CHEFER_VITB16 checkpoint — random weights, "
               "AUCs are a harness smoke test only", file=_sys.stderr)
         params = init_vit_params(jax.random.PRNGKey(0), cfg)
 

@@ -111,3 +111,16 @@ def test_backpressure_bounds_buffer():
     time.sleep(0.2)  # one slot freed -> exactly one more load
     assert len(calls) <= 4
     it.close()
+
+
+def test_close_unblocks_parked_workers():
+    """close() must wake workers parked on the buffer-slot semaphore; a
+    consumer that stops early otherwise leaks every worker thread for the
+    process lifetime."""
+    it = PrefetchIterator(range(1000), lambda x: x, buffer_size=2,
+                          num_threads=3)
+    assert next(it) == 0  # workers are now saturated against the 2 slots
+    it.close()
+    for t in it._threads:
+        t.join(timeout=5)
+    assert not any(t.is_alive() for t in it._threads)

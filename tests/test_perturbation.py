@@ -55,6 +55,12 @@ def test_relevant_masking_hurts_more_than_random():
     d = good.as_dict()
     assert set(d) == {"steps", "accuracy", "target_prob_drop", "auc",
                       "logit_diff", "dissimilarity"}
+    # the 4-arg constructor the dataclass signature advertises must also
+    # export (optional per-step extras simply absent)
+    from conceptattention_tpu.evals.perturbation import PerturbationResult
+    slim = PerturbationResult(good.steps, good.accuracy,
+                              good.target_prob_drop, good.auc).as_dict()
+    assert set(slim) == {"steps", "accuracy", "target_prob_drop", "auc"}
 
 
 def test_negative_mode_flips_order():

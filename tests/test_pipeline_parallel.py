@@ -104,6 +104,40 @@ class TestPipelineWithOutputs:
             np.asarray(got_ys["tap"]), np.asarray(want_ys["tap"]), rtol=2e-5, atol=2e-5
         )
 
+    def test_scalar_aux_leaf(self):
+        """Non-batch-leading aux leaves (a per-layer scalar norm here) must
+        not break spec construction: they come back [depth, m] with
+        per-microbatch values whose mean over microbatches equals scan's
+        full-batch mean (mean-of-means with equal microbatches)."""
+        depth, b, t, d = 4, 8, 4, 8
+        params = _mlp_stack(jax.random.PRNGKey(6), depth, d, 16)
+        x = jax.random.normal(jax.random.PRNGKey(7), (b, t, d))
+
+        def layer(p, c):
+            out = _mlp_layer(p, c)
+            return out, {"tap": jnp.mean(out, axis=1),    # [mb, d]
+                         "norm": jnp.mean(out**2)}        # scalar per layer
+
+        want_c, want_ys = jax.lax.scan(lambda c, lp: layer(lp, c), x, params)
+        mesh = make_mesh(pipe=4, model=2)
+        got_c, got_ys = jax.jit(
+            lambda p, x: pipeline_apply(
+                layer, p, x, mesh, num_microbatches=4, with_outputs=True
+            )
+        )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(want_c), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ys["tap"]), np.asarray(want_ys["tap"]),
+            rtol=2e-5, atol=2e-5,
+        )
+        assert got_ys["norm"].shape == (depth, 4)
+        np.testing.assert_allclose(
+            np.asarray(got_ys["norm"]).mean(axis=1), np.asarray(want_ys["norm"]),
+            rtol=2e-5, atol=2e-5,
+        )
+
     def test_double_blocks_with_saliency_match_scan(self):
         """The real concept-attention stage: flux double-stream blocks with
         concept saliency taps pipelined over 4 stages — both the stream carry

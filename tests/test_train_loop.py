@@ -48,6 +48,20 @@ def test_lr_schedule_shape():
     assert float(sched(50)) < float(sched(10))
 
 
+def test_lr_schedule_units_under_grad_accum():
+    """MultiSteps advances the inner schedule once per OPTIMIZER update, so
+    the schedule must be built in update units: 1000 micro-steps at
+    grad_accum=4 = 250 updates, and the cosine must reach its floor at 250
+    (not 1/4 of the way down as with micro-step units)."""
+    tc = TrainConfig(total_steps=1000, learning_rate=1e-3, warmup_steps=100,
+                     grad_accum=4)
+    sched = make_lr_schedule(tc)
+    updates = tc.total_steps // tc.grad_accum            # 250
+    warm = tc.warmup_steps // tc.grad_accum              # 25
+    assert abs(float(sched(warm)) - 1e-3) < 1e-9         # peak after warmup
+    assert float(sched(updates)) <= 1e-4 + 1e-9          # floor reached
+
+
 def test_loop_trains_and_ema_lags(tmp_path):
     params = init_flux_params(jax.random.PRNGKey(0), TINY, jnp.float32)
     tc = TrainConfig(total_steps=8, learning_rate=3e-3, warmup_steps=1,
@@ -108,3 +122,30 @@ def test_checkpoint_resume(tmp_path):
     a = np.asarray(jax.tree.leaves(out1["params"])[0])
     b = np.asarray(jax.tree.leaves(out2["params"])[0])
     assert not np.allclose(np.asarray(a), np.asarray(b))  # 2 more steps moved them
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """The core resume promise: a run interrupted at step 3 and resumed is
+    BIT-IDENTICAL to an uninterrupted run — same per-step RNG keys (fold_in by
+    index), same data (stream advanced past consumed batches), and the same
+    optimizer state (adam moments + schedule count restore from the
+    checkpoint rather than restarting warmup from LR ~0)."""
+    params = init_flux_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    base = dict(total_steps=6, learning_rate=3e-3, warmup_steps=2,
+                ema_decay=0.9, checkpoint_every=3, log_every=100)
+
+    straight = train_loop(params, TINY, _data_stream(),
+                          TrainConfig(**base))  # no checkpoint_dir: one shot
+
+    ckpt = str(tmp_path / "ckpts")
+    tc = TrainConfig(**base, checkpoint_dir=ckpt)
+    train_loop(params, TINY, _data_stream(),
+               TrainConfig(**{**tc.__dict__, "total_steps": 3}))
+    resumed = train_loop(params, TINY, _data_stream(), tc)
+
+    for s, r in zip(jax.tree.leaves(straight["params"]),
+                    jax.tree.leaves(resumed["params"])):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(r))
+    for s, r in zip(jax.tree.leaves(straight["ema"]),
+                    jax.tree.leaves(resumed["ema"])):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(r))
