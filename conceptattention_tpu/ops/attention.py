@@ -22,6 +22,7 @@ TPU-first design choices vs. the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -42,9 +43,13 @@ class ConceptAttentionSpec:
     return_raw_vectors: bool = False
     # Attention backend: "xla" (two SDPA calls), "pallas" (fused dual-pass
     # flash kernel, kernels/flash_saliency.py), "pallas_interpret" (kernel in
-    # interpreter mode, for CPU tests), or "ring" (context-parallel exact
+    # interpreter mode, for CPU tests), "ring" (context-parallel exact
     # attention: fused sequence sharded over `seq_axis`, K/V rotating around
-    # the ring — parallel/ring_attention.ring_concept_attention).
+    # the ring — parallel/ring_attention.ring_concept_attention), or
+    # "ring_rdma" / "ring_rdma_interpret" (same ring contract with the hop
+    # fused into a Pallas kernel via inter-chip remote DMA —
+    # kernels/ring_rdma.py; the _interpret variant runs the TPU interpret
+    # machine's RDMA emulation for CPU tests).
     backend: str = "xla"
     # Flash-kernel tile sizes (pallas backends only). None = auto-select
     # exact-divisor tiles per sequence length (kernels/flash_saliency.py:
@@ -141,7 +146,7 @@ def joint_concept_attention(
             block_k=spec.block_k,
             interpret=(spec.backend == "pallas_interpret"),
         )
-    if spec.backend == "ring":
+    if spec.backend in ("ring", "ring_rdma", "ring_rdma_interpret"):
         return _ring_joint_concept_attention(
             txt_qkv, img_qkv, concept_qkv, pe, concept_pe, spec
         )
@@ -212,12 +217,22 @@ def _ring_joint_concept_attention(txt_qkv, img_qkv, concept_qkv, pe, concept_pe,
     shards rotate around the ring (parallel/ring_attention). Same contract as
     the pallas backend; RoPE is applied per segment before fusing."""
     from conceptattention_tpu.ops.rope import apply_rope
-    from conceptattention_tpu.parallel.ring_attention import (
-        make_ring_concept_attention,
-    )
 
     if spec.mesh is None:
-        raise ValueError("spec.backend='ring' requires spec.mesh")
+        raise ValueError(f"spec.backend={spec.backend!r} requires spec.mesh")
+    if spec.backend == "ring":
+        from conceptattention_tpu.parallel.ring_attention import (
+            make_ring_concept_attention,
+        )
+    else:  # ring_rdma / ring_rdma_interpret: in-kernel remote-DMA hops
+        from conceptattention_tpu.kernels.ring_rdma import (
+            make_ring_concept_attention_rdma,
+        )
+
+        make_ring_concept_attention = functools.partial(
+            make_ring_concept_attention_rdma,
+            interpret=(spec.backend == "ring_rdma_interpret"),
+        )
     n_seq = spec.mesh.shape[spec.seq_axis]
 
     txt_q, txt_k, txt_v = txt_qkv

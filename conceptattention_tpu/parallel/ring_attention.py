@@ -13,9 +13,10 @@ UNROLLED and each step issues the ppermute for chunk i+1 *before* computing
 chunk i's online-softmax update — the permute and the update share no data
 dependency, so XLA's latency-hiding scheduler turns the hop into an async
 collective-permute-start/done pair that rides ICI underneath the matmuls
-(and the wasted n-th rotation of the old fori_loop formulation is gone). A
-Pallas-RDMA fused variant (pltpu.make_async_remote_copy inside the kernel)
-remains the further upgrade path.
+(and the wasted n-th rotation of the old fori_loop formulation is gone). The
+Pallas-RDMA fused variant (pltpu.make_async_remote_copy inside the kernel,
+kernels/ring_rdma.py, ConceptAttentionSpec(backend='ring_rdma')) implements
+the same contract with the hop double-buffered in-kernel.
 """
 
 from __future__ import annotations
