@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e): softmax runs in the exp2 domain
 
 
 def _pair_swap(x_f32):
@@ -152,11 +153,13 @@ def _flash_kernel(
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
         # Rows that are still fully masked keep m == NEG_INF; exp underflows
-        # to 0 so they contribute nothing.
-        p = jnp.exp(s - m_new[:, :1])
+        # to 0 so they contribute nothing. Scores arrive pre-scaled by
+        # log2(e) (see `scale`), so exp2 here computes the exact softmax
+        # weights with one fewer VPU multiply per score element than exp.
+        p = jnp.exp2(s - m_new[:, :1])
         if allowed is not None:
             p = jnp.where(allowed, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = l_prev * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
@@ -291,7 +294,9 @@ def fused_concept_flash_attention(
     grid = (bh, pl.cdiv(s, block_q), pl.cdiv(s, block_k))
     kernel = functools.partial(
         _flash_kernel,
-        scale=1.0 / (d**0.5),
+        # log2(e) folded into the attention scale: the online softmax runs in
+        # the exp2 domain (numerically the same softmax).
+        scale=LOG2E / (d**0.5),
         txt_len=txt_len,
         img_len=img_len,
         concept_len=concept_len,

@@ -40,6 +40,20 @@ def ref_clip():
                            layers=2)
     model = CLIP(embed_dim=24, vision_cfg=vision_cfg, text_cfg=text_cfg,
                  quick_gelu=False)
+    # Reference bug workaround: the vendored MultiheadAttention
+    # (clip_text_span/utils/transformer.py:254-298) allocates in_proj_bias /
+    # bias_k / bias_v with torch.empty and NEVER initializes them (no
+    # _reset_parameters, and TextTransformer.init_parameters touches only
+    # weights) — heap garbage that is benign in a fresh process but goes
+    # 1e19/NaN under full-suite heap reuse. Real checkpoints overwrite these,
+    # so deterministic init here matches the load-from-checkpoint contract.
+    with torch.no_grad():
+        torch.manual_seed(42)
+        for mod in model.modules():
+            for name in ("in_proj_bias", "bias_k", "bias_v"):
+                p = getattr(mod, name, None)
+                if isinstance(p, torch.nn.Parameter):
+                    p.normal_(std=0.02)
     model.eval()
     return model
 
@@ -130,6 +144,7 @@ class TestPRSDecomposition:
         from conceptattention_tpu.models.clip_vit import text_encode
 
         params, _, txt_cfg = jax_params
+        torch.manual_seed(3)
         ids = torch.randint(1, 60, (3, 12))
         ids[:, -1] = 63  # EOT = highest id (argmax pooling)
         with torch.no_grad():
