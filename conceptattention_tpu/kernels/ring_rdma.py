@@ -62,12 +62,14 @@ NEG_INF = -1e30
 _COLLECTIVE_ID = 7  # distinct from any other collective Pallas kernel here
 
 
-def _flash_update(q_f32, k_chunk, v_chunk, m, l, acc, scale, allowed):
+def _flash_update(q, k_chunk, v_chunk, m, l, acc, scale, allowed):
     """One online-softmax accumulation of the stationary q tile against the
     K/V chunk currently in the ring buffer (parallel/ring_attention
-    `_partial_update`, value-carried)."""
+    `_partial_update`, value-carried). Operands stay in their native dtype
+    (bf16 rides the bf16 MXU path); accumulation is f32 via
+    preferred_element_type, matching kernels/flash_saliency.py."""
     s = jax.lax.dot_general(
-        q_f32, k_chunk.astype(jnp.float32),
+        q, k_chunk,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
@@ -80,33 +82,17 @@ def _flash_update(q_f32, k_chunk, v_chunk, m, l, acc, scale, allowed):
     alpha = jnp.exp(m - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc * alpha + jax.lax.dot_general(
-        p, v_chunk.astype(jnp.float32),
+        p.astype(v_chunk.dtype), v_chunk,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return m_new, l_new, acc_new
 
 
-def _segment_mask_tile(q_idx, k_idx, txt_len, img_len, concept_len,
-                       cross, self_attention):
-    """[Lq, Lc] reachability over the fused global sequence — the same
-    contract as parallel/ring_attention._segment_mask, on index tiles."""
-    joint_end = txt_len + img_len
-    concept_end = joint_end + concept_len
-    qg = q_idx[:, None]
-    kg = k_idx[None, :]
-    q_joint = qg < joint_end
-    q_concept = (qg >= joint_end) & (qg < concept_end)
-    k_joint = kg < joint_end
-    k_img = (kg >= txt_len) & (kg < joint_end)
-    k_concept = (kg >= joint_end) & (kg < concept_end)
-    allowed = q_joint & k_joint
-    concept_keys = jnp.zeros_like(allowed)
-    if cross:
-        concept_keys = concept_keys | k_img
-    if self_attention:
-        concept_keys = concept_keys | k_concept
-    return allowed | (q_concept & concept_keys)
+# The [txt | img | concept | pad] reachability contract is shared verbatim
+# with the ppermute formulation — one definition keeps the two ring backends
+# from desynchronizing (pure jnp index math, traces fine inside the kernel).
+from conceptattention_tpu.parallel.ring_attention import _segment_mask
 
 
 def _ring_kernel(
@@ -160,7 +146,7 @@ def _ring_kernel(
         cp_q.start(); cp_k.start(); cp_v.start()
         cp_q.wait(); cp_k.wait(); cp_v.wait()
 
-        q_f32 = q_vmem[...].astype(jnp.float32)
+        q_t = q_vmem[...]
         m = jnp.full((lc, 1), NEG_INF, jnp.float32)
         acc_l = jnp.zeros((lc, 1), jnp.float32)
         acc = jnp.zeros((lc, d), jnp.float32)
@@ -192,12 +178,12 @@ def _ring_kernel(
             if masked:
                 src = jax.lax.rem(my - step + n, n)
                 k_idx = src * lc + iota_q
-                allowed = _segment_mask_tile(
+                allowed = _segment_mask(
                     q_idx, k_idx, txt_len, img_len, concept_len,
                     cross, self_attention,
                 )
             m, acc_l, acc = _flash_update(
-                q_f32, kv_vmem[0], kv_vmem[1], m, acc_l, acc, scale, allowed
+                q_t, kv_vmem[0], kv_vmem[1], m, acc_l, acc, scale, allowed
             )
 
             if step + 1 < n:

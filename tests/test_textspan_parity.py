@@ -54,6 +54,15 @@ def ref_clip():
                 p = getattr(mod, name, None)
                 if isinstance(p, torch.nn.Parameter):
                     p.normal_(std=0.02)
+            # The vendored LayerNorm (transformer.py:16-64) is a plain
+            # nn.Module with torch.empty weight/bias and no reset — init
+            # near the (1, 0) affine identity so conversion is still
+            # exercised nontrivially.
+            if hasattr(mod, "normalized_shape") and isinstance(
+                getattr(mod, "weight", None), torch.nn.Parameter
+            ):
+                mod.weight.normal_(mean=1.0, std=0.02)
+                mod.bias.normal_(std=0.02)
     model.eval()
     return model
 
