@@ -393,7 +393,9 @@ def _round_up(x: int, m: int) -> int:
 # (512/1024 on S=4352 padded to 4608x5120 = ~24% wasted MXU work).
 _BEST_TILES = {
     4352: (544, 2176),  # flux singles (256 txt + 4096 img): 11.9 vs 14.9 ms
-    4608: (512, 1536),  # flux doubles (+256 concept pad):   13.7 vs 15.2 ms
+    4608: (576, 1536),  # flux doubles (+256 concept pad): beat 512x1536 in
+    # all of 3 paired b8 runs (23.9/24.2/23.9 vs 24.4/26.9/24.5 ms); the
+    # bk=2304 variants measured consistently worse (26.1-26.5 ms)
 }
 
 
