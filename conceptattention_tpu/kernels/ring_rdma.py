@@ -58,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e): online softmax runs in the exp2 domain
 
 _COLLECTIVE_ID = 7  # distinct from any other collective Pallas kernel here
 
@@ -76,10 +77,11 @@ def _flash_update(q, k_chunk, v_chunk, m, l, acc, scale, allowed):
     if allowed is not None:
         s = jnp.where(allowed, s, NEG_INF)
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    # exp2 domain (scale carries log2(e)) — same softmax, cheaper VPU exp
+    p = jnp.exp2(s - m_new)
     if allowed is not None:
         p = jnp.where(allowed, p, 0.0)
-    alpha = jnp.exp(m - m_new)
+    alpha = jnp.exp2(m - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc * alpha + jax.lax.dot_general(
         p.astype(v_chunk.dtype), v_chunk,
@@ -108,7 +110,7 @@ def _ring_kernel(
 ):
     b_dim, h_dim, lc, d = q_hbm.shape
     bh = b_dim * h_dim
-    scale = 1.0 / (d ** 0.5)
+    scale = LOG2E / (d ** 0.5)
     my = jax.lax.axis_index(axis_name)
     # Dict-form MESH device ids: coordinates for unnamed axes default to this
     # device's own, so the ring stays within its (data, model, ...) slice on

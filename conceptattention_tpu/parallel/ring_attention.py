@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e): online softmax runs in the exp2 domain
 
 
 def _partial_update(q, k, v, m, l, acc, scale, allowed=None):
@@ -41,10 +42,11 @@ def _partial_update(q, k, v, m, l, acc, scale, allowed=None):
         s = jnp.where(allowed[None, None], s, NEG_INF)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m, m_cur)
-    p = jnp.exp(s - m_new)
+    # exp2 domain (scale carries log2(e)) — same softmax, cheaper VPU exp
+    p = jnp.exp2(s - m_new)
     if allowed is not None:
         p = jnp.where(allowed[None, None], p, 0.0)
-    alpha = jnp.exp(m - m_new)
+    alpha = jnp.exp2(m - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc * alpha + jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -64,7 +66,7 @@ def ring_attention(
     q/k/v local shards [B, H, L_local, D] -> output [B, H, L_local, D].
     """
     n = jax.lax.psum(1, axis_name)  # static: psum of a literal folds to the axis size
-    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scale = LOG2E / (q.shape[-1] ** 0.5)
     b, h, lq, d = q.shape
 
     m = jnp.full((b, h, lq, 1), NEG_INF, jnp.float32)
@@ -137,7 +139,7 @@ def ring_concept_attention(
     """
     n = jax.lax.psum(1, axis_name)  # static: psum of a literal folds to the axis size
     my = jax.lax.axis_index(axis_name)
-    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scale = LOG2E / (q.shape[-1] ** 0.5)
     b, h, lq, d = q.shape
 
     iota = jnp.arange(lq, dtype=jnp.int32)
