@@ -129,6 +129,36 @@ class TestRingRdma:
             np.asarray(fn(q, k, v)), np.asarray(sdpa(q, k, v)), atol=2e-5
         )
 
+    def test_tp_ring_composition(self):
+        """Heads sharded over `model` alongside the seq ring (sp x tp): each
+        (model slice)'s ring rotates only its own head shard."""
+        from conceptattention_tpu.parallel.mesh import make_mesh
+
+        q, k, v = _qkv(jax.random.PRNGKey(9), 1, 4, 16, 8)
+        mesh = make_mesh(seq=2, model=2)
+        fn = jax.jit(make_ring_attention_rdma(
+            mesh, "seq", head_axis="model", interpret=True))
+        np.testing.assert_allclose(
+            np.asarray(fn(q, k, v)), np.asarray(sdpa(q, k, v)), atol=2e-5
+        )
+
+    def test_masked_tp_ring_composition(self):
+        """The concept-masked variant with heads on `model` and the ring on
+        `seq` equals the ppermute formulation under the same sharding."""
+        from conceptattention_tpu.parallel.mesh import make_mesh
+
+        t_len, p_len, c_len = 6, 18, 3
+        q, k, v = _qkv(jax.random.PRNGKey(10), 1, 4, 32, 8)
+        mesh = make_mesh(seq=2, model=2)
+        kw = dict(txt_len=t_len, img_len=p_len, concept_len=c_len,
+                  cross=True, self_attention=True, head_axis="model")
+        rdma = jax.jit(make_ring_concept_attention_rdma(
+            mesh, "seq", interpret=True, **kw))
+        ppermute = jax.jit(make_ring_concept_attention(mesh, "seq", **kw))
+        np.testing.assert_allclose(
+            np.asarray(rdma(q, k, v)), np.asarray(ppermute(q, k, v)), atol=2e-5
+        )
+
 
 class TestRingRdmaBackend:
     def test_joint_concept_attention_backend(self):
