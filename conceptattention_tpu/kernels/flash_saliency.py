@@ -392,14 +392,13 @@ def _round_up(x: int, m: int) -> int:
 # d=128, fused rope): exact-divisor tiles eliminate the masked-tail pad waste
 # (512/1024 on S=4352 padded to 4608x5120 = ~24% wasted MXU work).
 _BEST_TILES = {
-    # FULL-ROW K tiles (bk = S, one k-step per q tile): the whole K/V row
-    # streams through VMEM once and the online-softmax cross-step rescale
-    # (alpha muls + acc rescale) disappears. Measured b8 x 24h x d128, 2
-    # paired reps each: singles 19.4/19.9 ms vs 21.8/22.1 at 544x2176
-    # (~11%); doubles 22.3/22.7 ms vs 24.0/25.1 at 576x1536 (~8%).
-    # VMEM: ~6 x bq x S x 4B = 57/64 MB scoped — fits v5e's 128 MB.
-    4352: (544, 4352),  # flux singles (256 txt + 4096 img)
-    4608: (576, 4608),  # flux doubles (+256 concept pad)
+    # Full-row K tiles (bk = S, one k-step per q tile) measure 8-11% faster
+    # in the isolated kernel microbench (93-96 TFLOP/s: K/V streams once, no
+    # cross-step online-softmax rescale) but are SLOWER in the full model —
+    # the ~60 MB scoped VMEM starves the surrounding graph (bench with both
+    # shapes full-row: 0.532 img/s vs 0.580, heatmap overhead 0% -> 11%).
+    4352: (544, 2176),  # flux singles (256 txt + 4096 img)
+    4608: (576, 1536),  # flux doubles (+256 concept pad): beat 512x1536 3/3
 }
 
 
