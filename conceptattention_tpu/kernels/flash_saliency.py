@@ -74,11 +74,15 @@ def _flash_kernel(
 ):
     if fuse_rope:
         (cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
-         m_scratch, l_scratch, acc_scratch, qrot_scratch, *q8_refs) = rest
+         m_scratch, l_scratch, acc_scratch, qrot_scratch, krot_scratch,
+         *q8_refs) = rest
     else:
         o_ref, m_scratch, l_scratch, acc_scratch, *q8_refs = rest
     if int8_qk:
-        q8_scratch, qs_scratch = q8_refs
+        if fuse_rope:
+            q8_scratch, qs_scratch, k8_scratch, ks_scratch = q8_refs
+        else:
+            q8_scratch, qs_scratch = q8_refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -112,8 +116,29 @@ def _flash_kernel(
         def q_tile():
             return qrot_scratch[...]
 
+        # The roped K row is cached in VMEM across q tiles: the whole K
+        # sequence is only nk*bk x d bf16 (~1.2 MB at flux shapes), while
+        # re-rotating each k tile per q tile costs nq redundant VPU passes —
+        # and the kernel's efficiency ceiling is VPU serialization, not MXU
+        # (measured 93 TFLOP/s of 197 peak with 2x S^2 d MXU work). Fill on
+        # the qi == 0 sweep, reuse for qi > 0; requires the q grid dimension
+        # to iterate sequentially (dimension_semantics marks it arbitrary).
+        @pl.when(qi == 0)
+        def _fill_k_cache():
+            krot = _rot(k_ref[0], cosk_ref[0], sink_ref[0])
+            krot_scratch[pl.ds(ki * block_k, block_k), :] = krot
+            if int8_qk:
+                # Quantize each roped k tile ONCE at fill time; per-tile
+                # re-quantization was the VPU cost that made int8 scores a
+                # net loss (kernel docstring).
+                k8, ks = _quantize_rows(krot.astype(jnp.float32))
+                k8_scratch[pl.ds(ki * block_k, block_k), :] = k8
+                ks_scratch[pl.ds(ki * block_k, block_k), :] = jnp.broadcast_to(
+                    ks, (block_k, 128)
+                )
+
         def k_tile():
-            return _rot(k_ref[0], cosk_ref[0], sink_ref[0])
+            return krot_scratch[pl.ds(ki * block_k, block_k), :]
     else:
         def q_tile():
             return q_ref[0]
@@ -179,13 +204,21 @@ def _flash_kernel(
     def _scores():
         if int8_qk:
             # int8 x int8 -> int32 on the MXU (2x bf16 peak); per-row scales
-            # restore magnitudes. k quantized per tile; q8 cached at ki == 0.
-            k8, ks = _quantize_rows(k_tile().astype(jnp.float32))
+            # restore magnitudes. q8 cached at ki == 0; k8 comes from the
+            # fill-time cache under fused rope, else quantized per tile.
+            if fuse_rope:
+                k8 = k8_scratch[pl.ds(ki * block_k, block_k), :]
+                ks_col = ks_scratch[pl.ds(ki * block_k, block_k), :1]
+            else:
+                k8, ks = _quantize_rows(k_tile().astype(jnp.float32))
+                ks_col = ks
             s32 = jax.lax.dot_general(
                 q8_scratch[...], k8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            s = s32.astype(jnp.float32) * (qs_scratch[:, :1] * ks.reshape(1, -1))
+            s = s32.astype(jnp.float32) * (
+                qs_scratch[:, :1] * ks_col.reshape(1, -1)
+            )
             return s * scale
         s = jax.lax.dot_general(
             q_tile(), k_tile(), (((1,), (1,)), ((), ())),
@@ -322,18 +355,24 @@ def fused_concept_flash_attention(
     _cp_cls = getattr(pltpu, "CompilerParams", None) or getattr(
         pltpu, "TPUCompilerParams", None
     )
+    # With the fused-rope K cache the q grid dimension carries a cross-
+    # iteration dependency (qi == 0 fills the roped-K scratch that later q
+    # tiles read), so it must iterate sequentially.
+    dims = (
+        ("parallel", "arbitrary", "arbitrary")
+        if rope_cos is not None
+        else ("parallel", "parallel", "arbitrary")
+    )
     compiler_params = None
     if _cp_cls is not None:
         try:
             compiler_params = _cp_cls(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                dimension_semantics=dims,
                 vmem_limit_bytes=vmem_limit,
             )
         except TypeError:  # older pallas without these fields
             try:
-                compiler_params = _cp_cls(
-                    dimension_semantics=("parallel", "parallel", "arbitrary"),
-                )
+                compiler_params = _cp_cls(dimension_semantics=dims)
             except TypeError:
                 compiler_params = None
     in_specs = [
@@ -361,11 +400,21 @@ def fused_concept_flash_attention(
         ]
         operands += [rope_cos, rope_sin, rope_cos, rope_sin]
         scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
+        # Roped-K cache for the whole sequence (filled on the qi == 0 sweep).
+        scratch_shapes.append(
+            pltpu.VMEM((pl.cdiv(s, block_k) * block_k, d), q.dtype)
+        )
     if int8_qk:
         scratch_shapes += [
             pltpu.VMEM((block_q, d), jnp.int8),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ]
+        if rope_cos is not None:
+            nk_rows = pl.cdiv(s, block_k) * block_k
+            scratch_shapes += [
+                pltpu.VMEM((nk_rows, d), jnp.int8),
+                pltpu.VMEM((nk_rows, 128), jnp.float32),
+            ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -460,6 +509,7 @@ def pallas_joint_concept_attention(
     block_q: int = None,
     block_k: int = None,
     interpret: bool = False,
+    int8_qk: bool = False,
 ):
     """Drop-in fused replacement for ops.attention.joint_concept_attention's
     attention core. Returns (txt_attn, img_attn, concept_attn, extras) with
@@ -508,7 +558,7 @@ def pallas_joint_concept_attention(
         txt_len=t, img_len=p, concept_len=c_real,
         cross=cross, self_attention=self_attention,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        rope_cos=rope_cos, rope_sin=rope_sin,
+        rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
     )
 
     txt_attn = merge_heads(out[:, :, :t])

@@ -56,6 +56,11 @@ class ConceptAttentionSpec:
     # _auto_tiles; masked-tail pad waste at 512/1024 cost ~20% on S=4352).
     block_q: int = None
     block_k: int = None
+    # Pallas backends only: compute attention scores as int8 x int8 -> int32
+    # on the MXU (per-row symmetric quantization of the roped q/k; the roped
+    # K row is quantized once per (b, h) in the kernel's fill-time cache).
+    # Accuracy: max |Δ| ~1e-2 on unit-variance inputs (tested); opt-in.
+    int8_qk: bool = False
     # Ring backend only: the jax.sharding.Mesh to shard over and its
     # sequence axis name. batch_axis/head_axis optionally compose the ring
     # with dp (batch) and tp (heads) in one mesh — dp x sp x tp.
@@ -145,6 +150,7 @@ def joint_concept_attention(
             block_q=spec.block_q,
             block_k=spec.block_k,
             interpret=(spec.backend == "pallas_interpret"),
+            int8_qk=spec.int8_qk,
         )
     if spec.backend in ("ring", "ring_rdma", "ring_rdma_interpret"):
         return _ring_joint_concept_attention(

@@ -181,6 +181,40 @@ class TestKernelInBlock:
             rtol=1e-3, atol=1e-4,
         )
 
+    def test_double_block_int8_qk_spec(self, data):
+        """ConceptAttentionSpec(int8_qk=True) reaches the kernel's cached
+        int8 score path and stays close to the exact backend."""
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.blocks import double_block
+        from conceptattention_tpu.models.flux.params import _double_block
+
+        cfg = configs["flux-tiny"].params
+        key = jax.random.PRNGKey(5)
+        keys = jax.random.split(key, 6)
+        p = _double_block(keys[0], cfg, jnp.float32)
+        img = jax.random.normal(keys[1], (1, P, cfg.hidden_size)) * 0.5
+        txt = jax.random.normal(keys[2], (1, T, cfg.hidden_size)) * 0.5
+        vec = jax.random.normal(keys[3], (1, cfg.hidden_size)) * 0.5
+        concepts = jax.random.normal(keys[4], (1, C, cfg.hidden_size)) * 0.5
+        cvec = jax.random.normal(keys[5], (1, cfg.hidden_size)) * 0.5
+        _, _, _, pe, cpe = data
+
+        exact = double_block(
+            p, img, txt, vec, pe, cfg.num_heads,
+            concepts=concepts, concept_vec=cvec, concept_pe=cpe,
+            spec=ConceptAttentionSpec(backend="xla"),
+        )
+        got = double_block(
+            p, img, txt, vec, pe, cfg.num_heads,
+            concepts=concepts, concept_vec=cvec, concept_pe=cpe,
+            spec=ConceptAttentionSpec(backend="pallas_interpret", int8_qk=True),
+        )
+        for i, name in [(0, "img"), (1, "txt"), (2, "concepts")]:
+            np.testing.assert_allclose(
+                np.asarray(exact[i]), np.asarray(got[i]),
+                rtol=0.1, atol=0.02, err_msg=name,
+            )
+
 
 class TestPerSampleRopeIds:
     def test_batched_rope_tables_handle_per_sample_ids(self):
