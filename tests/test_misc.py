@@ -69,6 +69,32 @@ class TestCLI:
         args = build_parser().parse_args(["--no-add_sampling_metadata"])
         assert args.add_sampling_metadata is False
 
+    def test_cli_end_to_end_subprocess(self, tmp_path):
+        """`python -m conceptattention_tpu` writes the image + one heatmap
+        PNG per concept (reference cli.py's `--output` contract), degrading
+        gracefully when the NSFW classifier has no network."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out_png = str(tmp_path / "out.png")
+        hm_dir = str(tmp_path / "hm")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "conceptattention_tpu",
+                "--model_name", "flux-tiny", "--width", "64", "--height", "64",
+                "--num_steps", "1", "--prompt", "a cat",
+                "--concepts", "cat", "sky",
+                "--output", out_png, "--heatmap_dir", hm_dir,
+            ],
+            capture_output=True, text=True, timeout=480, env=env,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.getsize(out_png) > 500
+        assert sorted(os.listdir(hm_dir)) == ["cat.png", "sky.png"]
+
     def test_exif_metadata(self):
         from PIL.ExifTags import Base
 
