@@ -96,7 +96,8 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6):
     attention shape — one in-jit fori_loop (per-dispatch overhead through the
     axon tunnel is 30-90 ms, so separate dispatches measure dispatch, not
     compute); the i/64 perturbation is bf16-representable so iterations are
-    not foldable."""
+    not foldable. RoPE tables are passed so the probe exercises the same
+    fused-rope (+ roped-K VMEM cache) code path the model runs."""
     from conceptattention_tpu.kernels.flash_saliency import (
         _auto_tiles,
         fused_concept_flash_attention,
@@ -104,10 +105,16 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6):
 
     bq, bk = _auto_tiles(seq)
     key = jax.random.PRNGKey(7)
-    kq, kk, kv = jax.random.split(key, 3)
+    kq, kk, kv, ka = jax.random.split(key, 4)
     q = jax.random.normal(kq, (batch, heads, seq, head_dim), jnp.bfloat16)
     k = jax.random.normal(kk, (batch, heads, seq, head_dim), jnp.bfloat16)
     v = jax.random.normal(kv, (batch, heads, seq, head_dim), jnp.bfloat16)
+    ang = jax.random.uniform(ka, (batch, seq, head_dim // 2), jnp.float32, 0, 6.28)
+    rope_cos = jnp.repeat(jnp.cos(ang), 2, axis=-1)
+    sin_half = jnp.sin(ang)
+    rope_sin = jnp.stack([-sin_half, sin_half], axis=-1).reshape(
+        batch, seq, head_dim
+    )
 
     @jax.jit
     def loop(q, k, v):
@@ -115,6 +122,7 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6):
             o = fused_concept_flash_attention(
                 q * (1.0 + i.astype(jnp.bfloat16) / 64.0), k, v,
                 txt_len=seq, img_len=0, concept_len=0, block_q=bq, block_k=bk,
+                rope_cos=rope_cos, rope_sin=rope_sin,
             )
             return acc + jnp.sum(o[:, :, :seq].astype(jnp.float32))
 
