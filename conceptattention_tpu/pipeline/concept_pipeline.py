@@ -158,6 +158,12 @@ class ConceptAttentionFluxPipeline:
         quantize: Union[bool, str] = False,
         offload_model: bool = False,  # accepted for API parity; TPU HBM holds the model
         device: Optional[str] = None,  # API parity; placement is mesh-driven
+        # Attention backend override ("xla" / "pallas" / "ring" /
+        # "pallas_interpret"); None picks per device. int8_qk additionally
+        # computes attention scores int8 x int8 on the MXU (Pallas backends;
+        # quality-gated in tests/test_quant.py::TestInt8QKEndToEndQuality).
+        attention_backend: Optional[str] = None,
+        int8_qk: bool = False,
     ):
         self.spec: ModelSpec = configs[model_name]
         self.model_name = model_name
@@ -234,6 +240,16 @@ class ConceptAttentionFluxPipeline:
                 t5_max_length=self.spec.t5_max_length,
             )
         self.text_encoders = text_encoders
+        self.attention_backend = attention_backend or default_backend()
+        self.int8_qk = int8_qk
+
+    # ------------------------------------------------------------------
+    def _attention_spec(self) -> ConceptAttentionSpec:
+        return ConceptAttentionSpec(
+            taps=("output", "cross_attention"),
+            backend=self.attention_backend,
+            int8_qk=self.int8_qk,
+        )
 
     # ------------------------------------------------------------------
     def _prepare_text(self, prompt: str, batch_size: int = 1):
@@ -337,9 +353,7 @@ class ConceptAttentionFluxPipeline:
         latents, saliency = _generate_latents(
             self.params, self.cfg, img, img_ids, txt, txt_ids, vec,
             c_emb, c_ids, c_vec, jnp.asarray(schedule), guidance,
-            ConceptAttentionSpec(
-                taps=("output", "cross_attention"), backend=default_backend()
-            ),
+            self._attention_spec(),
             self.cfg.guidance_embed,
         )
 
@@ -431,9 +445,7 @@ class ConceptAttentionFluxPipeline:
         latents, saliency = _generate_latents(
             self.params, self.cfg, img, img_ids, txt, txt_ids, vec,
             c_emb, c_ids, c_vec, jnp.asarray(schedule), guidance,
-            ConceptAttentionSpec(
-                taps=("output", "cross_attention"), backend=default_backend()
-            ),
+            self._attention_spec(),
             self.cfg.guidance_embed,
         )
 
@@ -523,9 +535,7 @@ class ConceptAttentionFluxPipeline:
         saliency = batched_noise_saliency(
             self, z, t, num_samples, height, width, seed,
             txt, txt_ids, vec, c_emb, c_ids, c_vec,
-            ConceptAttentionSpec(
-                taps=("output", "cross_attention"), backend=default_backend()
-            ),
+            self._attention_spec(),
             stop_after=stop_after_multi_modal_attentions,
         )
 

@@ -157,3 +157,47 @@ class TestW8A8EndToEndQuality:
             np.asarray(out_f.image, np.float32) - np.asarray(out_q.image, np.float32)
         ).max()
         assert d_img <= 8.0, f"decoded image max|Δ| {d_img} (uint8 scale)"
+
+
+class TestInt8QKEndToEndQuality:
+    """int8_qk (int8 x int8 attention scores on the MXU) is a public
+    pipeline option (`ConceptAttentionFluxPipeline(int8_qk=True)`); gate it
+    end-to-end like w8a8: same tiny-config generation, exact-softmax
+    attention vs int8-quantized scores, thresholded-heatmap IoU + decoded
+    pixel deltas."""
+
+    def test_int8_qk_preserves_heatmaps_and_image(self):
+        import conceptattention_tpu as cat
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.params import init_flux_params
+
+        cfg = configs["flux-tiny"].params
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        kwargs = dict(
+            prompt="a dragon on a rock", concepts=["dragon", "rock"],
+            width=64, height=64, num_inference_steps=2, layer_indices=[0, 1],
+            seed=3, return_pil_heatmaps=False, return_image_array=True,
+        )
+        out_exact = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, params=params,
+            attention_backend="pallas_interpret",
+        ).generate_image(**kwargs)
+        out_q = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, params=params,
+            attention_backend="pallas_interpret", int8_qk=True,
+        ).generate_image(**kwargs)
+
+        hf = np.asarray(out_exact.concept_heatmaps)
+        hq = np.asarray(out_q.concept_heatmaps)
+        rel = np.abs(hf - hq).max() / (np.abs(hf).max() + 1e-9)
+        assert rel < 0.05, f"int8_qk heatmap relative max|delta| {rel:.4f}"
+        for c in range(hf.shape[0]):
+            mf = hf[c] > hf[c].mean()
+            mq = hq[c] > hq[c].mean()
+            iou = (mf & mq).sum() / max((mf | mq).sum(), 1)
+            assert iou >= 0.9, f"concept {c}: thresholded IoU {iou:.3f}"
+        d_img = np.abs(
+            np.asarray(out_exact.image, np.float32)
+            - np.asarray(out_q.image, np.float32)
+        ).max()
+        assert d_img <= 8.0, f"decoded image max|delta| {d_img} (uint8 scale)"
