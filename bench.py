@@ -91,7 +91,8 @@ def hbm_limit() -> float:
     return 16e9  # v5e default; memory_stats absent under the axon plugin
 
 
-def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6):
+def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6,
+                           int8_qk=False):
     """Measured TFLOP/s of the fused flash kernel at the bench's joint-
     attention shape — one in-jit fori_loop (per-dispatch overhead through the
     axon tunnel is 30-90 ms, so separate dispatches measure dispatch, not
@@ -122,7 +123,7 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6):
             o = fused_concept_flash_attention(
                 q * (1.0 + i.astype(jnp.bfloat16) / 64.0), k, v,
                 txt_len=seq, img_len=0, concept_len=0, block_q=bq, block_k=bk,
-                rope_cos=rope_cos, rope_sin=rope_sin,
+                rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
             )
             return acc + jnp.sum(o[:, :, :seq].astype(jnp.float32))
 
@@ -180,6 +181,9 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
 
     @functools.partial(jax.jit, static_argnames=("with_concepts", "backend"))
     def run(params, img, with_concepts, backend):
+        # "<backend>+i8" races the int8_qk variant (int8 x int8 attention
+        # scores on the MXU); the min() pick below keeps it only if it wins.
+        name, _, i8 = backend.partition("+")
         out, sal = denoise(
             params, cfg,
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids, vec=y,
@@ -187,7 +191,8 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
             concepts=concepts if with_concepts else None,
             concept_ids=concept_ids if with_concepts else None,
             concept_vec=concept_vec if with_concepts else None,
-            spec=ConceptAttentionSpec(taps=("output", "cross_attention"), backend=backend),
+            spec=ConceptAttentionSpec(taps=("output", "cross_attention"),
+                                      backend=name, int8_qk=(i8 == "i8")),
         )
         # Scalar checksum: fetching it to host forces the full computation.
         # (On the axon backend block_until_ready does NOT synchronize device
@@ -255,7 +260,7 @@ def main():
         # alongside the weights -> flash kernel only), then depth-scaled bf16.
         n = max(1, int(hbm * 0.5 / 1.25e9))
         ladder = [
-            (19, 38, "w8a8", ("pallas",), 8),  # full arch, int8 MXU serving
+            (19, 38, "w8a8", ("pallas", "pallas+i8"), 8),  # full arch, int8 MXU serving
             (19, 38, "w8a8", ("pallas",), 4),
             (19, 38, "w8", ("pallas",), 4),    # full arch, int8 weights only
             (19, 38, "w8", ("pallas",), 1),    # full arch, int8, single image
@@ -323,7 +328,9 @@ def main():
             # measured rate x analytic attention ops -> attention seconds;
             # the denoise remainder is the matmul phase. (Device traces break
             # on the axon backend, so this ablation IS the profiler.)
-            attn_rate = measure_attention_rate(batch=batch)
+            attn_rate = measure_attention_rate(
+                batch=batch, int8_qk=backend.endswith("+i8")
+            )
             t_attn = at_ops / attn_rate
             phases = {
                 "attention_pct": round(100.0 * t_attn / t_with, 1),
