@@ -249,6 +249,10 @@ class ConceptAttentionFluxPipeline:
             taps=("output", "cross_attention"),
             backend=self.attention_backend,
             int8_qk=self.int8_qk,
+            # Ring (sequence-parallel) backends shard the image tokens over
+            # the mesh's "seq" axis; other backends take placement from the
+            # params' NamedShardings and need no mesh in the (static) spec.
+            mesh=self.mesh if self.attention_backend.startswith("ring") else None,
         )
 
     # ------------------------------------------------------------------

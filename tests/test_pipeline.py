@@ -332,3 +332,37 @@ class TestRectangularGeneration:
         bq, bk = _auto_tiles(2304)
         assert 2304 % bq == 0 and 2304 % bk == 0
         assert bq >= 256 and bk >= 512
+
+
+class TestPipelineAttentionBackends:
+    """The public pipeline exposes the attention backend; each choice must
+    produce the same heatmaps as the default XLA path."""
+
+    def _run(self, **pipe_kwargs):
+        import conceptattention_tpu as cat
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.params import init_flux_params
+
+        cfg = configs["flux-tiny"].params
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        pipe = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, params=params, **pipe_kwargs
+        )
+        return pipe.generate_image(
+            prompt="a dragon", concepts=["dragon", "sky"],
+            width=64, height=64, num_inference_steps=2, layer_indices=[0, 1],
+            seed=5, return_pil_heatmaps=False, return_image_array=True,
+        )
+
+    def test_ring_backend_matches_xla(self):
+        from conceptattention_tpu.parallel.mesh import make_mesh
+
+        ref = self._run(attention_backend="xla")
+        ring = self._run(attention_backend="ring", mesh=make_mesh(seq=4))
+        np.testing.assert_allclose(
+            np.asarray(ring.concept_heatmaps),
+            np.asarray(ref.concept_heatmaps), atol=2e-4,
+        )
+        d = np.abs(np.asarray(ring.image, np.float32)
+                   - np.asarray(ref.image, np.float32)).max()
+        assert d <= 2.0, f"decoded image max|delta| {d} (uint8 scale)"
