@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="screen outputs with the NSFW classifier when its "
                         "checkpoint is available (reference cli.py:132,233)")
+    p.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
+                   help="int8 serving: weight-only (w8) or int8 activations "
+                        "too (w8a8) — fits full flux on one 16 GB chip")
+    p.add_argument("--attention_backend", default=None,
+                   choices=["xla", "pallas", "pallas_interpret"],
+                   help="attention backend override (default: per device)")
+    p.add_argument("--int8_qk", action="store_true",
+                   help="int8 x int8 attention scores on the MXU "
+                        "(Pallas backends)")
     return p
 
 
@@ -102,13 +111,16 @@ def run_once(pipe, args) -> None:
 def main():
     parser = build_parser()
     args = parser.parse_args()
-    if args.width != args.height:
-        # the pipeline currently asserts square outputs; fail before the
-        # (multi-second) model construction rather than after
-        parser.error("--width and --height must be equal (square outputs only)")
+    if args.width % 16 or args.height % 16:
+        # fail before the (multi-second) model construction rather than
+        # after; any 16-multiple rectangle is supported
+        parser.error("--width and --height must be multiples of 16")
     from conceptattention_tpu import ConceptAttentionFluxPipeline
 
-    pipe = ConceptAttentionFluxPipeline(args.model_name)
+    pipe = ConceptAttentionFluxPipeline(
+        args.model_name, quantize=args.quantize or False,
+        attention_backend=args.attention_backend, int8_qk=args.int8_qk,
+    )
     if args.guidance is None:
         # guidance-distilled models (flux-dev) degrade badly at guidance=0;
         # reference cli.py defaults to 3.5

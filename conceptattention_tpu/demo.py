@@ -30,10 +30,10 @@ def build_demo(model_name: str = "flux-schnell"):
     default_guidance = 3.5 if pipe.cfg.guidance_embed else 0.0
     default_steps = 50 if pipe.cfg.guidance_embed else 4
 
-    def generate(prompt, concepts_text, size, steps, guidance, seed, norm):
+    def generate(prompt, concepts_text, width, height, steps, guidance, seed, norm):
         concepts = [c.strip() for c in concepts_text.split(",") if c.strip()]
         out = pipe.generate_image(
-            prompt=prompt, concepts=concepts, width=int(size), height=int(size),
+            prompt=prompt, concepts=concepts, width=int(width), height=int(height),
             num_inference_steps=int(steps), guidance=float(guidance),
             seed=int(seed),
             softmax=(norm == "softmax"), attention_norm=norm,
@@ -47,8 +47,10 @@ def build_demo(model_name: str = "flux-schnell"):
             with gr.Column():
                 prompt = gr.Textbox(label="Prompt", value="A dragon standing on a rock")
                 concepts = gr.Textbox(label="Concepts (comma-separated)", value="dragon, rock, sky")
-                # single size control: the pipeline requires square outputs
-                size = gr.Slider(256, 1024, value=1024, step=64, label="Size (square)")
+                # any 16-multiple rectangle works (reference demo_gr.py has
+                # the same two sliders); 16-step keeps values valid
+                width = gr.Slider(256, 1536, value=1024, step=16, label="Width")
+                height = gr.Slider(256, 1536, value=1024, step=16, label="Height")
                 steps = gr.Slider(1, 50, value=default_steps, step=1, label="Steps")
                 guidance = gr.Slider(0.0, 10.0, value=default_guidance, step=0.5,
                                      label="Guidance (distilled models)")
@@ -59,7 +61,8 @@ def build_demo(model_name: str = "flux-schnell"):
             with gr.Column():
                 image = gr.Image(label="Generated image")
                 heatmaps = gr.Gallery(label="Concept heatmaps")
-        btn.click(generate, [prompt, concepts, size, steps, guidance, seed, norm],
+        btn.click(generate, [prompt, concepts, width, height, steps, guidance,
+                             seed, norm],
                   [image, heatmaps])
     return demo
 

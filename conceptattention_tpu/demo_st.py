@@ -56,9 +56,9 @@ def main():
             "Noising strength", min_value=0.05, max_value=1.0, value=0.8
         )
 
-    # One size control: the pipeline requires square outputs.
-    size = 16 * (st.number_input("Size (square)", min_value=128, value=1024, step=16) // 16)
-    width = height = size
+    # Any 16-multiple rectangle works (reference demo_st.py exposes both).
+    width = 16 * (st.number_input("Width", min_value=128, value=1024, step=16) // 16)
+    height = 16 * (st.number_input("Height", min_value=128, value=1024, step=16) // 16)
     num_steps = int(
         st.number_input("Number of steps", min_value=1, value=(4 if is_schnell else 50))
     )
