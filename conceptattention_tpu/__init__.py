@@ -53,6 +53,12 @@ def __getattr__(name):
         return heatmaps.compute_heatmaps_from_vectors
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
+
+def __dir__():
+    # PEP 562 companion to __getattr__: make the lazy exports discoverable
+    # to dir()/tab-completion.
+    return sorted(set(globals()) | set(__all__))
+
 __all__ = [
     "ConceptAttentionFluxPipeline",
     "ConceptAttentionPipelineOutput",
