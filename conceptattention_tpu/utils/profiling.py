@@ -82,3 +82,48 @@ def compiled_cost(fn: Callable, *args, **kwargs) -> Dict[str, Optional[float]]:
         "flops": analysis.get("flops"),
         "bytes_accessed": analysis.get("bytes accessed"),
     }
+
+
+def loop_rate(
+    fn: Callable,
+    *args,
+    iters: int = 6,
+    perturb: Optional[Callable] = None,
+) -> float:
+    """Seconds per call of `fn(*args)`, measured as ONE jitted
+    `lax.fori_loop` of `iters` calls with a host-fetched f32 checksum.
+
+    This is the measurement primitive that stays valid on backends where
+    per-dispatch overhead dominates (30-90 ms per dispatch through the axon
+    TPU tunnel) and `block_until_ready` does not synchronize device compute
+    (only a host fetch does) — separately-dispatched timing loops measure
+    dispatch there, not compute. bench.py's phase split is built on this
+    technique.
+
+    `perturb(i, args) -> args` must make iterations non-foldable; the
+    default scales the first array argument by (1 + i/64), whose steps are
+    exactly representable in bfloat16 (1 + 1e-6-style epsilons round away
+    at bf16's 2^-7 spacing, letting XLA fold all iterations into one).
+    """
+    import jax.numpy as jnp
+
+    if perturb is None:
+        def perturb(i, a):
+            scale = (1.0 + i.astype(jnp.float32) / 64.0).astype(a[0].dtype)
+            return (a[0] * scale, *a[1:])
+
+    def checksum(out):
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            return acc + checksum(fn(*perturb(i, a)))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(*args))  # deferred fetch at the end: true device sync
+    return (time.perf_counter() - t0) / iters

@@ -237,3 +237,39 @@ class TestSweepPlots:
             import os
 
             assert os.path.exists(out)
+
+
+class TestLoopRate:
+    def test_loop_rate_measures_compute(self):
+        """loop_rate returns a positive per-call time and scales roughly
+        with the work (2x matmuls should not be faster than 1x)."""
+        import jax.numpy as jnp
+
+        from conceptattention_tpu.utils.profiling import loop_rate
+
+        x = jnp.ones((256, 256), jnp.float32)
+
+        def one(a):
+            return a @ a
+
+        def four(a):
+            for _ in range(4):
+                a = a @ a
+            return a
+
+        t1 = loop_rate(one, x, iters=8)
+        t4 = loop_rate(four, x, iters=8)
+        assert t1 > 0
+        assert t4 > t1 * 1.5, (t1, t4)
+
+    def test_loop_rate_custom_perturb(self):
+        import jax.numpy as jnp
+
+        from conceptattention_tpu.utils.profiling import loop_rate
+
+        x = jnp.ones((64, 64), jnp.bfloat16)
+        t = loop_rate(
+            lambda a: a * 2.0, x, iters=4,
+            perturb=lambda i, a: (a[0] + i.astype(a[0].dtype),),
+        )
+        assert t > 0
