@@ -94,11 +94,13 @@ def hbm_limit() -> float:
 def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6,
                            int8_qk=False):
     """Measured TFLOP/s of the fused flash kernel at the bench's joint-
-    attention shape — one in-jit fori_loop (per-dispatch overhead through the
-    axon tunnel is 30-90 ms, so separate dispatches measure dispatch, not
-    compute); the i/64 perturbation is bf16-representable so iterations are
-    not foldable. RoPE tables are passed so the probe exercises the same
-    fused-rope (+ roped-K VMEM cache) code path the model runs."""
+    attention shape, via profiling.loop_rate (one in-jit fori_loop with a
+    checksum fetch — per-dispatch overhead through the axon tunnel is
+    30-90 ms and block_until_ready does not sync, so separate dispatches
+    measure dispatch, not compute; the default (1 + i/64) perturbation is
+    bf16-representable so iterations are not foldable). RoPE tables are
+    passed so the probe exercises the same fused-rope (+ roped-K VMEM
+    cache) code path the model runs."""
     from conceptattention_tpu.kernels.flash_saliency import (
         _auto_tiles,
         fused_concept_flash_attention,
@@ -117,22 +119,16 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6,
         batch, seq, head_dim
     )
 
-    @jax.jit
-    def loop(q, k, v):
-        def body(i, acc):
-            o = fused_concept_flash_attention(
-                q * (1.0 + i.astype(jnp.bfloat16) / 64.0), k, v,
-                txt_len=seq, img_len=0, concept_len=0, block_q=bq, block_k=bk,
-                rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
-            )
-            return acc + jnp.sum(o[:, :, :seq].astype(jnp.float32))
+    from conceptattention_tpu.utils.profiling import loop_rate
 
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    def attn(q, k, v):
+        return fused_concept_flash_attention(
+            q, k, v,
+            txt_len=seq, img_len=0, concept_len=0, block_q=bq, block_k=bk,
+            rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
+        )
 
-    float(loop(q, k, v))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(q, k, v))
-    dt = (time.perf_counter() - t0) / iters
+    dt = loop_rate(attn, q, k, v, iters=iters)
     ops = 4 * seq * seq * head_dim * heads * batch  # qk + av, 2 ops per MAC
     return ops / dt
 
