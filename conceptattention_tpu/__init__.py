@@ -11,7 +11,7 @@ segmentation evaluation harness.
 Public API parity target: `concept_attention/__init__.py:2` in the reference.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 
 def _honor_jax_platforms_env() -> None:
