@@ -103,6 +103,7 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6,
     cache) code path the model runs."""
     from conceptattention_tpu.kernels.flash_saliency import (
         _auto_tiles,
+        expand_rope_tables,
         fused_concept_flash_attention,
     )
 
@@ -113,10 +114,11 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6,
     k = jax.random.normal(kk, (batch, heads, seq, head_dim), jnp.bfloat16)
     v = jax.random.normal(kv, (batch, heads, seq, head_dim), jnp.bfloat16)
     ang = jax.random.uniform(ka, (batch, seq, head_dim // 2), jnp.float32, 0, 6.28)
-    rope_cos = jnp.repeat(jnp.cos(ang), 2, axis=-1)
-    sin_half = jnp.sin(ang)
-    rope_sin = jnp.stack([-sin_half, sin_half], axis=-1).reshape(
-        batch, seq, head_dim
+    # Expand via the kernel's own helper so the probe always measures the
+    # model's exact rotation layout (same [B, 1, N, D/2] convention embed_nd
+    # produces) rather than a hand-rolled copy that could drift.
+    rope_cos, rope_sin = expand_rope_tables(
+        [(jnp.cos(ang)[:, None], jnp.sin(ang)[:, None])], seq
     )
 
     from conceptattention_tpu.utils.profiling import loop_rate

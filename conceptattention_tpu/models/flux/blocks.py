@@ -255,6 +255,7 @@ def single_block(
     backend: str = "xla",
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    int8_qk: bool = False,
 ) -> jax.Array:
     """Single-stream block (parallel attention+MLP) — reference
     flux/src/flux/modules/layers.py:194-239. The reference's fused
@@ -263,7 +264,10 @@ def single_block(
 
     backend='pallas' runs the 4608-token self-attention through the blockwise
     flash kernel (no [L, L] matrix in HBM — the XLA path materializes ~2 GB of
-    fp32 logits per block at 1024^2)."""
+    fp32 logits per block at 1024^2). int8_qk additionally computes the
+    attention scores int8 x int8 on the MXU (Pallas backends only — a
+    non-Pallas backend with int8_qk raises rather than silently running
+    bf16)."""
     mod, _ = modulation(vec, p["mod"]["w"], p["mod"]["b"], double=False)
     x_mod = (1 + mod.scale) * layer_norm(x) + mod.shift
     q, k, v = _qkv_heads(x_mod, p["qkv"], p["qnorm"], p["knorm"], num_heads)
@@ -288,10 +292,14 @@ def single_block(
             q, k, v, txt_len=l, img_len=0, concept_len=0,
             block_q=bq, block_k=bk,
             interpret=(backend == "pallas_interpret"),
-            rope_cos=rope_cos, rope_sin=rope_sin,
+            rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
         )
         attn = merge_heads(out[:, :, :l])
     else:
+        if int8_qk:
+            raise ValueError(
+                f"int8_qk requires a Pallas attention backend, got {backend!r}"
+            )
         q, k = apply_rope(q, k, pe)
         attn = merge_heads(sdpa(q, k, v))
     # linear2(concat([attn, gelu(mlp)])) == attn @ W_proj + gelu(mlp) @ W_mlp_out + b

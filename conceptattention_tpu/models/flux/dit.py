@@ -171,6 +171,7 @@ def flux_forward(
             _dequant_layer(layer_params), x, vec, pe, cfg.num_heads,
             cfg.mlp_hidden_dim, backend=spec.backend,
             block_q=spec.block_q, block_k=spec.block_k,
+            int8_qk=spec.int8_qk,
         )
         if cn is not None:
             # residual lands on the image slice only (reference :261-268)

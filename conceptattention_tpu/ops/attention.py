@@ -138,6 +138,14 @@ def joint_concept_attention(
     """
     from conceptattention_tpu.ops.rope import apply_rope
 
+    if spec.int8_qk and spec.backend not in ("pallas", "pallas_interpret"):
+        # Only the flash kernel implements int8 x int8 scores; anything else
+        # would silently run bf16 while the caller believes it validated the
+        # int8 path — fail loudly at trace time instead.
+        raise ValueError(
+            f"ConceptAttentionSpec(int8_qk=True) requires a Pallas attention "
+            f"backend ('pallas' / 'pallas_interpret'), got {spec.backend!r}"
+        )
     if spec.backend in ("pallas", "pallas_interpret"):
         from conceptattention_tpu.kernels.flash_saliency import (
             pallas_joint_concept_attention,

@@ -241,6 +241,13 @@ class ConceptAttentionFluxPipeline:
             )
         self.text_encoders = text_encoders
         self.attention_backend = attention_backend or default_backend()
+        if int8_qk and self.attention_backend not in ("pallas", "pallas_interpret"):
+            raise ValueError(
+                f"int8_qk=True requires a Pallas attention backend; resolved "
+                f"backend is {self.attention_backend!r}. Pass "
+                f"attention_backend='pallas' (TPU) or 'pallas_interpret' (CPU "
+                f"tests), or drop int8_qk."
+            )
         self.int8_qk = int8_qk
 
     # ------------------------------------------------------------------

@@ -215,6 +215,86 @@ class TestKernelInBlock:
                 rtol=0.1, atol=0.02, err_msg=name,
             )
 
+    def test_single_block_receives_int8_qk(self):
+        """spec.int8_qk must reach the SINGLE blocks too (regression: it was
+        once plumbed only into the 19 double blocks while the 38 single
+        blocks — ~2/3 of attention FLOPs at the headline shape — silently
+        stayed bf16)."""
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.blocks import single_block
+        from conceptattention_tpu.models.flux.params import _single_block
+        from conceptattention_tpu.ops.rope import embed_nd as _embed
+
+        cfg = configs["flux-tiny"].params
+        key = jax.random.PRNGKey(11)
+        ks = jax.random.split(key, 3)
+        p = _single_block(ks[0], cfg, jnp.float32)
+        L = 128
+        x = jax.random.normal(ks[1], (1, L, cfg.hidden_size), jnp.float32)
+        vec = jax.random.normal(ks[2], (1, cfg.hidden_size), jnp.float32)
+        ids = jnp.zeros((1, L, 3), jnp.float32).at[:, :, 1].set(
+            jnp.arange(L, dtype=jnp.float32)[None]
+        )
+        pe = _embed(ids, cfg.axes_dim, cfg.theta)
+
+        exact = single_block(p, x, vec, pe, cfg.num_heads, cfg.mlp_hidden_dim)
+        i8 = single_block(
+            p, x, vec, pe, cfg.num_heads, cfg.mlp_hidden_dim,
+            backend="pallas_interpret", int8_qk=True,
+        )
+        # close to exact (quantized scores) but NOT identical — identical
+        # would mean the flag silently fell off the path again
+        np.testing.assert_allclose(
+            np.asarray(exact), np.asarray(i8), rtol=0.1, atol=0.05
+        )
+        assert float(jnp.abs(exact - i8).max()) > 0
+
+    def test_int8_qk_rejects_non_pallas_backends(self):
+        """int8_qk on a non-Pallas backend raises instead of silently
+        running bf16 (covers the spec consumer, the single block, and the
+        public pipeline constructor)."""
+        import pytest
+
+        from conceptattention_tpu import ConceptAttentionFluxPipeline
+        from conceptattention_tpu.config import configs
+        from conceptattention_tpu.models.flux.blocks import single_block
+        from conceptattention_tpu.models.flux.params import _single_block
+        from conceptattention_tpu.ops.attention import joint_concept_attention
+
+        key = jax.random.PRNGKey(3)
+        ks = jax.random.split(key, 6)
+        txt_qkv = tuple(jax.random.normal(k, (1, H, T, D)) for k in ks[:3])
+        img_qkv = tuple(jax.random.normal(k, (1, H, P, D)) for k in ks[3:])
+        ids = jnp.concatenate(
+            [jnp.zeros((1, T, 3)), make_img_ids(6, 8)], axis=1
+        )
+        pe = embed_nd(ids, AXES, 10_000)
+        with pytest.raises(ValueError, match="int8_qk"):
+            joint_concept_attention(
+                txt_qkv, img_qkv, None, pe, None,
+                spec=ConceptAttentionSpec(backend="xla", int8_qk=True),
+            )
+
+        cfg = configs["flux-tiny"].params
+        p = _single_block(ks[0], cfg, jnp.float32)
+        x = jax.random.normal(ks[1], (1, 64, cfg.hidden_size), jnp.float32)
+        vec = jax.random.normal(ks[2], (1, cfg.hidden_size), jnp.float32)
+        sids = jnp.zeros((1, 64, 3), jnp.float32)
+        from conceptattention_tpu.ops.rope import embed_nd as _embed
+
+        spe = _embed(sids, cfg.axes_dim, cfg.theta)
+        with pytest.raises(ValueError, match="int8_qk"):
+            single_block(
+                p, x, vec, spe, cfg.num_heads, cfg.mlp_hidden_dim,
+                backend="xla", int8_qk=True,
+            )
+
+        with pytest.raises(ValueError, match="int8_qk"):
+            ConceptAttentionFluxPipeline(
+                model_name="flux-tiny", dtype=jnp.float32,
+                attention_backend="xla", int8_qk=True,
+            )
+
 
 class TestPerSampleRopeIds:
     def test_batched_rope_tables_handle_per_sample_ids(self):

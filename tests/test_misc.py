@@ -247,7 +247,7 @@ class TestLoopRate:
 
         from conceptattention_tpu.utils.profiling import loop_rate
 
-        x = jnp.ones((256, 256), jnp.float32)
+        x = jnp.ones((512, 512), jnp.float32)
 
         def one(a):
             return a @ a
@@ -257,8 +257,10 @@ class TestLoopRate:
                 a = a @ a
             return a
 
-        t1 = loop_rate(one, x, iters=8)
-        t4 = loop_rate(four, x, iters=8)
+        # min-of-3 filters scheduler jitter on a loaded single-core host —
+        # one slow dispatch in a single trial must not flip the comparison.
+        t1 = min(loop_rate(one, x, iters=8) for _ in range(3))
+        t4 = min(loop_rate(four, x, iters=8) for _ in range(3))
         assert t1 > 0
         assert t4 > t1 * 1.5, (t1, t4)
 
