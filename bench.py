@@ -38,6 +38,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# This host's sitecustomize resets jax_platforms to "axon,cpu" after
+# registering the TPU plugin, trampling an explicit JAX_PLATFORMS env var
+# (same workaround as conceptattention_tpu/__init__._honor_jax_platforms_env;
+# bench.py imports the package only inside attempt(), too late).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # Persistent compile cache: full-size graphs take 2-5 min each through the
 # remote compile relay; cached reloads cut a cold bench from ~20 min to ~2.
 jax.config.update(
@@ -249,7 +256,51 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
     return b / t_with, overhead, backend, t_with, t_nodecode
 
 
+def _require_accelerator(timeout_s: float = 300.0):
+    """Fail fast (exit 3, no JSON on stdout) when no accelerator is usable.
+
+    Two failure modes this guards:
+      - the axon tunnel is DOWN: jax.devices() hangs forever with no error
+        (observed outages of 1h+), which would hang the whole bench run —
+        probe device init in a daemon thread with a hard timeout instead;
+      - the axon plugin errors and JAX silently falls back to CPU: a "bench"
+        number measured on CPU is meaningless and takes hours — refuse unless
+        BENCH_ALLOW_CPU=1 (debugging only).
+    """
+    import threading
+
+    got = {}
+
+    def probe():
+        try:
+            got["devices"] = jax.devices()
+        except Exception as e:  # plugin init error
+            got["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in got:
+        print(
+            f"bench: accelerator unreachable: "
+            f"{got.get('error', f'device init did not finish in {timeout_s:.0f}s (axon tunnel down?)')}",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    platform = got["devices"][0].platform.lower()
+    if platform == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        print(
+            "bench: resolved to the CPU backend — refusing to print a CPU "
+            "number as the headline (set BENCH_ALLOW_CPU=1 to override for "
+            "debugging)",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    return got["devices"]
+
+
 def main():
+    _require_accelerator()
     hbm = hbm_limit()
     if hbm >= 26e9:
         ladder = [(19, 38, False, ("xla", "pallas"), 1)]
