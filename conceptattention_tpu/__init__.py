@@ -51,6 +51,10 @@ def __getattr__(name):
         from conceptattention_tpu.pipeline import heatmaps
 
         return heatmaps.compute_heatmaps_from_vectors
+    if name in ("load_lora", "merge_lora", "merge_loras", "convert_lora_state_dict"):
+        from conceptattention_tpu.weights import lora
+
+        return getattr(lora, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -63,4 +67,8 @@ __all__ = [
     "ConceptAttentionFluxPipeline",
     "ConceptAttentionPipelineOutput",
     "compute_heatmaps_from_vectors",
+    "load_lora",
+    "merge_lora",
+    "merge_loras",
+    "convert_lora_state_dict",
 ]

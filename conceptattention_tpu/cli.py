@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_qk", action="store_true",
                    help="int8 x int8 attention scores on the MXU "
                         "(Pallas backends)")
+    p.add_argument("--lora", nargs="+", default=None, metavar="PATH",
+                   help="LoRA safetensors adapter(s) merged into the DiT at "
+                        "load time (BFL / kohya / diffusers-flux namings)")
+    p.add_argument("--lora_strength", type=float, nargs="+", default=None,
+                   help="per-adapter merge strengths (default 1.0 each)")
     return p
 
 
@@ -120,6 +125,7 @@ def main():
     pipe = ConceptAttentionFluxPipeline(
         args.model_name, quantize=args.quantize or False,
         attention_backend=args.attention_backend, int8_qk=args.int8_qk,
+        lora=args.lora, lora_strength=args.lora_strength or 1.0,
     )
     if args.guidance is None:
         # guidance-distilled models (flux-dev) degrade badly at guidance=0;

@@ -32,6 +32,7 @@ import numpy as np
 from conceptattention_tpu.evals.baselines import _preprocess
 from conceptattention_tpu.evals.segmentation import SegmentationModel
 from conceptattention_tpu.models.vit import ViTConfig, _linear, _ln
+from conceptattention_tpu.utils.images import as_float01_chw
 
 # OpenAI's published 80 ImageNet prompt templates (public data from the CLIP
 # repo), the full set the reference averages per concept
@@ -258,7 +259,18 @@ class OpenCLIPTextSpanSegmentationModel(SegmentationModel):
         return np.stack(cols, axis=1)
 
     def segment_individual_image(self, image, concepts: List[str], caption: str, **kw):
-        x = _preprocess(image, self.vis_cfg.image_size)
+        # The reference's TextSpan transform is Resize + ToTensor ONLY — no
+        # mean/std normalization (clip_text_span_baseline.py:32-35 builds its
+        # own image_transform and discards open_clip's preprocess), so raw
+        # [0, 1] pixels go into encode_image. Match that exactly; the
+        # ImageNet-normalized `_preprocess` stays for the Chefer/DINO zoo,
+        # whose reference wrappers do normalize.
+        arr = as_float01_chw(image)
+        x = jax.image.resize(
+            jnp.asarray(arr)[None],
+            (1, 3, self.vis_cfg.image_size, self.vis_cfg.image_size),
+            method="bilinear",
+        )
         _, collapsed = self._prs(x)
         patches = np.asarray(collapsed, np.float32)[0, 1:]  # drop CLS
         heat = patches @ self._concept_vectors(concepts)  # [P, C]

@@ -164,6 +164,12 @@ class ConceptAttentionFluxPipeline:
         # quality-gated in tests/test_quant.py::TestInt8QKEndToEndQuality).
         attention_backend: Optional[str] = None,
         int8_qk: bool = False,
+        # LoRA adapters: a safetensors path, an already-converted adapter
+        # pytree (weights/lora.py), or a sequence of either; merged into the
+        # DiT weights at load time (before quantization on the checkpoint
+        # path, so int8 cells quantize the adapted weights).
+        lora: Optional[Any] = None,
+        lora_strength: Union[float, Sequence[float]] = 1.0,
     ):
         self.spec: ModelSpec = configs[model_name]
         self.model_name = model_name
@@ -173,6 +179,32 @@ class ConceptAttentionFluxPipeline:
         self.mesh = mesh
         # VAE spatial downsample factor (8x for Flux: 3 stride-2 stages).
         self.vae_factor = 2 ** (len(self.spec.ae_params.ch_mult) - 1)
+
+        adapters: List[Any] = []
+        if lora is not None:
+            from conceptattention_tpu.weights.lora import load_lora
+
+            items = lora if isinstance(lora, (list, tuple)) else [lora]
+            adapters = [
+                load_lora(it, self.cfg) if isinstance(it, str) else it
+                for it in items
+            ]
+        strengths = (
+            list(lora_strength)
+            if isinstance(lora_strength, (list, tuple))
+            else [float(lora_strength)] * len(adapters)
+        )
+        if len(strengths) != len(adapters):
+            raise ValueError(
+                f"{len(adapters)} LoRA adapter(s) but {len(strengths)} strengths"
+            )
+
+        def _merged(p):
+            if not adapters:
+                return p
+            from conceptattention_tpu.weights.lora import merge_loras
+
+            return merge_loras(p, adapters, strengths)
 
         if params is None:
             ckpt = self.spec.ckpt_path
@@ -193,23 +225,31 @@ class ConceptAttentionFluxPipeline:
                         params = convert_flux_state_dict(
                             load_safetensors(ckpt), self.cfg, dtype
                         )
+                        # Merge adapters BEFORE quantizing so the int8 cells
+                        # quantize the adapted weights (merging after would
+                        # requantize twice and lose precision).
+                        params = _merged(params)
                         params = quantize_flux_params(
                             params, act_quant=(quantize == "w8a8")
                         )
                     params = jax.device_put(params)
                 else:
-                    params = convert_flux_state_dict(
+                    params = _merged(convert_flux_state_dict(
                         load_safetensors(ckpt), self.cfg, dtype
-                    )
+                    ))
             elif quantize:
                 from conceptattention_tpu.ops.quant import init_flux_params_quantized
 
-                params = init_flux_params_quantized(
+                params = _merged(init_flux_params_quantized(
                     jax.random.PRNGKey(init_seed), self.cfg, dtype,
                     act_quant=(quantize == "w8a8"),
-                )
+                ))
             else:
-                params = init_flux_params(jax.random.PRNGKey(init_seed), self.cfg, dtype)
+                params = _merged(
+                    init_flux_params(jax.random.PRNGKey(init_seed), self.cfg, dtype)
+                )
+        elif adapters:
+            params = _merged(params)
         if ae_params is None:
             ae_ckpt = self.spec.ae_path
             if ae_ckpt:

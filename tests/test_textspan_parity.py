@@ -41,16 +41,18 @@ def ref_clip():
     model = CLIP(embed_dim=24, vision_cfg=vision_cfg, text_cfg=text_cfg,
                  quick_gelu=False)
     # Reference bug workaround: the vendored MultiheadAttention
-    # (clip_text_span/utils/transformer.py:254-298) allocates in_proj_bias /
-    # bias_k / bias_v with torch.empty and NEVER initializes them (no
-    # _reset_parameters, and TextTransformer.init_parameters touches only
-    # weights) — heap garbage that is benign in a fresh process but goes
-    # 1e19/NaN under full-suite heap reuse. Real checkpoints overwrite these,
-    # so deterministic init here matches the load-from-checkpoint contract.
+    # (clip_text_span/utils/transformer.py:254-298) allocates in_proj_weight /
+    # in_proj_bias / bias_k / bias_v with torch.empty and NEVER initializes
+    # them (no _reset_parameters; TextTransformer.init_parameters:924-936
+    # covers only the TEXT tower's in_proj_weight — the vision tower's stays
+    # heap garbage). Benign in a fresh process (zero pages) but goes 1e19/NaN
+    # under full-suite heap reuse, which made these tests order-dependent
+    # twice. Real checkpoints overwrite all of these, so deterministic init
+    # here matches the load-from-checkpoint contract.
     with torch.no_grad():
         torch.manual_seed(42)
         for mod in model.modules():
-            for name in ("in_proj_bias", "bias_k", "bias_v"):
+            for name in ("in_proj_weight", "in_proj_bias", "bias_k", "bias_v"):
                 p = getattr(mod, name, None)
                 if isinstance(p, torch.nn.Parameter):
                     p.normal_(std=0.02)
