@@ -129,12 +129,42 @@ class VideoConceptAttentionPipeline:
         vae_params: Optional[Dict[str, Any]] = None,
         vae_cfg=None,
         quantize=False,  # False | True (int8 weights) | "w8a8"
+        # LoRA adapters: safetensors path(s) in diffusers CogVideoX naming or
+        # already-converted adapter pytree(s) (weights/lora.py); merged before
+        # quantization like the flux pipeline.
+        lora: Optional[Any] = None,
+        lora_strength=1.0,
     ):
         self.cfg = cfg or CogVideoXConfig()
         self.dtype = dtype
         self.params = params or init_video_dit_params(
             jax.random.PRNGKey(init_seed), self.cfg, dtype
         )
+        if lora is not None:
+            from conceptattention_tpu.weights.convert import load_safetensors
+            from conceptattention_tpu.weights.lora import (
+                convert_cogvideox_lora_state_dict,
+                merge_loras,
+            )
+
+            items = lora if isinstance(lora, (list, tuple)) else [lora]
+            adapters = [
+                convert_cogvideox_lora_state_dict(load_safetensors(it), self.cfg)
+                if isinstance(it, str)
+                else it
+                for it in items
+            ]
+            strengths = (
+                list(lora_strength)
+                if isinstance(lora_strength, (list, tuple))
+                else [float(lora_strength)] * len(adapters)
+            )
+            if len(strengths) != len(adapters):
+                raise ValueError(
+                    f"{len(adapters)} LoRA adapter(s) but "
+                    f"{len(strengths)} strengths"
+                )
+            self.params = merge_loras(self.params, adapters, strengths)
         if quantize:
             from conceptattention_tpu.ops.quant import quantize_video_dit_params
 

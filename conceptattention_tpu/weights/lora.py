@@ -254,7 +254,19 @@ def convert_lora_state_dict(
         )
 
     depths = {"double": cfg.depth, "single": cfg.depth_single_blocks}
-    out: Dict[str, Any] = {"double": {}, "single": {}}
+    return _stack_accum(accum, depths)
+
+
+def _stack_accum(
+    accum: Dict[Tuple[str, str], Dict[int, List]],
+    depths: Dict[str, int],
+) -> Dict[str, Any]:
+    """Stack per-layer (a, b[, third]) factor lists into [depth, in, R] /
+    [depth, R, out] arrays: untouched layers get zero factors, differing
+    per-layer ranks zero-pad to the max, and separate q/k/v thirds become one
+    block-diagonal low-rank factor over the fused output axis (a =
+    rank-concat, b places each third's columns in its own out-slice)."""
+    out: Dict[str, Any] = {stack: {} for stack in depths}
     for (stack, leaf), layers in accum.items():
         depth = depths[stack]
         per_layer: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -264,13 +276,11 @@ def convert_lora_state_dict(
                 per_layer.append(None)
                 continue
             if any(t is not None for _, _, t in factors):
-                # separate q/k/v thirds -> one block-diagonal low-rank factor
-                # over the fused [in, 3d] output: a = concat(ranks),
-                # b places each third's columns in its d-slice.
                 a_parts, b_parts = [], []
                 for av, bv, third in sorted(factors, key=lambda f: f[2]):
-                    full = np.zeros((bv.shape[0], 3 * d), np.float32)
-                    full[:, third * d : third * d + bv.shape[1]] = bv
+                    d_out = bv.shape[1]  # one third's output width
+                    full = np.zeros((bv.shape[0], 3 * d_out), np.float32)
+                    full[:, third * d_out : (third + 1) * d_out] = bv
                     a_parts.append(av)
                     b_parts.append(full)
                 a_cat = np.concatenate(a_parts, axis=1)
@@ -300,6 +310,67 @@ def load_lora(path: str, cfg: FluxConfig, strict: bool = True) -> Dict[str, Any]
     from conceptattention_tpu.weights.convert import load_safetensors
 
     return convert_lora_state_dict(load_safetensors(path), cfg, strict=strict)
+
+
+# Video (CogVideoX) DiT adapters — diffusers `CogVideoXTransformer3DModel`
+# module names onto the param layout of weights/convert.py's
+# convert_cogvideox_state_dict (qkv = [D, 3D] with to_q|to_k|to_v
+# concatenated along the output axis).
+_VIDEO_MODULES = {
+    "attn1.to_q": ("qkv", 0),
+    "attn1.to_k": ("qkv", 1),
+    "attn1.to_v": ("qkv", 2),
+    "attn1.to_out.0": ("proj", None),
+    "ff.net.0.proj": ("ff_in", None),
+    "ff.net.2": ("ff_out", None),
+    "norm1.linear": ("norm1.lin", None),
+    "norm2.linear": ("norm2.lin", None),
+}
+
+
+def convert_cogvideox_lora_state_dict(
+    sd: Mapping[str, Any], cfg, strict: bool = True
+) -> Dict[str, Any]:
+    """diffusers-named CogVideoX LoRA state dict -> {"blocks": {leaf}} adapter
+    pytree mergeable into convert_cogvideox_state_dict params (cfg =
+    CogVideoXConfig; depth = cfg.num_layers). Separate to_q/to_k/to_v factors
+    become one block-diagonal factor on the fused qkv, matching the
+    checkpoint converter's output-axis concat."""
+    grouped: Dict[str, Dict[str, Any]] = {}
+    unmatched: List[str] = []
+    for key in sd.keys():
+        norm = _normalize_key(key)
+        if norm is None:
+            continue
+        module, part = norm
+        if module.split(".")[0].startswith(("te", "text_encoder", "lora_te")):
+            continue
+        grouped.setdefault(module, {})[part] = sd[key]
+
+    accum: Dict[Tuple[str, str], Dict[int, List]] = {}
+    for module, parts in grouped.items():
+        mp = module.split(".")
+        target = None
+        if mp[0] == "transformer_blocks" and len(mp) >= 3:
+            target = _VIDEO_MODULES.get(".".join(mp[2:]))
+        if target is None or "a" not in parts or "b" not in parts:
+            unmatched.append(module)
+            continue
+        leaf, third = target
+        layer = int(mp[1])
+        a = _np(parts["a"]).astype(np.float32)  # [r, in]
+        b = _np(parts["b"]).astype(np.float32)  # [out, r]
+        r = a.shape[0]
+        alpha = float(_np(parts["alpha"])) if "alpha" in parts else float(r)
+        accum.setdefault(("blocks", leaf), {}).setdefault(layer, []).append(
+            (a.T, b.T * (alpha / r), third)
+        )
+    if strict and unmatched:
+        raise ValueError(
+            f"unrecognized CogVideoX LoRA modules (pass strict=False to "
+            f"skip): {unmatched[:8]}{'...' if len(unmatched) > 8 else ''}"
+        )
+    return _stack_accum(accum, {"blocks": cfg.num_layers})
 
 
 # ---------------------------------------------------------------------------
@@ -336,20 +407,31 @@ def merge_lora(
 ) -> Dict[str, Any]:
     """Return params with `strength * (a @ b)` added to every weight leaf the
     adapter targets. Works on bf16 and int8-quantized ({q|qa, scale}) stacks;
-    untouched leaves are returned by reference (no copy)."""
+    untouched leaves are returned by reference (no copy).
+
+    The adapter's top-level keys name parameter stacks ("double"/"single" for
+    flux, "blocks" for the video DiT); leaf names may be dotted paths into
+    nested dicts (e.g. "norm1.lin")."""
     out = dict(params)
-    for stack in ("double", "single"):
-        factors = lora.get(stack) or {}
+    for stack, factors in lora.items():
         if not factors:
             continue
+        if stack not in params:
+            raise KeyError(f"LoRA targets unknown stack {stack!r}")
         new_stack = dict(params[stack])
         for leaf, factor in factors.items():
-            if leaf not in new_stack:
+            node = new_stack
+            parts = leaf.split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"LoRA targets unknown leaf {stack}.{leaf}")
+                node[p] = dict(node[p])  # copy-on-write along the path
+                node = node[p]
+            last = parts[-1]
+            if last not in node:
                 raise KeyError(f"LoRA targets unknown leaf {stack}.{leaf}")
-            new_stack[leaf] = dict(new_stack[leaf])
-            new_stack[leaf]["w"] = _merge_leaf(
-                new_stack[leaf]["w"], factor, strength
-            )
+            node[last] = dict(node[last])
+            node[last]["w"] = _merge_leaf(node[last]["w"], factor, strength)
         out[stack] = new_stack
     return out
 

@@ -340,6 +340,105 @@ class TestExportRoundTrip:
                     err_msg=f"{stack}.{leaf}",
                 )
 
+    def test_video_cogvideox_lora(self):
+        """diffusers-named CogVideoX adapters merge into the video DiT param
+        stack (to_q/k/v -> fused [D, 3D] qkv thirds, dotted norm1.lin leaf)."""
+        from conceptattention_tpu.models.video.dit import (
+            CogVideoXConfig,
+            init_video_dit_params,
+        )
+        from conceptattention_tpu.weights.lora import (
+            convert_cogvideox_lora_state_dict,
+        )
+
+        cfg = CogVideoXConfig(
+            num_attention_heads=2, attention_head_dim=16, in_channels=4,
+            out_channels=4, time_embed_dim=8, text_embed_dim=16, num_layers=2,
+            sample_width=8, sample_height=8, sample_frames=9, patch_size=2,
+            max_text_seq_length=6,
+        )
+        d = cfg.num_attention_heads * cfg.attention_head_dim  # 32
+        aq = _f(0, R, d); bq = _f(1, d, R)
+        ak = _f(2, R, d); bk = _f(3, d, R)
+        sd = {
+            "transformer.transformer_blocks.1.attn1.to_q.lora_A.weight": aq,
+            "transformer.transformer_blocks.1.attn1.to_q.lora_B.weight": bq,
+            "transformer.transformer_blocks.1.attn1.to_k.lora_A.weight": ak,
+            "transformer.transformer_blocks.1.attn1.to_k.lora_B.weight": bk,
+        }
+        lora = convert_cogvideox_lora_state_dict(sd, cfg)
+        params = init_video_dit_params(jax.random.PRNGKey(14), cfg, jnp.float32)
+        merged = merge_lora(params, lora)
+
+        got = np.asarray(merged["blocks"]["qkv"]["w"][1], np.float32) - np.asarray(
+            params["blocks"]["qkv"]["w"][1], np.float32
+        )
+        np.testing.assert_allclose(got[:, :d], _delta(aq, bq), atol=1e-5)
+        np.testing.assert_allclose(got[:, d : 2 * d], _delta(ak, bk), atol=1e-5)
+        np.testing.assert_allclose(got[:, 2 * d :], 0.0, atol=1e-7)
+        # layer 0 untouched; other leaves untouched by reference
+        np.testing.assert_array_equal(
+            np.asarray(merged["blocks"]["qkv"]["w"][0]),
+            np.asarray(params["blocks"]["qkv"]["w"][0]),
+        )
+        assert merged["blocks"]["proj"] is params["blocks"]["proj"]
+
+        # dotted nested leaf (norm1.lin) merges through the path walker
+        # (CogVideoX AdaLN: linear maps temb [time_embed_dim] -> gate chunks)
+        n_in = params["blocks"]["norm1"]["lin"]["w"].shape[1]
+        n_out = params["blocks"]["norm1"]["lin"]["w"].shape[-1]
+        an = _f(4, R, n_in)
+        bn = _f(5, n_out, R)
+        sd2 = {
+            "transformer_blocks.0.norm1.linear.lora_A.weight": an,
+            "transformer_blocks.0.norm1.linear.lora_B.weight": bn,
+        }
+        lora2 = convert_cogvideox_lora_state_dict(sd2, cfg)
+        merged2 = merge_lora(params, lora2)
+        got2 = np.asarray(
+            merged2["blocks"]["norm1"]["lin"]["w"][0], np.float32
+        ) - np.asarray(params["blocks"]["norm1"]["lin"]["w"][0], np.float32)
+        np.testing.assert_allclose(got2, _delta(an, bn), atol=1e-5)
+        assert merged2["blocks"]["norm1"]["ln"] is params["blocks"]["norm1"]["ln"]
+
+    def test_video_pipeline_lora_argument(self):
+        from conceptattention_tpu.models.video.dit import CogVideoXConfig
+        from conceptattention_tpu.pipeline.video_pipeline import (
+            VideoConceptAttentionPipeline,
+        )
+        from conceptattention_tpu.weights.lora import (
+            convert_cogvideox_lora_state_dict,
+        )
+
+        cfg = CogVideoXConfig(
+            num_attention_heads=2, attention_head_dim=16, in_channels=4,
+            out_channels=4, time_embed_dim=8, text_embed_dim=16, num_layers=2,
+            sample_width=8, sample_height=8, sample_frames=9, patch_size=2,
+            max_text_seq_length=6,
+        )
+        d = 32
+        sd = {
+            "transformer_blocks.0.attn1.to_out.0.lora_A.weight": _f(0, R, d),
+            "transformer_blocks.0.attn1.to_out.0.lora_B.weight": _f(1, d, R),
+        }
+        lora = convert_cogvideox_lora_state_dict(sd, cfg)
+        plain = VideoConceptAttentionPipeline(cfg, dtype=jnp.float32, init_seed=3)
+        adapted = VideoConceptAttentionPipeline(
+            cfg, dtype=jnp.float32, init_seed=3, lora=lora, lora_strength=0.5
+        )
+        diff = np.asarray(
+            adapted.params["blocks"]["proj"]["w"][0], np.float32
+        ) - np.asarray(plain.params["blocks"]["proj"]["w"][0], np.float32)
+        np.testing.assert_allclose(
+            diff,
+            0.5 * _delta(np.asarray(sd[
+                "transformer_blocks.0.attn1.to_out.0.lora_A.weight"
+            ]), np.asarray(sd[
+                "transformer_blocks.0.attn1.to_out.0.lora_B.weight"
+            ])),
+            atol=1e-5,
+        )
+
     def test_merge_loras_stacks_additively(self):
         sd1 = {
             "double_blocks.0.img_attn.proj.lora_A.weight": _f(0, R, D),
