@@ -451,18 +451,25 @@ class ConceptAttentionFluxPipeline:
         cmap: str = "plasma",
         return_image_array: bool = False,
         watermark: bool = True,
+        seeds: Optional[Sequence[int]] = None,
     ) -> List[ConceptAttentionPipelineOutput]:
         """Batched multi-prompt generation: ONE jitted denoise dispatch for
         the whole prompt batch (the TPU serving path — bench.py measures this
         shape at batch 8; the reference generates one prompt at a time).
 
-        All prompts share the concept set and schedule; the [B, ...] noise
-        draw gives each prompt its own initial latents. Returns one
+        All prompts share the concept set and schedule. Noise: with `seeds`
+        (one per prompt), each prompt gets the exact latents
+        `generate_image(seed=seeds[i])` would draw — so a request's output is
+        independent of which batch it rode in (the property the serving
+        micro-batcher relies on). Without `seeds`, one [B, ...] draw from
+        `seed` (cheaper, but batch-composition-dependent). Returns one
         `ConceptAttentionPipelineOutput` per prompt, in order.
         """
         b = len(prompts)
         if b == 0:
             return []
+        if seeds is not None and len(seeds) != b:
+            raise ValueError(f"seeds has {len(seeds)} entries for {b} prompts")
         depth = self.cfg.depth
         if layer_indices is None:
             layer_indices = list(range(max(0, depth - 4), depth))
@@ -476,10 +483,23 @@ class ConceptAttentionFluxPipeline:
         if timesteps is None:
             timesteps = list(range(num_inference_steps))
 
-        noise = get_noise(
-            jax.random.PRNGKey(seed), b, height, width, self.dtype,
-            channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
-        )
+        if seeds is None:
+            noise = get_noise(
+                jax.random.PRNGKey(seed), b, height, width, self.dtype,
+                channels=self.spec.ae_params.z_channels, vae_factor=self.vae_factor,
+            )
+        else:
+            noise = jnp.concatenate(
+                [
+                    get_noise(
+                        jax.random.PRNGKey(int(s)), 1, height, width, self.dtype,
+                        channels=self.spec.ae_params.z_channels,
+                        vae_factor=self.vae_factor,
+                    )
+                    for s in seeds
+                ],
+                axis=0,
+            )
         _, _, lh, lw = noise.shape
         schedule = get_schedule(
             num_inference_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)

@@ -1,0 +1,24 @@
+"""TPU serving subsystem: micro-batched HTTP generation daemon.
+
+`MicroBatcher` coalesces concurrent requests into single batched device
+dispatches (the dominant single-chip throughput lever — bench.py's headline
+runs batch 8); `ConceptAttentionServer` is the stdlib HTTP front end.
+
+Run a server: ``python -m conceptattention_tpu.serving --model flux-schnell``.
+"""
+
+from conceptattention_tpu.serving.batcher import BatcherStats, MicroBatcher, next_bucket
+from conceptattention_tpu.serving.server import (
+    ConceptAttentionServer,
+    GenerateRequest,
+    RequestError,
+)
+
+__all__ = [
+    "BatcherStats",
+    "MicroBatcher",
+    "next_bucket",
+    "ConceptAttentionServer",
+    "GenerateRequest",
+    "RequestError",
+]

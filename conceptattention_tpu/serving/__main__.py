@@ -1,0 +1,77 @@
+"""`python -m conceptattention_tpu.serving` — run the generation daemon.
+
+Loads the pipeline once (checkpoints from the usual env-var paths, see
+weights/convert.py), then serves until interrupted. Flag names mirror
+cli.py's generation flags where they overlap.
+"""
+
+import argparse
+import logging
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        prog="conceptattention_tpu.serving",
+        description="Micro-batched HTTP serving daemon for concept-attention generation",
+    )
+    p.add_argument("--model_name", "--model", dest="model_name", default="flux-schnell",
+                   help="config registry key")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000, help="0 picks a free port")
+    p.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
+                   help="int8 layer stacks (w8a8 is the single-chip serving path)")
+    p.add_argument("--attention_backend", default=None,
+                   help="xla / pallas / ring / pallas_interpret (default: per device)")
+    p.add_argument("--int8_qk", action="store_true",
+                   help="int8 x int8 attention scores on the MXU (Pallas backends)")
+    p.add_argument("--lora", nargs="+", default=None, metavar="PATH",
+                   help="LoRA adapter safetensors path(s), merged at load")
+    p.add_argument("--lora_strength", type=float, nargs="+", default=None)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="largest coalesced batch (= largest compiled graph)")
+    p.add_argument("--max_wait_ms", type=float, default=25.0,
+                   help="how long a batch waits for stragglers")
+    p.add_argument("--bucket_sizes", type=int, nargs="+", default=[1, 2, 4, 8],
+                   help="padded batch sizes (one compiled graph each)")
+    p.add_argument("--request_timeout_s", type=float, default=600.0)
+    p.add_argument("--log_level", default="INFO")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    from conceptattention_tpu.pipeline.concept_pipeline import ConceptAttentionFluxPipeline
+    from conceptattention_tpu.serving import ConceptAttentionServer
+
+    pipe_kwargs = {}
+    if args.lora:
+        pipe_kwargs["lora"] = args.lora
+        if args.lora_strength:
+            pipe_kwargs["lora_strength"] = args.lora_strength
+    pipeline = ConceptAttentionFluxPipeline(
+        args.model_name,
+        quantize=args.quantize or False,
+        attention_backend=args.attention_backend,
+        int8_qk=args.int8_qk,
+        **pipe_kwargs,
+    )
+    server = ConceptAttentionServer(
+        pipeline,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        bucket_sizes=args.bucket_sizes,
+        request_timeout_s=args.request_timeout_s,
+    )
+    print(f"serving {args.model_name} at http://{args.host}:{server.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

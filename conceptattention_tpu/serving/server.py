@@ -1,0 +1,395 @@
+"""HTTP serving daemon: concept-attention generation behind a micro-batcher.
+
+Production single-chip serving surface the reference does not have (its
+entrypoints are a notebook pipeline and a gradio demo,
+reference concept_attention_pipeline.py / app.py): a stdlib
+`ThreadingHTTPServer` front end where every connection thread submits its
+request to one `MicroBatcher`, which coalesces compatible requests (same
+concepts/resolution/steps/norm) into a single `generate_images(seeds=...)`
+dispatch of a bucket-padded batch. Per-request seeds make each response
+bit-identical to an unbatched `generate_image` call with the same arguments,
+so batching is invisible to clients.
+
+Endpoints
+---------
+- ``POST /v1/generate``  — JSON body (see `GenerateRequest.from_json`);
+  returns base64 PNGs for the image and per-concept heatmaps.
+- ``GET /healthz``       — liveness + device platform + model name.
+- ``GET /metrics``       — batcher counters, queue depth, latency quantiles.
+
+Run: ``python -m conceptattention_tpu.serving --model flux-schnell --port 8000``
+(see __main__.py for flags: quantization, attention backend, batching knobs).
+"""
+
+from __future__ import annotations
+
+import base64
+import collections
+import dataclasses
+import io
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from conceptattention_tpu.serving.batcher import MicroBatcher, next_bucket
+
+logger = logging.getLogger("conceptattention_tpu.serving")
+
+_ALLOWED_NORMS = ("softmax", "sparsemax", "entmax15", "none")
+_MAX_SIDE = 2048
+_MAX_CONCEPTS = 16
+_MAX_STEPS = 64
+_MAX_PROMPT_CHARS = 4096
+
+
+class RequestError(ValueError):
+    """Client error -> HTTP 400."""
+
+
+def _expect(cond: bool, msg: str) -> None:
+    if not cond:
+        raise RequestError(msg)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateRequest:
+    """One /v1/generate request, already validated.
+
+    `batch_key()` covers every field that changes the *compiled computation
+    or its shared inputs*; prompt/seed vary freely within a batch, and
+    formatting fields (cmap, heatmap_format, return_cross_attention) are
+    applied per-request after the batched dispatch.
+    """
+
+    prompt: str
+    concepts: Tuple[str, ...]
+    seed: int = 0
+    width: int = 1024
+    height: int = 1024
+    num_inference_steps: int = 4
+    guidance: float = 0.0
+    softmax: bool = True
+    attention_norm: str = "sparsemax"
+    layer_indices: Optional[Tuple[int, ...]] = None
+    watermark: bool = True
+    cmap: str = "plasma"
+    heatmap_format: str = "png"  # "png" (colormapped) | "array" (raw floats)
+    return_cross_attention: bool = False
+
+    def batch_key(self) -> tuple:
+        return (
+            self.concepts,
+            self.width,
+            self.height,
+            self.num_inference_steps,
+            self.guidance,
+            self.softmax,
+            self.attention_norm,
+            self.layer_indices,
+            self.watermark,
+        )
+
+    @classmethod
+    def from_json(cls, body: dict) -> "GenerateRequest":
+        _expect(isinstance(body, dict), "body must be a JSON object")
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(body) - known
+        _expect(not unknown, f"unknown fields: {sorted(unknown)}")
+
+        prompt = body.get("prompt")
+        _expect(isinstance(prompt, str) and prompt.strip(), "prompt (non-empty string) is required")
+        _expect(len(prompt) <= _MAX_PROMPT_CHARS, f"prompt longer than {_MAX_PROMPT_CHARS} chars")
+        concepts = body.get("concepts")
+        _expect(
+            isinstance(concepts, (list, tuple))
+            and 1 <= len(concepts) <= _MAX_CONCEPTS
+            and all(isinstance(c, str) and c.strip() for c in concepts),
+            f"concepts must be 1..{_MAX_CONCEPTS} non-empty strings",
+        )
+
+        def _int(name, default, lo, hi):
+            v = body.get(name, default)
+            _expect(isinstance(v, int) and not isinstance(v, bool) and lo <= v <= hi,
+                    f"{name} must be an int in [{lo}, {hi}]")
+            return v
+
+        def _bool(name, default):
+            v = body.get(name, default)
+            _expect(isinstance(v, bool), f"{name} must be a boolean")
+            return v
+
+        width = _int("width", 1024, 16, _MAX_SIDE)
+        height = _int("height", 1024, 16, _MAX_SIDE)
+        _expect(width % 16 == 0 and height % 16 == 0,
+                "width/height must be multiples of 16 (VAE 8x + 2x2 packing)")
+        steps = _int("num_inference_steps", 4, 1, _MAX_STEPS)
+        seed = _int("seed", 0, -(2**31), 2**31 - 1)
+        guidance = body.get("guidance", 0.0)
+        _expect(isinstance(guidance, (int, float)) and not isinstance(guidance, bool),
+                "guidance must be a number")
+        norm = body.get("attention_norm", "sparsemax")
+        _expect(norm in _ALLOWED_NORMS, f"attention_norm must be one of {_ALLOWED_NORMS}")
+        layer_indices = body.get("layer_indices")
+        if layer_indices is not None:
+            _expect(
+                isinstance(layer_indices, (list, tuple))
+                and len(layer_indices) >= 1
+                and all(isinstance(i, int) and not isinstance(i, bool) and i >= 0
+                        for i in layer_indices),
+                "layer_indices must be a non-empty list of non-negative ints",
+            )
+            layer_indices = tuple(layer_indices)
+        fmt = body.get("heatmap_format", "png")
+        _expect(fmt in ("png", "array"), "heatmap_format must be 'png' or 'array'")
+        cmap = body.get("cmap", "plasma")
+        _expect(isinstance(cmap, str), "cmap must be a string")
+
+        return cls(
+            prompt=prompt,
+            concepts=tuple(concepts),
+            seed=seed,
+            width=width,
+            height=height,
+            num_inference_steps=steps,
+            guidance=float(guidance),
+            softmax=_bool("softmax", True),
+            attention_norm=norm,
+            layer_indices=layer_indices,
+            watermark=_bool("watermark", True),
+            cmap=cmap,
+            heatmap_format=fmt,
+            return_cross_attention=_bool("return_cross_attention", False),
+        )
+
+
+def _png_b64(pil_image) -> str:
+    buf = io.BytesIO()
+    pil_image.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _format_heatmaps(maps: np.ndarray, concepts: Sequence[str], fmt: str, cmap: str):
+    """[C, h, w] float maps -> {concept: png-b64} or {concept: [[...]]}."""
+    if fmt == "png":
+        from conceptattention_tpu.pipeline.heatmaps import heatmaps_to_pil
+
+        pils = heatmaps_to_pil(maps, cmap)
+        return {c: _png_b64(p) for c, p in zip(concepts, pils)}
+    return {c: np.asarray(m, np.float32).tolist() for c, m in zip(concepts, maps)}
+
+
+class ServerMetrics:
+    """Thread-safe request counters + a bounded latency reservoir."""
+
+    def __init__(self, window: int = 512):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self._latencies = collections.deque(maxlen=window)
+
+    def record(self, latency_s: float, ok: bool) -> None:
+        with self._lock:
+            self.requests_total += 1
+            if not ok:
+                self.errors_total += 1
+            else:
+                self._latencies.append(latency_s)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lats = sorted(self._latencies)
+            out = {
+                "requests_total": self.requests_total,
+                "errors_total": self.errors_total,
+            }
+        if lats:
+            q = lambda p: round(1000.0 * lats[min(len(lats) - 1, int(p * len(lats)))], 1)
+            out["latency_ms"] = {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99),
+                                 "max": round(1000.0 * lats[-1], 1)}
+        return out
+
+
+class ConceptAttentionServer:
+    """Owns the pipeline, the micro-batcher, and the HTTP listener.
+
+    `start()` serves on a daemon thread (port 0 picks a free port — read
+    `.port` after construction); `stop()` shuts the listener down and drains
+    the batcher. Also usable as a context manager.
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_batch: int = 8,
+        max_wait_ms: float = 25.0,
+        bucket_sizes: Sequence[int] = (1, 2, 4, 8),
+        request_timeout_s: float = 600.0,
+    ):
+        self.pipeline = pipeline
+        self.metrics = ServerMetrics()
+        self.request_timeout_s = request_timeout_s
+        self._buckets = tuple(sorted(set(int(b) for b in bucket_sizes)))
+        self.batcher = MicroBatcher(
+            self._run_batch,
+            max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+            group_key=lambda r: r.batch_key(),
+            name="serving-batcher",
+        )
+        outer = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            server_version = "conceptattention-tpu"
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route to logging, not stderr
+                logger.debug("%s %s", self.address_string(), fmt % args)
+
+            def _reply(self, code: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, outer._health())
+                elif self.path == "/metrics":
+                    self._reply(200, outer._metrics())
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                t0 = time.monotonic()
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    _expect(0 < length <= 16 * 1024 * 1024, "missing/oversized body")
+                    try:
+                        body = json.loads(self.rfile.read(length))
+                    except json.JSONDecodeError as e:
+                        raise RequestError(f"invalid JSON: {e}") from e
+                    request = GenerateRequest.from_json(body)
+                except RequestError as e:
+                    outer.metrics.record(time.monotonic() - t0, ok=False)
+                    self._reply(400, {"error": str(e)})
+                    return
+                try:
+                    result = outer.batcher.submit(request).result(
+                        timeout=outer.request_timeout_s
+                    )
+                except Exception as e:  # noqa: BLE001 — surfaced as 500
+                    outer.metrics.record(time.monotonic() - t0, ok=False)
+                    logger.exception("generate failed")
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                latency = time.monotonic() - t0
+                outer.metrics.record(latency, ok=True)
+                result["latency_ms"] = round(1000.0 * latency, 1)
+                self._reply(200, result)
+
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.daemon_threads = True
+        self._serve_thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "ConceptAttentionServer":
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="serving-http", daemon=True
+        )
+        self._serve_thread.start()
+        logger.info("serving %s on port %d", self.pipeline.model_name, self.port)
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=10)
+        self.batcher.close()
+
+    def __enter__(self) -> "ConceptAttentionServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ------------------------------------------------------------------
+    def _health(self) -> dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "model": self.pipeline.model_name,
+            "platform": jax.devices()[0].platform,
+            "queue_depth": self.batcher.queue_depth(),
+        }
+
+    def _metrics(self) -> dict:
+        out = self.metrics.snapshot()
+        out["batcher"] = self.batcher.stats.snapshot()
+        out["queue_depth"] = self.batcher.queue_depth()
+        return out
+
+    # ------------------------------------------------------------------
+    def _run_batch(self, requests: List[GenerateRequest]) -> List[dict]:
+        """One device dispatch for a compatible request group.
+
+        Pads prompts/seeds up to the next bucket size by repeating the last
+        request (padding outputs are dropped) so XLA compiles one graph per
+        bucket, not per observed batch size.
+        """
+        head = requests[0]
+        n = len(requests)
+        m = next_bucket(n, self._buckets)
+        prompts = [r.prompt for r in requests] + [head.prompt] * (m - n)
+        seeds = [r.seed for r in requests] + [head.seed] * (m - n)
+        outputs = self.pipeline.generate_images(
+            prompts,
+            list(head.concepts),
+            width=head.width,
+            height=head.height,
+            layer_indices=(None if head.layer_indices is None
+                           else list(head.layer_indices)),
+            seeds=seeds,
+            num_inference_steps=head.num_inference_steps,
+            guidance=head.guidance,
+            softmax=head.softmax,
+            attention_norm=head.attention_norm,
+            watermark=head.watermark,
+            return_pil_heatmaps=False,  # formatting is per-request below
+        )[:n]
+        results = []
+        for req, out in zip(requests, outputs):
+            payload = {
+                "image": _png_b64(out.image),
+                "concept_heatmaps": _format_heatmaps(
+                    out.concept_heatmaps, req.concepts, req.heatmap_format, req.cmap
+                ),
+                "batch_size": n,
+            }
+            if req.return_cross_attention:
+                payload["cross_attention_maps"] = _format_heatmaps(
+                    out.cross_attention_maps, req.concepts, req.heatmap_format,
+                    req.cmap,
+                )
+            results.append(payload)
+        return results

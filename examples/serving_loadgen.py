@@ -1,0 +1,112 @@
+"""Closed-loop load generator for the serving daemon.
+
+Drives `POST /v1/generate` with N concurrent clients against a running
+`python -m conceptattention_tpu.serving` instance and reports throughput,
+latency quantiles, and how well the micro-batcher coalesced (mean batch size
+from /metrics). Use it to pick `--max_batch` / `--max_wait_ms` for a traffic
+level: on one chip, images/sec rises with mean batch size (bench.py's
+headline is batch 8) while per-request latency rises with wait time.
+
+    python -m conceptattention_tpu.serving --model flux-tiny --port 8311 &
+    python examples/serving_loadgen.py --port 8311 --clients 8 --requests 32 \
+        --width 64 --height 64 --steps 1
+"""
+
+import argparse
+import http.client
+import json
+import statistics
+import threading
+import time
+
+
+def call(host, port, body, timeout):
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    t0 = time.perf_counter()
+    conn.request("POST", "/v1/generate", json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    if resp.status != 200:
+        raise RuntimeError(f"HTTP {resp.status}: {data[:200]!r}")
+    return time.perf_counter() - t0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--requests", type=int, default=32, help="total across clients")
+    p.add_argument("--prompt", default="a photo of a dragon standing on a rock")
+    p.add_argument("--concepts", nargs="+", default=["dragon", "rock", "sky"])
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--timeout", type=float, default=600.0)
+    args = p.parse_args()
+
+    base = {
+        "prompt": args.prompt,
+        "concepts": args.concepts,
+        "width": args.width,
+        "height": args.height,
+        "num_inference_steps": args.steps,
+    }
+    # Warm the compiled graphs (one per bucket size) outside the timed window.
+    call(args.host, args.port, dict(base, seed=0), args.timeout)
+
+    latencies, errors = [], []
+    lock = threading.Lock()
+    counter = iter(range(args.requests))
+
+    def client(cid):
+        while True:
+            with lock:
+                i = next(counter, None)
+            if i is None:
+                return
+            try:
+                dt = call(args.host, args.port, dict(base, seed=i), args.timeout)
+                with lock:
+                    latencies.append(dt)
+            except Exception as e:  # noqa: BLE001 — collected for the report
+                with lock:
+                    errors.append(f"client{cid}: {e}")
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    conn = http.client.HTTPConnection(args.host, args.port, timeout=30)
+    conn.request("GET", "/metrics")
+    metrics = json.loads(conn.getresponse().read())
+    conn.close()
+
+    lat = sorted(latencies)
+    report = {
+        "requests_ok": len(lat),
+        "errors": len(errors),
+        "wall_s": round(wall, 2),
+        "images_per_sec": round(len(lat) / wall, 4) if wall else None,
+        "latency_s": {
+            "p50": round(lat[len(lat) // 2], 3) if lat else None,
+            "p90": round(lat[int(0.9 * (len(lat) - 1))], 3) if lat else None,
+            "max": round(lat[-1], 3) if lat else None,
+            "mean": round(statistics.fmean(lat), 3) if lat else None,
+        },
+        "server_mean_batch_size": metrics.get("batcher", {}).get("mean_batch_size"),
+        "server_batches_total": metrics.get("batcher", {}).get("batches_total"),
+    }
+    print(json.dumps(report, indent=2))
+    for e in errors[:5]:
+        print("ERROR:", e)
+
+
+if __name__ == "__main__":
+    main()

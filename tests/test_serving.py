@@ -1,0 +1,310 @@
+"""Serving subsystem tests: micro-batcher semantics, per-request seeds on the
+batched pipeline path, and the HTTP daemon end-to-end on the tiny config.
+
+The load-bearing property: a request's output is bit-independent of which
+batch it rode in (generate_images(seeds=...) draws each prompt's latents from
+its own PRNGKey, exactly as generate_image would), so the server's coalescing
+and bucket padding are invisible to clients.
+"""
+
+import base64
+import http.client
+import io
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import conceptattention_tpu as cat
+from conceptattention_tpu.serving import (
+    ConceptAttentionServer,
+    GenerateRequest,
+    MicroBatcher,
+    RequestError,
+    next_bucket,
+)
+
+SIZE = 64  # flux-tiny: VAE factor 2 -> 32x32 latents -> 16x16 tokens
+CONCEPTS = ["cat", "sky"]
+
+
+# ---------------------------------------------------------------------------
+class TestMicroBatcher:
+    def test_coalesces_concurrent_requests(self):
+        release = threading.Event()
+        calls = []
+
+        def batch_fn(reqs):
+            calls.append(list(reqs))
+            if len(calls) == 1:
+                release.wait(5)  # hold the worker so the queue fills
+            return [r * 10 for r in reqs]
+
+        b = MicroBatcher(batch_fn, max_batch=8, max_wait_ms=50)
+        futs = [b.submit(1)]
+        while not calls:  # first request is in flight on the worker
+            time.sleep(0.005)
+        futs += [b.submit(i) for i in (2, 3, 4)]
+        release.set()
+        assert [f.result(5) for f in futs] == [10, 20, 30, 40]
+        b.close()
+        assert len(calls) == 2  # 1 solo + 1 coalesced batch of 3
+        assert calls[1] == [2, 3, 4]
+        assert b.stats.requests_total == 4
+        assert b.stats.batches_total == 2
+        assert b.stats.snapshot()["mean_batch_size"] == 2.0
+
+    def test_respects_max_batch(self):
+        release = threading.Event()
+        calls = []
+
+        def batch_fn(reqs):
+            calls.append(list(reqs))
+            if len(calls) == 1:
+                release.wait(5)
+            return list(reqs)
+
+        b = MicroBatcher(batch_fn, max_batch=2, max_wait_ms=200)
+        futs = [b.submit(0)]
+        while not calls:
+            time.sleep(0.005)
+        futs += [b.submit(i) for i in (1, 2, 3, 4)]
+        release.set()
+        assert [f.result(5) for f in futs] == [0, 1, 2, 3, 4]
+        b.close()
+        assert max(len(c) for c in calls) <= 2
+
+    def test_groups_by_key(self):
+        release = threading.Event()
+        calls = []
+
+        def batch_fn(reqs):
+            calls.append(list(reqs))
+            if len(calls) == 1:
+                release.wait(5)
+            return list(reqs)
+
+        b = MicroBatcher(batch_fn, max_batch=8, max_wait_ms=30,
+                         group_key=lambda r: r % 2)
+        futs = [b.submit(0)]
+        while not calls:
+            time.sleep(0.005)
+        futs += [b.submit(i) for i in (2, 3, 4, 5)]  # evens batch, odds batch
+        release.set()
+        assert [f.result(5) for f in futs] == [0, 2, 3, 4, 5]
+        b.close()
+        batches = [sorted(c) for c in calls[1:]]
+        assert [2, 4] in batches and [3, 5] in batches
+
+    def test_error_propagates_to_every_future(self):
+        def batch_fn(reqs):
+            raise RuntimeError("device on fire")
+
+        b = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=5)
+        futs = [b.submit(i) for i in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="device on fire"):
+                f.result(5)
+        assert b.stats.errors_total == 3
+        b.close()
+
+    def test_close_rejects_new_and_drains(self):
+        b = MicroBatcher(lambda reqs: list(reqs), max_batch=4, max_wait_ms=1)
+        assert b.submit(7).result(5) == 7
+        b.close()
+        with pytest.raises(RuntimeError):
+            b.submit(8)
+
+    def test_result_count_mismatch_is_an_error(self):
+        b = MicroBatcher(lambda reqs: [1, 2, 3], max_batch=1, max_wait_ms=1)
+        with pytest.raises(RuntimeError, match="results"):
+            b.submit("x").result(5)
+        b.close()
+
+    def test_next_bucket(self):
+        assert next_bucket(1, (1, 2, 4, 8)) == 1
+        assert next_bucket(3, (1, 2, 4, 8)) == 4
+        assert next_bucket(8, (1, 2, 4, 8)) == 8
+        assert next_bucket(9, (1, 2, 4, 8)) == 9  # beyond the largest bucket
+
+
+# ---------------------------------------------------------------------------
+class TestGenerateRequestValidation:
+    def test_minimal_ok(self):
+        r = GenerateRequest.from_json({"prompt": "a cat", "concepts": ["cat"]})
+        assert r.width == 1024 and r.attention_norm == "sparsemax"
+
+    @pytest.mark.parametrize("body,msg", [
+        ({}, "prompt"),
+        ({"prompt": "x"}, "concepts"),
+        ({"prompt": "x", "concepts": []}, "concepts"),
+        ({"prompt": "x", "concepts": ["c"], "width": 100}, "multiples of 16"),
+        ({"prompt": "x", "concepts": ["c"], "num_inference_steps": 0}, "num_inference_steps"),
+        ({"prompt": "x", "concepts": ["c"], "attention_norm": "magic"}, "attention_norm"),
+        ({"prompt": "x", "concepts": ["c"], "heatmap_format": "bmp"}, "heatmap_format"),
+        ({"prompt": "x", "concepts": ["c"], "softmax": 1}, "boolean"),
+        ({"prompt": "x", "concepts": ["c"], "bogus": 1}, "unknown"),
+        ({"prompt": "x", "concepts": ["c"], "layer_indices": [-1]}, "layer_indices"),
+    ])
+    def test_rejects(self, body, msg):
+        with pytest.raises(RequestError, match=msg):
+            GenerateRequest.from_json(body)
+
+    def test_batch_key_ignores_prompt_seed_and_formatting(self):
+        a = GenerateRequest.from_json(
+            {"prompt": "a", "concepts": ["c"], "seed": 1, "cmap": "viridis"})
+        b = GenerateRequest.from_json(
+            {"prompt": "b", "concepts": ["c"], "seed": 2, "heatmap_format": "array"})
+        c = GenerateRequest.from_json(
+            {"prompt": "a", "concepts": ["c", "d"], "seed": 1})
+        assert a.batch_key() == b.batch_key()
+        assert a.batch_key() != c.batch_key()
+
+
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pipe():
+    return cat.ConceptAttentionFluxPipeline("flux-tiny", dtype=jnp.float32)
+
+
+class TestPerRequestSeeds:
+    def test_batched_seeds_match_single_generation(self, pipe):
+        """generate_images(seeds=[s1, s2]) row i == generate_image(seed=si)."""
+        prompts = ["a cat", "a dog"]
+        seeds = [11, 12]
+        kwargs = dict(width=SIZE, height=SIZE, num_inference_steps=1,
+                      return_image_array=True, return_pil_heatmaps=False,
+                      watermark=False)
+        batched = pipe.generate_images(prompts, CONCEPTS, seeds=seeds, **kwargs)
+        for prompt, seed, out in zip(prompts, seeds, batched):
+            solo = pipe.generate_image(prompt, CONCEPTS, seed=seed, **kwargs)
+            np.testing.assert_allclose(
+                np.asarray(out.image, np.float32),
+                np.asarray(solo.image, np.float32),
+                atol=1.0,  # one uint8 level of batched-matmul slack
+            )
+            np.testing.assert_allclose(
+                out.concept_heatmaps, solo.concept_heatmaps, atol=1e-4
+            )
+
+    def test_seeds_length_mismatch(self, pipe):
+        with pytest.raises(ValueError, match="seeds"):
+            pipe.generate_images(["a"], CONCEPTS, seeds=[1, 2], width=SIZE,
+                                 height=SIZE, num_inference_steps=1)
+
+
+# ---------------------------------------------------------------------------
+def _post(port, body, path="/v1/generate", timeout=300):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def _get(port, path, timeout=30):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def _png_to_array(b64: str) -> np.ndarray:
+    import PIL.Image
+
+    return np.asarray(PIL.Image.open(io.BytesIO(base64.b64decode(b64))))
+
+
+@pytest.fixture(scope="module")
+def server(pipe):
+    srv = ConceptAttentionServer(
+        pipe, port=0, max_batch=2, max_wait_ms=150, bucket_sizes=(2,),
+        request_timeout_s=300,
+    )
+    with srv:
+        yield srv
+
+
+BASE_BODY = {
+    "prompt": "a cat in the sky",
+    "concepts": CONCEPTS,
+    "width": SIZE,
+    "height": SIZE,
+    "num_inference_steps": 1,
+    "seed": 3,
+}
+
+
+class TestServerEndToEnd:
+    def test_single_request_roundtrip(self, server, pipe):
+        status, data = _post(server.port, BASE_BODY)
+        assert status == 200, data
+        img = _png_to_array(data["image"])
+        assert img.shape == (SIZE, SIZE, 3)
+        assert set(data["concept_heatmaps"]) == set(CONCEPTS)
+        hm = _png_to_array(data["concept_heatmaps"]["cat"])
+        assert hm.shape[:2] == (SIZE // 4, SIZE // 4)  # token grid 16x16
+        assert data["latency_ms"] > 0
+
+        # Batching transparency: the padded batch-of-2 HTTP result matches a
+        # direct unbatched generate_image with the same arguments.
+        solo = pipe.generate_image(
+            BASE_BODY["prompt"], CONCEPTS, width=SIZE, height=SIZE,
+            num_inference_steps=1, seed=3, return_image_array=True,
+        )
+        diff = np.abs(img.astype(np.float32)
+                      - np.asarray(solo.image, np.float32))
+        assert diff.max() <= 2.0 and diff.mean() < 0.5
+
+    def test_concurrent_requests_coalesce(self, server):
+        results = {}
+
+        def call(i):
+            body = dict(BASE_BODY, prompt=f"a photo number {i}", seed=100 + i)
+            results[i] = _post(server.port, body)
+
+        before = server.batcher.stats.batches_total
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(status == 200 for status, _ in results.values())
+        batches = server.batcher.stats.batches_total - before
+        assert batches < 4  # coalescing happened (4 requests, max_batch=2)
+        # Distinct seeds/prompts produced distinct images.
+        imgs = [_png_to_array(d["image"]) for _, d in results.values()]
+        assert any(not np.array_equal(imgs[0], im) for im in imgs[1:])
+
+    def test_heatmap_array_format(self, server):
+        body = dict(BASE_BODY, heatmap_format="array",
+                    return_cross_attention=True)
+        status, data = _post(server.port, body)
+        assert status == 200, data
+        arr = np.asarray(data["concept_heatmaps"]["sky"], np.float32)
+        assert arr.shape == (SIZE // 4, SIZE // 4)
+        assert set(data["cross_attention_maps"]) == set(CONCEPTS)
+
+    def test_bad_request_is_400(self, server):
+        status, data = _post(server.port, {"prompt": "x"})
+        assert status == 400 and "concepts" in data["error"]
+        status, _ = _post(server.port, BASE_BODY, path="/v1/nope")
+        assert status == 404
+
+    def test_health_and_metrics(self, server):
+        status, health = _get(server.port, "/healthz")
+        assert status == 200
+        assert health["status"] == "ok"
+        assert health["model"] == "flux-tiny"
+        status, metrics = _get(server.port, "/metrics")
+        assert status == 200
+        assert metrics["requests_total"] >= 1
+        assert metrics["batcher"]["batches_total"] >= 1
+        assert "latency_ms" in metrics
