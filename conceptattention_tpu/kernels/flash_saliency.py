@@ -450,13 +450,31 @@ _BEST_TILES = {
     4608: (576, 1536),  # flux doubles (+256 concept pad): beat 512x1536 3/3
 }
 
+# Runtime overlay written by kernels/autotune.py (user-tuned on the CURRENT
+# device kind); takes precedence over the v5e-measured table above.
+_TUNED_TILES: dict = {}
+_tile_cache_loaded = False
+
 
 def _auto_tiles(s: int) -> Tuple[int, int]:
-    """Pick (block_q, block_k) for sequence length s: known-best if measured,
-    else the largest exact divisors within VMEM-safe bounds, else the generic
-    512/1024 (masked tails handle non-divisible lengths). Degenerate exact
-    divisors (e.g. s = 16 * prime -> bq = 16, a 16-row MXU tile) are worse
-    than masked tails, so anything below the 256/512 floor falls back."""
+    """Pick (block_q, block_k) for sequence length s: user-autotuned overlay
+    first (kernels/autotune.py, per-device-kind cache), then the measured
+    _BEST_TILES table, else the largest exact divisors within VMEM-safe
+    bounds, else the generic 512/1024 (masked tails handle non-divisible
+    lengths). Degenerate exact divisors (e.g. s = 16 * prime -> bq = 16, a
+    16-row MXU tile) are worse than masked tails, so anything below the
+    256/512 floor falls back."""
+    global _tile_cache_loaded
+    if not _tile_cache_loaded:
+        _tile_cache_loaded = True  # one attempt; absence is the common case
+        try:
+            from conceptattention_tpu.kernels import autotune
+
+            autotune.load_tile_cache()
+        except Exception:
+            pass
+    if s in _TUNED_TILES:
+        return _TUNED_TILES[s]
     if s in _BEST_TILES:
         return _BEST_TILES[s]
     bq = max(
