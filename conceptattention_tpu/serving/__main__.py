@@ -6,7 +6,10 @@ cli.py's generation flags where they overlap.
 """
 
 import argparse
+import json
 import logging
+import signal
+import threading
 
 
 def main(argv=None) -> None:
@@ -34,6 +37,12 @@ def main(argv=None) -> None:
     p.add_argument("--bucket_sizes", type=int, nargs="+", default=[1, 2, 4, 8],
                    help="padded batch sizes (one compiled graph each)")
     p.add_argument("--request_timeout_s", type=float, default=600.0)
+    p.add_argument("--warmup", default=None, metavar="JSON",
+                   help='pre-compile every bucket before listening, e.g. '
+                        '\'{"prompt": "w", "concepts": ["object"], "width": 1024, '
+                        '"height": 1024, "num_inference_steps": 4}\' — the '
+                        "concept COUNT/resolution/steps must match expected "
+                        "traffic (they shape the compiled graph)")
     p.add_argument("--log_level", default="INFO")
     args = p.parse_args(argv)
 
@@ -66,6 +75,19 @@ def main(argv=None) -> None:
         bucket_sizes=args.bucket_sizes,
         request_timeout_s=args.request_timeout_s,
     )
+    if args.warmup:
+        from conceptattention_tpu.serving import GenerateRequest
+
+        proto = GenerateRequest.from_json(json.loads(args.warmup))
+        print("warming up compiled graphs (one per bucket)...")
+        server.warmup(proto)
+
+    # Graceful drain on SIGTERM (the production stop signal): stop accepting
+    # connections, finish in-flight batches, then exit.
+    def _term(_signum, _frame):
+        threading.Thread(target=server.stop, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     print(f"serving {args.model_name} at http://{args.host}:{server.port}")
     try:
         server.serve_forever()

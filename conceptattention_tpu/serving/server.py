@@ -350,6 +350,24 @@ class ConceptAttentionServer:
         return out
 
     # ------------------------------------------------------------------
+    def warmup(self, prototype: GenerateRequest,
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile one graph per bucket size before taking traffic.
+
+        Full-size XLA compiles take minutes on this backend's remote relay;
+        without warmup the first request at each batch size eats that
+        latency. The prototype must match expected traffic's batch key
+        (concept COUNT, resolution, steps — all shape the graph); prompts
+        and seeds don't matter.
+        """
+        for b in buckets or self._buckets:
+            reqs = [dataclasses.replace(prototype, seed=prototype.seed + i)
+                    for i in range(b)]
+            t0 = time.monotonic()
+            self._run_batch(reqs)
+            logger.info("warmup bucket %d: %.1fs", b, time.monotonic() - t0)
+
+    # ------------------------------------------------------------------
     def _run_batch(self, requests: List[GenerateRequest]) -> List[dict]:
         """One device dispatch for a compatible request group.
 

@@ -298,6 +298,15 @@ class TestServerEndToEnd:
         status, _ = _post(server.port, BASE_BODY, path="/v1/nope")
         assert status == 404
 
+    def test_warmup_compiles_buckets(self, server):
+        proto = GenerateRequest.from_json(dict(BASE_BODY))
+        before = server.metrics.requests_total
+        server.warmup(proto)  # one _run_batch per bucket; bypasses HTTP
+        assert server.metrics.requests_total == before  # not counted as traffic
+        # traffic after warmup still works
+        status, _ = _post(server.port, BASE_BODY)
+        assert status == 200
+
     def test_health_and_metrics(self, server):
         status, health = _get(server.port, "/healthz")
         assert status == 200
