@@ -190,7 +190,9 @@ def _save_cache_entry(seq_len, tiles, rate, batch, heads, head_dim, path) -> Non
         "tflops": round(float(rate), 2),
         "probe": {"batch": batch, "heads": heads, "head_dim": head_dim},
     }
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parent = os.path.dirname(path)
+    if parent:  # bare filenames have no directory to create
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(data, f, indent=1)

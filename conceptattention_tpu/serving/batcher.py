@@ -106,9 +106,11 @@ class MicroBatcher:
         with self._lock:
             return len(self._queue)
 
-    def close(self, timeout: Optional[float] = 10.0) -> None:
+    def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting work; the worker drains already-queued batches,
-        then exits. Requests still queued after `timeout` are failed."""
+        then exits. Blocks until drained by default (batches can run
+        minutes on the real chip); with a `timeout`, requests still queued
+        when it expires are failed."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()

@@ -148,6 +148,10 @@ class GenerateRequest:
         _expect(fmt in ("png", "array"), "heatmap_format must be 'png' or 'array'")
         cmap = body.get("cmap", "plasma")
         _expect(isinstance(cmap, str), "cmap must be a string")
+        if fmt == "png":  # an unknown cmap must be a 400 here, not a 500 later
+            import matplotlib
+
+            _expect(cmap in matplotlib.colormaps, f"unknown cmap {cmap!r}")
 
         return cls(
             prompt=prompt,
@@ -236,6 +240,14 @@ class ConceptAttentionServer:
         self.metrics = ServerMetrics()
         self.request_timeout_s = request_timeout_s
         self._buckets = tuple(sorted(set(int(b) for b in bucket_sizes)))
+        if max_batch > self._buckets[-1]:
+            # Otherwise bursts above the top bucket compile one NEW graph per
+            # observed batch size (minutes each on the remote relay) —
+            # exactly what bucketing exists to prevent.
+            raise ValueError(
+                f"max_batch={max_batch} exceeds the largest bucket "
+                f"{self._buckets[-1]}; add it to bucket_sizes or lower max_batch"
+            )
         self.batcher = MicroBatcher(
             self._run_batch,
             max_batch=max_batch,
@@ -257,6 +269,11 @@ class ConceptAttentionServer:
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
+                if self.close_connection:
+                    # Advertise the close (set when the request body can't be
+                    # consumed) so well-behaved clients don't race a reuse
+                    # against the server-side teardown.
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -274,21 +291,40 @@ class ConceptAttentionServer:
                     return
                 t0 = time.monotonic()
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    _expect(0 < length <= 16 * 1024 * 1024, "missing/oversized body")
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                    except (TypeError, ValueError) as e:
+                        # Body length unknowable -> the connection can't be
+                        # resynchronized for keep-alive; drop it after the 400.
+                        self.close_connection = True
+                        raise RequestError("invalid Content-Length header") from e
+                    if not 0 < length <= 16 * 1024 * 1024:
+                        # Refusing without consuming the body would leave its
+                        # bytes to be parsed as the next request line on this
+                        # keep-alive connection — close instead of draining.
+                        self.close_connection = True
+                        raise RequestError("missing/oversized body")
                     try:
                         body = json.loads(self.rfile.read(length))
                     except json.JSONDecodeError as e:
                         raise RequestError(f"invalid JSON: {e}") from e
                     request = GenerateRequest.from_json(body)
+                    outer._validate_against_model(request)
                 except RequestError as e:
                     outer.metrics.record(time.monotonic() - t0, ok=False)
                     self._reply(400, {"error": str(e)})
                     return
                 try:
-                    result = outer.batcher.submit(request).result(
+                    output, batch_size = outer.batcher.submit(request).result(
                         timeout=outer.request_timeout_s
                     )
+                    # Formatting (PNG encode + base64) runs HERE, on the
+                    # per-connection thread: the batcher worker is the device
+                    # dispatcher, and encoding a batch's outputs there would
+                    # stall the next batch's dispatch on an idle chip. A
+                    # per-request formatting failure also only fails THIS
+                    # request, not its batch siblings.
+                    result = outer._format_result(request, output, batch_size)
                 except Exception as e:  # noqa: BLE001 — surfaced as 500
                     outer.metrics.record(time.monotonic() - t0, ok=False)
                     logger.exception("generate failed")
@@ -319,12 +355,17 @@ class ConceptAttentionServer:
     def serve_forever(self) -> None:
         self._httpd.serve_forever()
 
-    def stop(self) -> None:
+    def stop(self, drain_timeout_s: Optional[float] = None) -> None:
+        """Stop listening, then DRAIN: by default block until every accepted
+        request (in-flight and queued batches) has finished — generation
+        batches run tens of seconds to minutes on the real chip, so a fixed
+        short timeout would kill them mid-flight. Pass `drain_timeout_s` to
+        bound the wait; requests still queued when it expires are failed."""
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=10)
-        self.batcher.close()
+        self.batcher.close(timeout=drain_timeout_s)
 
     def __enter__(self) -> "ConceptAttentionServer":
         return self.start()
@@ -368,8 +409,21 @@ class ConceptAttentionServer:
             logger.info("warmup bucket %d: %.1fs", b, time.monotonic() - t0)
 
     # ------------------------------------------------------------------
-    def _run_batch(self, requests: List[GenerateRequest]) -> List[dict]:
-        """One device dispatch for a compatible request group.
+    def _validate_against_model(self, request: GenerateRequest) -> None:
+        """Model-dependent validation from_json can't do (it has no pipeline):
+        reject as 400 what would otherwise assert deep inside the batch."""
+        depth = self.pipeline.cfg.depth
+        if request.layer_indices is not None and any(
+            i >= depth for i in request.layer_indices
+        ):
+            raise RequestError(
+                f"layer_indices out of range for this model (depth {depth})"
+            )
+
+    def _run_batch(self, requests: List[GenerateRequest]):
+        """One device dispatch for a compatible request group; returns the
+        RAW pipeline output per request (formatting happens on the per-
+        connection threads — see do_POST).
 
         Pads prompts/seeds up to the next bucket size by repeating the last
         request (padding outputs are dropped) so XLA compiles one graph per
@@ -393,21 +447,22 @@ class ConceptAttentionServer:
             softmax=head.softmax,
             attention_norm=head.attention_norm,
             watermark=head.watermark,
-            return_pil_heatmaps=False,  # formatting is per-request below
+            return_pil_heatmaps=False,  # formatting is per-request, later
         )[:n]
-        results = []
-        for req, out in zip(requests, outputs):
-            payload = {
-                "image": _png_b64(out.image),
-                "concept_heatmaps": _format_heatmaps(
-                    out.concept_heatmaps, req.concepts, req.heatmap_format, req.cmap
-                ),
-                "batch_size": n,
-            }
-            if req.return_cross_attention:
-                payload["cross_attention_maps"] = _format_heatmaps(
-                    out.cross_attention_maps, req.concepts, req.heatmap_format,
-                    req.cmap,
-                )
-            results.append(payload)
-        return results
+        return [(out, n) for out in outputs]
+
+    def _format_result(self, request: GenerateRequest, output, batch_size: int) -> dict:
+        payload = {
+            "image": _png_b64(output.image),
+            "concept_heatmaps": _format_heatmaps(
+                output.concept_heatmaps, request.concepts,
+                request.heatmap_format, request.cmap,
+            ),
+            "batch_size": batch_size,
+        }
+        if request.return_cross_attention:
+            payload["cross_attention_maps"] = _format_heatmaps(
+                output.cross_attention_maps, request.concepts,
+                request.heatmap_format, request.cmap,
+            )
+        return payload

@@ -54,8 +54,23 @@ def main():
         "height": args.height,
         "num_inference_steps": args.steps,
     }
-    # Warm the compiled graphs (one per bucket size) outside the timed window.
+    # Warm the compiled graphs outside the timed window: one solo request
+    # (smallest bucket) plus a concurrent burst at the test's own concurrency,
+    # which coalesces into the same buckets the timed phase will hit. (The
+    # server's --warmup flag covers every bucket deterministically; this is
+    # the client-side fallback.)
     call(args.host, args.port, dict(base, seed=0), args.timeout)
+    warm_threads = [
+        threading.Thread(
+            target=lambda s=s: call(args.host, args.port, dict(base, seed=s),
+                                    args.timeout)
+        )
+        for s in range(args.clients)
+    ]
+    for t in warm_threads:
+        t.start()
+    for t in warm_threads:
+        t.join()
 
     latencies, errors = [], []
     lock = threading.Lock()

@@ -117,3 +117,13 @@ class TestSweepAndCache:
         cache = tmp_path / "tiles.json"
         cache.write_text("{not json")
         assert load_tile_cache(str(cache)) == {}
+
+    def test_bare_filename_cache_path(self, tmp_path, monkeypatch):
+        # a cache path with no directory component must not lose the sweep
+        monkeypatch.chdir(tmp_path)
+        best = autotune_tiles(
+            256, batch=1, heads=1, head_dim=128,
+            candidates=[(128, 128)], iters=2,
+            cache_path="tiles.json", interpret=True,
+        )
+        assert load_tile_cache("tiles.json") == {256: best}

@@ -298,6 +298,33 @@ class TestServerEndToEnd:
         status, _ = _post(server.port, BASE_BODY, path="/v1/nope")
         assert status == 404
 
+    def test_unknown_cmap_is_400_not_batch_poison(self, server):
+        status, data = _post(server.port, dict(BASE_BODY, cmap="notacmap"))
+        assert status == 400 and "cmap" in data["error"]
+        # array format doesn't use the colormap — any string is accepted
+        status, _ = _post(server.port, dict(BASE_BODY, cmap="notacmap",
+                                            heatmap_format="array"))
+        assert status == 200
+
+    def test_layer_indices_beyond_model_depth_is_400(self, server):
+        status, data = _post(server.port, dict(BASE_BODY, layer_indices=[999]))
+        assert status == 400 and "depth" in data["error"]
+
+    def test_invalid_content_length_is_400(self, server):
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.putrequest("POST", "/v1/generate")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert resp.will_close  # connection can't be resynchronized
+        conn.close()
+
+    def test_max_batch_must_fit_buckets(self, pipe):
+        with pytest.raises(ValueError, match="bucket"):
+            ConceptAttentionServer(pipe, port=0, max_batch=16,
+                                   bucket_sizes=(1, 2, 4, 8))
+
     def test_warmup_compiles_buckets(self, server):
         proto = GenerateRequest.from_json(dict(BASE_BODY))
         before = server.metrics.requests_total
