@@ -10,6 +10,7 @@ Run a server: ``python -m conceptattention_tpu.serving --model flux-schnell``.
 from conceptattention_tpu.serving.batcher import BatcherStats, MicroBatcher, next_bucket
 from conceptattention_tpu.serving.server import (
     ConceptAttentionServer,
+    EncodeRequest,
     GenerateRequest,
     RequestError,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "MicroBatcher",
     "next_bucket",
     "ConceptAttentionServer",
+    "EncodeRequest",
     "GenerateRequest",
     "RequestError",
 ]

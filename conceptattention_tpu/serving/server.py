@@ -56,6 +56,70 @@ def _expect(cond: bool, msg: str) -> None:
         raise RequestError(msg)
 
 
+def _req_int(body: dict, name: str, default: int, lo: int, hi: int) -> int:
+    v = body.get(name, default)
+    _expect(isinstance(v, int) and not isinstance(v, bool) and lo <= v <= hi,
+            f"{name} must be an int in [{lo}, {hi}]")
+    return v
+
+
+def _req_bool(body: dict, name: str, default: bool) -> bool:
+    v = body.get(name, default)
+    _expect(isinstance(v, bool), f"{name} must be a boolean")
+    return v
+
+
+def _req_concepts(body: dict) -> Tuple[str, ...]:
+    concepts = body.get("concepts")
+    _expect(
+        isinstance(concepts, (list, tuple))
+        and 1 <= len(concepts) <= _MAX_CONCEPTS
+        and all(isinstance(c, str) and c.strip() for c in concepts),
+        f"concepts must be 1..{_MAX_CONCEPTS} non-empty strings",
+    )
+    return tuple(concepts)
+
+
+def _req_size(body: dict) -> Tuple[int, int]:
+    width = _req_int(body, "width", 1024, 16, _MAX_SIDE)
+    height = _req_int(body, "height", 1024, 16, _MAX_SIDE)
+    _expect(width % 16 == 0 and height % 16 == 0,
+            "width/height must be multiples of 16 (VAE 8x + 2x2 packing)")
+    return width, height
+
+
+def _req_norm(body: dict) -> str:
+    norm = body.get("attention_norm", "sparsemax")
+    _expect(norm in _ALLOWED_NORMS, f"attention_norm must be one of {_ALLOWED_NORMS}")
+    return norm
+
+
+def _req_layer_indices(body: dict) -> Optional[Tuple[int, ...]]:
+    layer_indices = body.get("layer_indices")
+    if layer_indices is None:
+        return None
+    _expect(
+        isinstance(layer_indices, (list, tuple))
+        and len(layer_indices) >= 1
+        and all(isinstance(i, int) and not isinstance(i, bool) and i >= 0
+                for i in layer_indices),
+        "layer_indices must be a non-empty list of non-negative ints",
+    )
+    return tuple(layer_indices)
+
+
+def _req_format(body: dict) -> Tuple[str, str]:
+    fmt = body.get("heatmap_format", "png")
+    _expect(fmt in ("png", "array"), "heatmap_format must be 'png' or 'array'")
+    cmap = body.get("cmap", "plasma")
+    _expect(isinstance(cmap, str), "cmap must be a string")
+    if fmt == "png":  # an unknown cmap must be a 400 here, not a 500 later
+        import matplotlib
+
+        _expect(cmap in matplotlib.colormaps, f"unknown cmap {cmap!r}")
+    return fmt, cmap
+
+
 @dataclasses.dataclass(frozen=True)
 class GenerateRequest:
     """One /v1/generate request, already validated.
@@ -83,6 +147,7 @@ class GenerateRequest:
 
     def batch_key(self) -> tuple:
         return (
+            "generate",
             self.concepts,
             self.width,
             self.height,
@@ -104,71 +169,122 @@ class GenerateRequest:
         prompt = body.get("prompt")
         _expect(isinstance(prompt, str) and prompt.strip(), "prompt (non-empty string) is required")
         _expect(len(prompt) <= _MAX_PROMPT_CHARS, f"prompt longer than {_MAX_PROMPT_CHARS} chars")
-        concepts = body.get("concepts")
-        _expect(
-            isinstance(concepts, (list, tuple))
-            and 1 <= len(concepts) <= _MAX_CONCEPTS
-            and all(isinstance(c, str) and c.strip() for c in concepts),
-            f"concepts must be 1..{_MAX_CONCEPTS} non-empty strings",
-        )
-
-        def _int(name, default, lo, hi):
-            v = body.get(name, default)
-            _expect(isinstance(v, int) and not isinstance(v, bool) and lo <= v <= hi,
-                    f"{name} must be an int in [{lo}, {hi}]")
-            return v
-
-        def _bool(name, default):
-            v = body.get(name, default)
-            _expect(isinstance(v, bool), f"{name} must be a boolean")
-            return v
-
-        width = _int("width", 1024, 16, _MAX_SIDE)
-        height = _int("height", 1024, 16, _MAX_SIDE)
-        _expect(width % 16 == 0 and height % 16 == 0,
-                "width/height must be multiples of 16 (VAE 8x + 2x2 packing)")
-        steps = _int("num_inference_steps", 4, 1, _MAX_STEPS)
-        seed = _int("seed", 0, -(2**31), 2**31 - 1)
+        width, height = _req_size(body)
         guidance = body.get("guidance", 0.0)
         _expect(isinstance(guidance, (int, float)) and not isinstance(guidance, bool),
                 "guidance must be a number")
-        norm = body.get("attention_norm", "sparsemax")
-        _expect(norm in _ALLOWED_NORMS, f"attention_norm must be one of {_ALLOWED_NORMS}")
-        layer_indices = body.get("layer_indices")
-        if layer_indices is not None:
-            _expect(
-                isinstance(layer_indices, (list, tuple))
-                and len(layer_indices) >= 1
-                and all(isinstance(i, int) and not isinstance(i, bool) and i >= 0
-                        for i in layer_indices),
-                "layer_indices must be a non-empty list of non-negative ints",
-            )
-            layer_indices = tuple(layer_indices)
-        fmt = body.get("heatmap_format", "png")
-        _expect(fmt in ("png", "array"), "heatmap_format must be 'png' or 'array'")
-        cmap = body.get("cmap", "plasma")
-        _expect(isinstance(cmap, str), "cmap must be a string")
-        if fmt == "png":  # an unknown cmap must be a 400 here, not a 500 later
-            import matplotlib
-
-            _expect(cmap in matplotlib.colormaps, f"unknown cmap {cmap!r}")
+        fmt, cmap = _req_format(body)
 
         return cls(
             prompt=prompt,
-            concepts=tuple(concepts),
-            seed=seed,
+            concepts=_req_concepts(body),
+            seed=_req_int(body, "seed", 0, -(2**31), 2**31 - 1),
             width=width,
             height=height,
-            num_inference_steps=steps,
+            num_inference_steps=_req_int(body, "num_inference_steps", 4, 1, _MAX_STEPS),
             guidance=float(guidance),
-            softmax=_bool("softmax", True),
-            attention_norm=norm,
-            layer_indices=layer_indices,
-            watermark=_bool("watermark", True),
+            softmax=_req_bool(body, "softmax", True),
+            attention_norm=_req_norm(body),
+            layer_indices=_req_layer_indices(body),
+            watermark=_req_bool(body, "watermark", True),
             cmap=cmap,
             heatmap_format=fmt,
-            return_cross_attention=_bool("return_cross_attention", False),
+            return_cross_attention=_req_bool(body, "return_cross_attention", False),
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeRequest:
+    """One /v1/encode request: concept heatmaps for a REAL image (the
+    zero-shot-segmentation serving path; pipeline `encode_image`, reference
+    concept_attention_pipeline.py:204-357). The image rides in the JSON body
+    as base64 PNG/JPEG. Encodes are single-image dispatches, so the batch
+    key pins each request to its own group (the shared batcher still
+    serializes them against generation batches — one device dispatcher)."""
+
+    image_b64: str
+    concepts: Tuple[str, ...]
+    prompt: str = ""
+    width: int = 1024
+    height: int = 1024
+    num_samples: int = 1
+    num_steps: int = 4
+    noise_timestep: int = 2
+    seed: int = 0
+    softmax: bool = True
+    attention_norm: str = "sparsemax"
+    layer_indices: Optional[Tuple[int, ...]] = None
+    cmap: str = "plasma"
+    heatmap_format: str = "png"
+    return_cross_attention: bool = False
+
+    def batch_key(self) -> tuple:
+        # Encodes group like generates (one worker cycle runs the group),
+        # but each image is its own device dispatch inside _run_batch.
+        return (
+            "encode",
+            self.concepts,
+            self.width,
+            self.height,
+            self.num_samples,
+            self.num_steps,
+            self.noise_timestep,
+            self.softmax,
+            self.attention_norm,
+            self.layer_indices,
+        )
+
+    def decode_image(self):
+        """base64 -> PIL image; RequestError on anything undecodable."""
+        import PIL.Image
+
+        try:
+            raw = base64.b64decode(self.image_b64, validate=True)
+            img = PIL.Image.open(io.BytesIO(raw))
+            img.load()
+            return img.convert("RGB")
+        except Exception as e:  # noqa: BLE001 — client data, surfaced as 400
+            raise RequestError(f"image is not decodable base64 PNG/JPEG: "
+                               f"{type(e).__name__}") from e
+
+    @classmethod
+    def from_json(cls, body: dict) -> "EncodeRequest":
+        _expect(isinstance(body, dict), "body must be a JSON object")
+        known = {f.name for f in dataclasses.fields(cls)} | {"image"}
+        unknown = set(body) - known
+        _expect(not unknown, f"unknown fields: {sorted(unknown)}")
+
+        image_b64 = body.get("image")
+        _expect(isinstance(image_b64, str) and image_b64,
+                "image (base64 PNG/JPEG string) is required")
+        prompt = body.get("prompt", "")
+        _expect(isinstance(prompt, str) and len(prompt) <= _MAX_PROMPT_CHARS,
+                f"prompt must be a string of <= {_MAX_PROMPT_CHARS} chars")
+        width, height = _req_size(body)
+        num_steps = _req_int(body, "num_steps", 4, 1, _MAX_STEPS)
+        noise_timestep = _req_int(body, "noise_timestep", min(2, num_steps - 1),
+                                  0, num_steps - 1)
+        fmt, cmap = _req_format(body)
+
+        req = cls(
+            image_b64=image_b64,
+            concepts=_req_concepts(body),
+            prompt=prompt,
+            width=width,
+            height=height,
+            num_samples=_req_int(body, "num_samples", 1, 1, 8),
+            num_steps=num_steps,
+            noise_timestep=noise_timestep,
+            seed=_req_int(body, "seed", 0, -(2**31), 2**31 - 1),
+            softmax=_req_bool(body, "softmax", True),
+            attention_norm=_req_norm(body),
+            layer_indices=_req_layer_indices(body),
+            cmap=cmap,
+            heatmap_format=fmt,
+            return_cross_attention=_req_bool(body, "return_cross_attention", False),
+        )
+        req.decode_image()  # validate NOW (400), not inside the batch (500)
+        return req
 
 
 def _png_b64(pil_image) -> str:
@@ -286,9 +402,11 @@ class ConceptAttentionServer:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/v1/generate":
+                if self.path not in ("/v1/generate", "/v1/encode"):
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
+                request_cls = (GenerateRequest if self.path == "/v1/generate"
+                               else EncodeRequest)
                 t0 = time.monotonic()
                 try:
                     try:
@@ -308,7 +426,7 @@ class ConceptAttentionServer:
                         body = json.loads(self.rfile.read(length))
                     except json.JSONDecodeError as e:
                         raise RequestError(f"invalid JSON: {e}") from e
-                    request = GenerateRequest.from_json(body)
+                    request = request_cls.from_json(body)
                     outer._validate_against_model(request)
                 except RequestError as e:
                     outer.metrics.record(time.monotonic() - t0, ok=False)
@@ -409,7 +527,7 @@ class ConceptAttentionServer:
             logger.info("warmup bucket %d: %.1fs", b, time.monotonic() - t0)
 
     # ------------------------------------------------------------------
-    def _validate_against_model(self, request: GenerateRequest) -> None:
+    def _validate_against_model(self, request) -> None:
         """Model-dependent validation from_json can't do (it has no pipeline):
         reject as 400 what would otherwise assert deep inside the batch."""
         depth = self.pipeline.cfg.depth
@@ -420,16 +538,20 @@ class ConceptAttentionServer:
                 f"layer_indices out of range for this model (depth {depth})"
             )
 
-    def _run_batch(self, requests: List[GenerateRequest]):
-        """One device dispatch for a compatible request group; returns the
-        RAW pipeline output per request (formatting happens on the per-
-        connection threads — see do_POST).
+    def _run_batch(self, requests):
+        """One worker cycle for a compatible request group; returns the RAW
+        pipeline output per request (formatting happens on the per-connection
+        threads — see do_POST).
 
-        Pads prompts/seeds up to the next bucket size by repeating the last
-        request (padding outputs are dropped) so XLA compiles one graph per
-        bucket, not per observed batch size.
+        Generation groups become ONE batched device dispatch, padded up to
+        the next bucket size by repeating the last request (padding outputs
+        are dropped) so XLA compiles one graph per bucket, not per observed
+        batch size. Encode groups run one single-image dispatch each (the
+        path is image-specific; num_samples batches internally).
         """
         head = requests[0]
+        if isinstance(head, EncodeRequest):
+            return [(self._run_encode(r), len(requests)) for r in requests]
         n = len(requests)
         m = next_bucket(n, self._buckets)
         prompts = [r.prompt for r in requests] + [head.prompt] * (m - n)
@@ -451,15 +573,34 @@ class ConceptAttentionServer:
         )[:n]
         return [(out, n) for out in outputs]
 
-    def _format_result(self, request: GenerateRequest, output, batch_size: int) -> dict:
+    def _run_encode(self, request: EncodeRequest):
+        return self.pipeline.encode_image(
+            request.decode_image(),
+            list(request.concepts),
+            prompt=request.prompt,
+            width=request.width,
+            height=request.height,
+            layer_indices=(None if request.layer_indices is None
+                           else list(request.layer_indices)),
+            num_samples=request.num_samples,
+            num_steps=request.num_steps,
+            noise_timestep=request.noise_timestep,
+            seed=request.seed,
+            softmax=request.softmax,
+            attention_norm=request.attention_norm,
+            return_pil_heatmaps=False,  # formatting is per-request, later
+        )
+
+    def _format_result(self, request, output, batch_size: int) -> dict:
         payload = {
-            "image": _png_b64(output.image),
             "concept_heatmaps": _format_heatmaps(
                 output.concept_heatmaps, request.concepts,
                 request.heatmap_format, request.cmap,
             ),
             "batch_size": batch_size,
         }
+        if isinstance(request, GenerateRequest):
+            payload["image"] = _png_b64(output.image)
         if request.return_cross_attention:
             payload["cross_attention_maps"] = _format_heatmaps(
                 output.cross_attention_maps, request.concepts,

@@ -334,6 +334,49 @@ class TestServerEndToEnd:
         status, _ = _post(server.port, BASE_BODY)
         assert status == 200
 
+    def test_encode_roundtrip_matches_direct_call(self, server, pipe):
+        import PIL.Image
+
+        rng = np.random.RandomState(0)
+        arr = (rng.rand(SIZE, SIZE, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL.Image.fromarray(arr).save(buf, format="PNG")
+        body = {
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "concepts": CONCEPTS,
+            "width": SIZE,
+            "height": SIZE,
+            "num_steps": 2,
+            "noise_timestep": 1,
+            "seed": 4,
+            "heatmap_format": "array",
+        }
+        status, data = _post(server.port, body, path="/v1/encode")
+        assert status == 200, data
+        served = np.asarray(data["concept_heatmaps"]["cat"], np.float32)
+        assert served.shape == (SIZE // 4, SIZE // 4)
+        assert "image" not in data  # encode returns heatmaps, not the input
+
+        direct = pipe.encode_image(
+            PIL.Image.fromarray(arr), list(CONCEPTS), width=SIZE, height=SIZE,
+            num_steps=2, noise_timestep=1, seed=4, return_pil_heatmaps=False,
+        )
+        np.testing.assert_allclose(served, direct.concept_heatmaps[0], atol=1e-4)
+
+    def test_encode_bad_inputs_are_400(self, server):
+        status, data = _post(server.port, {"image": "!!notb64!!",
+                                           "concepts": CONCEPTS},
+                             path="/v1/encode")
+        assert status == 400 and "decodable" in data["error"]
+        ok_img = base64.b64encode(b"x").decode()  # valid b64, invalid image
+        status, data = _post(server.port, {"image": ok_img, "concepts": CONCEPTS},
+                             path="/v1/encode")
+        assert status == 400 and "decodable" in data["error"]
+        status, data = _post(server.port, dict(
+            image=ok_img, concepts=CONCEPTS, num_steps=2, noise_timestep=5),
+            path="/v1/encode")
+        assert status == 400 and "noise_timestep" in data["error"]
+
     def test_health_and_metrics(self, server):
         status, health = _get(server.port, "/healthz")
         assert status == 200
