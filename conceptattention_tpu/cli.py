@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="screen outputs with the NSFW classifier when its "
                         "checkpoint is available (reference cli.py:132,233)")
-    p.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
+    p.add_argument("--quantize", default=None, choices=["w8", "w8a8", "w4"],
                    help="int8 serving: weight-only (w8) or int8 activations "
                         "too (w8a8) — fits full flux on one 16 GB chip")
     p.add_argument("--attention_backend", default=None,

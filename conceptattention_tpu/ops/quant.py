@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization for the DiT parameter stacks.
+"""Weight-only int8 / int4 quantization for the DiT parameter stacks.
 
 Not present in the reference (manuragkhullar/ConceptAttention keeps bf16
 weights and survives on an 80 GB A100 with CPU offload). On a 16 GB v5e the
@@ -7,19 +7,52 @@ weights (absmax scales) bring it to ~12 GB and let the TRUE full-depth
 architecture run on one chip. Dequantization happens per layer inside the
 lax.scan step, so only one layer's bf16 weights are ever materialized — and
 int8 HBM reads halve the per-step weight traffic.
+
+Three cell forms, keyed by dict shape:
+  {"q",  "scale"}  — weight-only int8, per-(layer, out-channel) absmax;
+                     scales fold into the matmul OUTPUT.
+  {"qa", "scale"}  — w8a8: int8 weights + dynamic per-token int8 activations,
+                     int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e).
+  {"q4", "gscale"} — weight-only int4, GROUP-WISE absmax scales along the
+                     input axis (AWQ/GPTQ-style, default group 128). jnp.int4
+                     packs 2 values/byte in TPU HBM (verified on-chip), so
+                     the full 11.9B flux drops to ~6 GB — headroom for larger
+                     serving batches on a 16 GB chip. Group scales cannot
+                     fold into the output, so the consuming matmul
+                     dequantizes the (one) layer's weight in-scan.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 
 _QKEYS = frozenset({"q", "scale"})
 _QKEYS_A8 = frozenset({"qa", "scale"})
+_QKEYS_W4 = frozenset({"q4", "gscale"})
+
+W4_GROUP = 128
+
+
+def resolve_quant_mode(quantize) -> Optional[str]:
+    """Normalize a pipeline-level `quantize` argument to a mode string.
+
+    True / "w8" -> "w8" (weight-only int8), "w8a8" -> "w8a8",
+    "w4" -> "w4" (group-wise weight-only int4), False/None -> None.
+    """
+    if not quantize:
+        return None
+    if quantize is True:
+        return "w8"
+    if quantize in ("w8", "w8a8", "w4"):
+        return quantize
+    raise ValueError(f"unknown quantize mode {quantize!r} "
+                     "(expected True, 'w8', 'w8a8' or 'w4')")
 
 
 def quantize_activations_per_token(x: jax.Array):
@@ -44,13 +77,75 @@ def quantize_array(w: jax.Array, compute_dtype=jnp.bfloat16) -> Dict[str, jax.Ar
     return {"q": q, "scale": scale.astype(compute_dtype)}
 
 
+def _w4_group_sizes(size: int, group_size: int) -> tuple:
+    """(n_groups, group) for an input axis of `size`: the largest divisor of
+    `size` not exceeding `group_size` (one group when size is prime/odd —
+    degenerating to a per-out-channel scale, exactly the int8 scheme)."""
+    g = math.gcd(size, group_size)
+    if g < 2:
+        g = size
+    return size // g, g
+
+
+def quantize_array_w4(
+    w: jax.Array, axis: int = 0, group_size: int = W4_GROUP
+) -> Dict[str, jax.Array]:
+    """Group-wise absmax int4 along `axis` (the matmul input axis).
+
+    Returns {"q4": int4 same-shape-as-w, "gscale": float32 with the input
+    axis replaced by the group count}. Symmetric [-7, 7] quantization.
+    """
+    wf = w.astype(jnp.float32)
+    n_groups, g = _w4_group_sizes(wf.shape[axis], group_size)
+    shp = wf.shape[:axis] + (n_groups, g) + wf.shape[axis + 1:]
+    wg = wf.reshape(shp)
+    amax = jnp.max(jnp.abs(wg), axis=axis + 1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    return {
+        "q4": q.reshape(wf.shape),
+        "gscale": jnp.squeeze(scale, axis + 1),
+    }
+
+
+def w4_group_axis(q4: jax.Array, gscale: jax.Array) -> int:
+    """The grouped (input) axis of a w4 cell: the unique position where the
+    int4 tensor's shape and the group-scale shape differ (all other axes are
+    equal by construction; n_groups < size always since group >= 2)."""
+    for i in range(q4.ndim):
+        if q4.shape[i] != gscale.shape[i]:
+            return i
+    raise ValueError(
+        f"w4 cell has no group axis (q4 {q4.shape} == gscale {gscale.shape})"
+    )
+
+
+def dequantize_w4(cell: Dict[str, jax.Array], dtype=None) -> jax.Array:
+    """Expand a {"q4", "gscale"} cell to a dense weight of `dtype`.
+
+    Runs in-scan on one layer's weight at a time (<=75 MB bf16 transient for
+    flux); the int4 HBM read is what the mode buys, the transient is local.
+    """
+    q, s = cell["q4"], cell["gscale"]
+    ax = w4_group_axis(q, s)
+    n_groups = s.shape[ax]
+    g = q.shape[ax] // n_groups
+    shp = q.shape[:ax] + (n_groups, g) + q.shape[ax + 1:]
+    w = q.reshape(shp).astype(s.dtype) * jnp.expand_dims(s, ax + 1)
+    return w.reshape(q.shape).astype(dtype or s.dtype)
+
+
 def dequantize_array(qd: Dict[str, jax.Array]) -> jax.Array:
+    if "q4" in qd:
+        return dequantize_w4(qd)
     q = qd["q"] if "q" in qd else qd["qa"]
     return q.astype(qd["scale"].dtype) * qd["scale"]
 
 
 def _is_quantized(node: Any) -> bool:
-    return isinstance(node, dict) and set(node.keys()) in (_QKEYS, _QKEYS_A8)
+    return isinstance(node, dict) and set(node.keys()) in (
+        _QKEYS, _QKEYS_A8, _QKEYS_W4,
+    )
 
 
 def dequantize_tree(tree: Any) -> Any:
@@ -65,18 +160,24 @@ def dequantize_tree(tree: Any) -> Any:
     return tree
 
 
-def quantize_layer_stack(stack: Any, min_size: int = 1 << 20, act_quant: bool = False) -> Any:
+def quantize_layer_stack(
+    stack: Any,
+    min_size: int = 1 << 20,
+    act_quant: bool = False,
+    mode: Optional[str] = None,
+    group_size: int = W4_GROUP,
+) -> Any:
     """Quantize large 'w' leaves in a stacked layer pytree.
 
-    Per-layer scales: for a stacked [depth, in, ...out] weight the scale is
-    computed per (layer, out-channel) by folding depth into the batch.
-
-    act_quant=True marks the weight for the w8a8 path (key "qa" instead of
-    "q"): the consuming matmul dynamically quantizes its activations per
-    token and runs an int8 x int8 MXU dot (2x bf16 peak on v5e), folding
-    both scales into the output.
+    mode (overrides act_quant when given):
+      "w8"   — per-(layer, out-channel) int8, scale folds into the output.
+      "w8a8" — same int8 weights marked for dynamic per-token int8
+               activations: int8 x int8 MXU dot (2x bf16 peak on v5e).
+      "w4"   — group-wise int4 along the input axis (axis 1 of the
+               [depth, in, out...] stack), ~4x HBM vs bf16.
     """
-    qkey = "qa" if act_quant else "q"
+    mode = mode or ("w8a8" if act_quant else "w8")
+    qkey = "qa" if mode == "w8a8" else "q"
 
     def visit(node):
         if isinstance(node, dict):
@@ -88,6 +189,9 @@ def quantize_layer_stack(stack: Any, min_size: int = 1 << 20, act_quant: bool = 
                     and v.size >= min_size
                     and v.ndim >= 3  # [depth, in, out...]
                 ):
+                    if mode == "w4":
+                        out[k] = quantize_array_w4(v, axis=1, group_size=group_size)
+                        continue
                     wf = v.astype(jnp.float32)
                     amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
                     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
@@ -108,8 +212,14 @@ def _randint8_layer(key, shape):
     return jax.random.randint(key, shape, -127, 128, dtype=jnp.int8)
 
 
-def _random_int8(key: jax.Array, shape) -> jax.Array:
-    """Uniform int8 of `shape` with bounded device transients.
+@functools.partial(jax.jit, static_argnums=1)
+def _randint4_layer(key, shape):
+    # randint has no int4 dtype; draw int8 in [-7, 7] and narrow in-graph.
+    return jax.random.randint(key, shape, -7, 8, dtype=jnp.int8).astype(jnp.int4)
+
+
+def _random_int8(key: jax.Array, shape, bits: int = 8) -> jax.Array:
+    """Uniform int8/int4 of `shape` with bounded device transients.
 
     randint over a whole [depth, ...] stack materializes 4-byte random bits
     (48 GB for 12B params) and uint32->int8 bitcasts hit 32x lane-padding;
@@ -117,20 +227,27 @@ def _random_int8(key: jax.Array, shape) -> jax.Array:
     per LAYER (4x transient on <=75 MB slices) and stack on device."""
     depth = shape[0]
     keys = jax.random.split(key, depth)
-    layers = [_randint8_layer(keys[i], tuple(shape[1:])) for i in range(depth)]
+    layer = _randint4_layer if bits == 4 else _randint8_layer
+    layers = [layer(keys[i], tuple(shape[1:])) for i in range(depth)]
     return jnp.stack(layers)
 
 
 def init_flux_params_quantized(
-    key: jax.Array, cfg, dtype=jnp.bfloat16, act_quant: bool = False
+    key: jax.Array,
+    cfg,
+    dtype=jnp.bfloat16,
+    act_quant: bool = False,
+    mode: Optional[str] = None,
 ) -> Dict[str, Any]:
-    """Random *already-quantized* Flux params: int8 weights + scales generated
-    directly, so the full 11.9B model never materializes in bf16 (24 GB) on a
-    16 GB chip. Weight distribution matches init_flux_params' 1/sqrt(in) std.
-    For real checkpoints, convert + quantize on HOST memory and device_put
-    only the int8 result (the pipeline's quantize=True load path does this
-    under jax.default_device(cpu))."""
+    """Random *already-quantized* Flux params: int8/int4 weights + scales
+    generated directly, so the full 11.9B model never materializes in bf16
+    (24 GB) on a 16 GB chip. Weight distribution matches init_flux_params'
+    1/sqrt(in) std. For real checkpoints, convert + quantize on HOST memory
+    and device_put only the quantized result (the pipeline's quantize=True
+    load path does this under jax.default_device(cpu))."""
     from conceptattention_tpu.models.flux.params import init_flux_params
+
+    mode = mode or ("w8a8" if act_quant else "w8")
 
     tiny_like = cfg.__class__(**{**cfg.__dict__, "depth": 1, "depth_single_blocks": 1})
     # Build the depth-1 skeleton on host: keeping its ~1.3 GB on the chip
@@ -153,12 +270,23 @@ def init_flux_params_quantized(
                         shape = (depth,) + v.shape[1:]
                         tag = zlib.crc32("/".join(path + (k,)).encode()) & 0x3FFFFFFF
                         sub = jax.random.fold_in(key, tag)
-                        q = _random_int8(sub, shape)
                         fan_in = shape[1]
+                        if mode == "w4":
+                            q = _random_int8(sub, shape, bits=4)
+                            # std(uniform int in [-7, 7]) = sqrt((15^2-1)/12)
+                            s = (fan_in**-0.5) / 4.3205
+                            n_groups, _ = _w4_group_sizes(fan_in, W4_GROUP)
+                            gscale_shape = (depth, n_groups) + shape[2:]
+                            out[k] = {
+                                "q4": q,
+                                "gscale": jnp.full(gscale_shape, s, jnp.float32),
+                            }
+                            continue
+                        q = _random_int8(sub, shape)
                         s = (fan_in**-0.5) / 73.3  # std(uniform int8) ~ 73.3
                         scale_shape = (depth, 1) + shape[2:]
                         out[k] = {
-                            ("qa" if act_quant else "q"): q,
+                            ("qa" if mode == "w8a8" else "q"): q,
                             "scale": jnp.full(scale_shape, s, dtype),
                         }
                     elif hasattr(v, "ndim"):
@@ -188,24 +316,33 @@ def init_flux_params_quantized(
 
 
 def quantize_flux_params(
-    params: Dict[str, Any], min_size: int = 1 << 16, act_quant: bool = False
+    params: Dict[str, Any],
+    min_size: int = 1 << 16,
+    act_quant: bool = False,
+    mode: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Quantize the per-layer stacks (the ~99% of parameters); embedders,
-    norms, biases, and the final layer stay bf16. act_quant=True selects the
-    w8a8 path (int8 activations x int8 weights on the MXU)."""
+    norms, biases, and the final layer stay bf16. mode selects "w8" (weight
+    int8), "w8a8" (int8 activations x int8 weights on the MXU) or "w4"
+    (group-wise int4 weights, ~6 GB full flux); act_quant=True is the legacy
+    spelling of mode="w8a8"."""
     out = dict(params)
-    out["double"] = quantize_layer_stack(params["double"], min_size, act_quant)
-    out["single"] = quantize_layer_stack(params["single"], min_size, act_quant)
+    out["double"] = quantize_layer_stack(params["double"], min_size, act_quant, mode)
+    out["single"] = quantize_layer_stack(params["single"], min_size, act_quant, mode)
     return out
 
 
 def quantize_video_dit_params(
-    params: Dict[str, Any], min_size: int = 1 << 16, act_quant: bool = False
+    params: Dict[str, Any],
+    min_size: int = 1 << 16,
+    act_quant: bool = False,
+    mode: Optional[str] = None,
 ) -> Dict[str, Any]:
     """CogVideoX DiT: quantize the stacked transformer blocks (every matmul
     already routes through the quant-aware `_linear`); patch/text/time
     embedders, norms, and the output head stay bf16. A 5b-class model drops
-    ~2x in HBM, enabling single-chip serving next to the video VAE."""
+    ~2x in HBM (int8) or ~4x (w4), enabling single-chip serving next to the
+    video VAE."""
     out = dict(params)
-    out["blocks"] = quantize_layer_stack(params["blocks"], min_size, act_quant)
+    out["blocks"] = quantize_layer_stack(params["blocks"], min_size, act_quant, mode)
     return out

@@ -91,15 +91,25 @@ def flux_param_sharding(mesh: Mesh, cfg=None) -> Dict[str, Any]:
 def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]:
     """Place a param pytree onto the mesh with the TP sharding rules.
 
-    Weight-only-int8 leaves ({"q", "scale"} dicts in place of a "w" array)
-    inherit the weight's spec for q (same shape) and replicate the tiny
-    per-channel scales."""
+    Quantized leaves ({"q"|"qa", "scale"} / {"q4", "gscale"} dicts in place
+    of a "w" array) inherit the weight's spec for the int tensor (same
+    shape). int8 per-channel scales are tiny and replicate; w4 group scales
+    share the weight's spec positionally (the group axis stands where the
+    input axis did) and fall back to replication when the group count does
+    not divide the mesh axis — correctness-neutral under GSPMD, which
+    reshards as needed."""
     shardings = flux_param_sharding(mesh, cfg)
 
     from conceptattention_tpu.ops.quant import _is_quantized
 
     def place(p, s):
         if _is_quantized(p):
+            if "q4" in p:
+                try:
+                    gs = jax.device_put(p["gscale"], s)
+                except ValueError:
+                    gs = jax.device_put(p["gscale"], NamedSharding(mesh, P()))
+                return {"q4": jax.device_put(p["q4"], s), "gscale": gs}
             qk = "q" if "q" in p else "qa"
             return {
                 qk: jax.device_put(p[qk], s),

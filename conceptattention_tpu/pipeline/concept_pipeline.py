@@ -152,9 +152,11 @@ class ConceptAttentionFluxPipeline:
         text_encoders: Optional[TextEncoders] = None,
         mesh=None,
         init_seed: int = 0,
-        # int8 quantization of the layer stacks: False, True/"w8" (weight-only
-        # int8 — full flux fits a 16 GB chip), or "w8a8" (int8 activations
-        # too: int8 x int8 on the MXU, 2x bf16 peak — the bench serving path).
+        # Quantization of the layer stacks: False, True/"w8" (weight-only
+        # int8 — full flux fits a 16 GB chip), "w8a8" (int8 activations too:
+        # int8 x int8 on the MXU, 2x bf16 peak — the bench serving path), or
+        # "w4" (group-wise int4 weights, ~6 GB full flux — headroom for
+        # larger serving batches; quality-gated in tests/test_quant.py).
         quantize: Union[bool, str] = False,
         offload_model: bool = False,  # accepted for API parity; TPU HBM holds the model
         device: Optional[str] = None,  # API parity; placement is mesh-driven
@@ -229,8 +231,10 @@ class ConceptAttentionFluxPipeline:
                         # quantize the adapted weights (merging after would
                         # requantize twice and lose precision).
                         params = _merged(params)
+                        from conceptattention_tpu.ops.quant import resolve_quant_mode
+
                         params = quantize_flux_params(
-                            params, act_quant=(quantize == "w8a8")
+                            params, mode=resolve_quant_mode(quantize)
                         )
                     params = jax.device_put(params)
                 else:
@@ -238,11 +242,14 @@ class ConceptAttentionFluxPipeline:
                         load_safetensors(ckpt), self.cfg, dtype
                     ))
             elif quantize:
-                from conceptattention_tpu.ops.quant import init_flux_params_quantized
+                from conceptattention_tpu.ops.quant import (
+                    init_flux_params_quantized,
+                    resolve_quant_mode,
+                )
 
                 params = _merged(init_flux_params_quantized(
                     jax.random.PRNGKey(init_seed), self.cfg, dtype,
-                    act_quant=(quantize == "w8a8"),
+                    mode=resolve_quant_mode(quantize),
                 ))
             else:
                 params = _merged(

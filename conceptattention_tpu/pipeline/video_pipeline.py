@@ -128,7 +128,7 @@ class VideoConceptAttentionPipeline:
         init_seed: int = 0,
         vae_params: Optional[Dict[str, Any]] = None,
         vae_cfg=None,
-        quantize=False,  # False | True (int8 weights) | "w8a8"
+        quantize=False,  # False | True/"w8" (int8 weights) | "w8a8" | "w4"
         # LoRA adapters: safetensors path(s) in diffusers CogVideoX naming or
         # already-converted adapter pytree(s) (weights/lora.py); merged before
         # quantization like the flux pipeline.
@@ -166,10 +166,13 @@ class VideoConceptAttentionPipeline:
                 )
             self.params = merge_loras(self.params, adapters, strengths)
         if quantize:
-            from conceptattention_tpu.ops.quant import quantize_video_dit_params
+            from conceptattention_tpu.ops.quant import (
+                quantize_video_dit_params,
+                resolve_quant_mode,
+            )
 
             self.params = quantize_video_dit_params(
-                self.params, act_quant=(quantize == "w8a8")
+                self.params, mode=resolve_quant_mode(quantize)
             )
         self.text_encoders = text_encoders or StubTextEncoders(
             t5_dim=self.cfg.text_embed_dim, clip_dim=768,

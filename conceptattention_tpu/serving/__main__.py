@@ -21,8 +21,9 @@ def main(argv=None) -> None:
                    help="config registry key")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000, help="0 picks a free port")
-    p.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
-                   help="int8 layer stacks (w8a8 is the single-chip serving path)")
+    p.add_argument("--quantize", default=None, choices=["w8", "w8a8", "w4"],
+                   help="quantized layer stacks (w8a8 is the single-chip "
+                        "serving path; w4 = group-wise int4, ~6 GB full flux)")
     p.add_argument("--attention_backend", default=None,
                    help="xla / pallas / ring / pallas_interpret (default: per device)")
     p.add_argument("--int8_qk", action="store_true",

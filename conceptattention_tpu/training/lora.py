@@ -35,10 +35,12 @@ DEFAULT_SINGLE_TARGETS = ("qkv", "proj", "mlp_in", "mlp_out")
 
 
 def _leaf_dims(w) -> Tuple[int, int, int]:
-    """(depth, in, out_flat) of a stacked weight leaf (bf16 or int8 dict)."""
-    arr = w["qa"] if isinstance(w, dict) and "qa" in w else (
-        w["q"] if isinstance(w, dict) else w
-    )
+    """(depth, in, out_flat) of a stacked weight leaf (bf16 or quantized
+    dict — q/qa int8 and q4 int4 all keep the weight's natural shape)."""
+    if isinstance(w, dict):
+        arr = w.get("qa", w.get("q", w.get("q4")))
+    else:
+        arr = w
     depth, d_in = arr.shape[0], arr.shape[1]
     d_out = 1
     for s in arr.shape[2:]:

@@ -378,7 +378,17 @@ def convert_cogvideox_lora_state_dict(
 
 
 def _requantize_like(wq: Dict[str, jax.Array], merged_f32: jax.Array):
-    """Per-(layer, out-channel) absmax int8, preserving the q/qa key."""
+    """Requantize a merged weight in the source cell's scheme: per-(layer,
+    out-channel) int8 for {q|qa, scale}, group-wise int4 for {q4, gscale}."""
+    if "q4" in wq:
+        from conceptattention_tpu.ops.quant import (
+            quantize_array_w4,
+            w4_group_axis,
+        )
+
+        ax = w4_group_axis(wq["q4"], wq["gscale"])
+        group = wq["q4"].shape[ax] // wq["gscale"].shape[ax]
+        return quantize_array_w4(merged_f32, axis=ax, group_size=group)
     qkey = "qa" if "qa" in wq else "q"
     amax = jnp.max(jnp.abs(merged_f32), axis=1, keepdims=True)
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
@@ -389,9 +399,14 @@ def _requantize_like(wq: Dict[str, jax.Array], merged_f32: jax.Array):
 def _merge_leaf(w, factor: Dict[str, jax.Array], strength: float):
     a, b = factor["a"], factor["b"]
     delta = jnp.einsum("dik,dko->dio", a, b) * strength  # [depth, in, out]
-    if isinstance(w, dict):  # int8-quantized leaf {q|qa, scale}
-        qkey = "qa" if "qa" in w else "q"
-        wf = w[qkey].astype(jnp.float32) * w["scale"].astype(jnp.float32)
+    if isinstance(w, dict):  # quantized leaf {q|qa, scale} or {q4, gscale}
+        if "q4" in w:
+            from conceptattention_tpu.ops.quant import dequantize_w4
+
+            wf = dequantize_w4(w, jnp.float32)
+        else:
+            qkey = "qa" if "qa" in w else "q"
+            wf = w[qkey].astype(jnp.float32) * w["scale"].astype(jnp.float32)
         if wf.ndim == 5:  # qkv [depth, in, 3, H, hd]
             delta = delta.reshape(wf.shape)
         return _requantize_like(w, wf + delta)
