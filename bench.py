@@ -159,11 +159,14 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int 
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 6)
-    if quantize:  # "w8" (weight-only) or "w8a8" (int8 activations too)
-        from conceptattention_tpu.ops.quant import init_flux_params_quantized
+    if quantize:  # "w8" (weight-only int8) | "w8a8" | "w4" (group int4)
+        from conceptattention_tpu.ops.quant import (
+            init_flux_params_quantized,
+            resolve_quant_mode,
+        )
 
         params = init_flux_params_quantized(
-            keys[0], cfg, dtype, act_quant=(quantize == "w8a8")
+            keys[0], cfg, dtype, mode=resolve_quant_mode(quantize)
         )
     else:
         params = init_flux_params(keys[0], cfg, dtype)
@@ -413,7 +416,7 @@ def main():
             "metric": (
                 f"images/sec flux-schnell-d{depth}/{depth_single} 1024px 4-step b{batch} "
                 f"4-concept heatmaps + VAE decode, "
-                f"{'int8-w8a8' if quantize == 'w8a8' else ('int8-weights' if quantize else 'bf16')}, "
+                f"{ {'w8a8': 'int8-w8a8', 'w8': 'int8-weights', 'w4': 'int4-weights'}.get(quantize, 'bf16') }, "
                 f"1 chip, attn={backend} "
                 f"(full-depth-equiv {full_equiv:.3f} img/s, "
                 f"heatmap overhead {overhead_pct:.1f}%; vs_baseline compares "

@@ -52,7 +52,7 @@ def _linear(x, p, psum_axis=None):
     - {"qa", "scale"}: w8a8 — activations are dynamically quantized per token
       and the dot runs int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e);
       both scales fold into the output.
-    - {"q4", "gscale"}: group-wise int4 weights — scales vary along the INPUT
+    - {"q4p", "gscale"}: group-wise int4 weights — scales vary along the INPUT
       axis so they cannot fold into the output; the single layer's weight is
       dequantized in-scan (small transient, int4 HBM residency).
     - psum_axis: Megatron row-parallel mode — the weight's INPUT axis is
@@ -71,7 +71,7 @@ def _linear(x, p, psum_axis=None):
             preferred_element_type=jnp.int32,
         )
         y = (y32.astype(jnp.float32) * xs).astype(x.dtype) * w["scale"][0]
-    elif isinstance(w, dict) and "q4" in w:
+    elif isinstance(w, dict) and "q4p" in w:
         from conceptattention_tpu.ops.quant import dequantize_w4
 
         y = x @ dequantize_w4(w, x.dtype)
@@ -103,7 +103,7 @@ def _qkv_heads(x_mod, qkv_p, qnorm, knorm, num_heads):
         )
         qkv = (qkv32.astype(jnp.float32) * xs[None, :, None]).astype(x_mod.dtype)
         qkv = qkv * w["scale"][0][:, None, :, None, :]
-    elif isinstance(w, dict) and "q4" in w:
+    elif isinstance(w, dict) and "q4p" in w:
         from conceptattention_tpu.ops.quant import dequantize_w4
 
         qkv = jnp.einsum(

@@ -45,12 +45,12 @@ def modulation(
     """AdaLN modulation: silu(vec) @ w + b -> 3 or 6 chunks of [B, 1, D].
 
     `w` may be an int8 dict {"q"|"qa", "scale"} (per-output-channel scale
-    folds into the output) or a group-wise int4 dict {"q4", "gscale"}
+    folds into the output) or a group-wise int4 dict {"q4p", "gscale"}
     (dequantized in place). The w8a8 "qa" form still computes in bf16 here —
     the modulation input is a single [B, D] vector, far below MXU-saturating
     size, so int8 activations would cost accuracy for no speedup."""
     h = jax.nn.silu(vec)
-    if isinstance(w, dict) and "q4" in w:
+    if isinstance(w, dict) and "q4p" in w:
         from conceptattention_tpu.ops.quant import dequantize_w4
 
         out = h @ dequantize_w4(w, vec.dtype) + b

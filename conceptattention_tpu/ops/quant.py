@@ -13,13 +13,21 @@ Three cell forms, keyed by dict shape:
                      scales fold into the matmul OUTPUT.
   {"qa", "scale"}  — w8a8: int8 weights + dynamic per-token int8 activations,
                      int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e).
-  {"q4", "gscale"} — weight-only int4, GROUP-WISE absmax scales along the
-                     input axis (AWQ/GPTQ-style, default group 128). jnp.int4
-                     packs 2 values/byte in TPU HBM (verified on-chip), so
-                     the full 11.9B flux drops to ~6 GB — headroom for larger
-                     serving batches on a 16 GB chip. Group scales cannot
-                     fold into the output, so the consuming matmul
-                     dequantizes the (one) layer's weight in-scan.
+  {"q4p", "gscale"} — weight-only int4, GROUP-WISE absmax scales along the
+                     input axis (AWQ/GPTQ-style, default group 128). Two
+                     nibbles are packed per int8 byte along the input axis
+                     (the "p"), so the full 11.9B flux drops to ~6 GB —
+                     headroom for larger serving batches on a 16 GB chip.
+                     Group scales cannot fold into the output, so the
+                     consuming matmul unpacks + dequantizes the (one) layer's
+                     weight in-scan.
+
+Why packed int8 and not jnp.int4: this host's TPU runtime cannot transfer or
+reshard S4 arrays — jax's _array_shard_arg falls into infinite device_put
+recursion on any eager op or jit argument carrying int4 (the requested tile
+layout T(64,128)(8,1) never matches, RecursionError). Nibble-packed int8 has
+identical HBM residency (2 values/byte) and unpacks in-graph with two
+arithmetic shifts, portable across every backend.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ import jax.numpy as jnp
 
 _QKEYS = frozenset({"q", "scale"})
 _QKEYS_A8 = frozenset({"qa", "scale"})
-_QKEYS_W4 = frozenset({"q4", "gscale"})
+_QKEYS_W4 = frozenset({"q4p", "gscale"})
 
 W4_GROUP = 128
 
@@ -78,11 +86,13 @@ def quantize_array(w: jax.Array, compute_dtype=jnp.bfloat16) -> Dict[str, jax.Ar
 
 
 def _w4_group_sizes(size: int, group_size: int) -> tuple:
-    """(n_groups, group) for an input axis of `size`: the largest divisor of
-    `size` not exceeding `group_size` (one group when size is prime/odd —
-    degenerating to a per-out-channel scale, exactly the int8 scheme)."""
+    """(n_groups, group) for an input axis of `size`: the largest common
+    divisor of `size` and `group_size` that is >= 4, else one group spanning
+    the whole axis. The >= 4 floor keeps the packed tensor's input axis
+    (size/2 bytes) strictly larger than the group count (size/g), so
+    w4_group_axis can recover the grouped axis from the shape difference."""
     g = math.gcd(size, group_size)
-    if g < 2:
+    if g < 4:
         g = size
     return size // g, g
 
@@ -90,44 +100,82 @@ def _w4_group_sizes(size: int, group_size: int) -> tuple:
 def quantize_array_w4(
     w: jax.Array, axis: int = 0, group_size: int = W4_GROUP
 ) -> Dict[str, jax.Array]:
-    """Group-wise absmax int4 along `axis` (the matmul input axis).
+    """Group-wise absmax int4 along `axis` (the matmul input axis), packed
+    two nibbles per int8 byte along that axis.
 
-    Returns {"q4": int4 same-shape-as-w, "gscale": float32 with the input
-    axis replaced by the group count}. Symmetric [-7, 7] quantization.
+    Returns {"q4p": int8 with the input axis HALVED, "gscale": float32 with
+    the input axis replaced by the group count}. Symmetric [-7, 7]
+    quantization; byte = low nibble (even index) | high nibble (odd) << 4.
+    The input axis must be even (true for every real layer; callers fall
+    back to int8 otherwise).
     """
     wf = w.astype(jnp.float32)
-    n_groups, g = _w4_group_sizes(wf.shape[axis], group_size)
+    size = wf.shape[axis]
+    if size % 2 or size < 4:
+        raise ValueError(f"w4 needs an even input axis >= 4, got {size}")
+    n_groups, g = _w4_group_sizes(size, group_size)
     shp = wf.shape[:axis] + (n_groups, g) + wf.shape[axis + 1:]
     wg = wf.reshape(shp)
     amax = jnp.max(jnp.abs(wg), axis=axis + 1, keepdims=True)
     scale = jnp.where(amax == 0, 1.0, amax / 7.0)
-    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(wf.shape)
     return {
-        "q4": q.reshape(wf.shape),
+        "q4p": pack_int4(q, axis),
         "gscale": jnp.squeeze(scale, axis + 1),
     }
 
 
-def w4_group_axis(q4: jax.Array, gscale: jax.Array) -> int:
+def pack_int4(q: jax.Array, axis: int) -> jax.Array:
+    """Pack int8 values in [-7, 7] two-per-byte along `axis` (even size).
+
+    byte = (even & 0xF) | (odd << 4): the odd nibble keeps its sign in the
+    byte's high bits, the even nibble is recovered by a sign-extending
+    (<< 4) >> 4 round trip."""
+    size = q.shape[axis]
+    shp = q.shape[:axis] + (size // 2, 2) + q.shape[axis + 1:]
+    pairs = q.reshape(shp)
+    even = jnp.take(pairs, 0, axis=axis + 1)
+    odd = jnp.take(pairs, 1, axis=axis + 1)
+    return ((even & 0xF) | (odd << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array, axis: int) -> jax.Array:
+    """Inverse of pack_int4: int8 [-7, 7] values, `axis` doubled.
+
+    Arithmetic right shifts on int8 sign-extend, so (x << 4) >> 4 recovers
+    the signed low nibble and x >> 4 the signed high nibble — two VPU shift
+    ops per layer, no lookup tables."""
+    even = (packed << 4) >> 4
+    odd = packed >> 4
+    st = jnp.stack([even, odd], axis=axis + 1)
+    shp = packed.shape[:axis] + (packed.shape[axis] * 2,) + packed.shape[axis + 1:]
+    return st.reshape(shp)
+
+
+def w4_group_axis(q4p: jax.Array, gscale: jax.Array) -> int:
     """The grouped (input) axis of a w4 cell: the unique position where the
-    int4 tensor's shape and the group-scale shape differ (all other axes are
-    equal by construction; n_groups < size always since group >= 2)."""
-    for i in range(q4.ndim):
-        if q4.shape[i] != gscale.shape[i]:
+    packed tensor's shape (size/2) and the group-scale shape (size/group)
+    differ — unique because group >= 4 forces size/group < size/2 while all
+    other axes are equal by construction."""
+    for i in range(q4p.ndim):
+        if q4p.shape[i] != gscale.shape[i]:
             return i
     raise ValueError(
-        f"w4 cell has no group axis (q4 {q4.shape} == gscale {gscale.shape})"
+        f"w4 cell has no group axis (q4p {q4p.shape} == gscale {gscale.shape})"
     )
 
 
 def dequantize_w4(cell: Dict[str, jax.Array], dtype=None) -> jax.Array:
-    """Expand a {"q4", "gscale"} cell to a dense weight of `dtype`.
+    """Expand a {"q4p", "gscale"} cell to a dense weight of `dtype`.
 
     Runs in-scan on one layer's weight at a time (<=75 MB bf16 transient for
-    flux); the int4 HBM read is what the mode buys, the transient is local.
+    flux); the packed-int4 HBM read is what the mode buys, the transient is
+    local.
     """
-    q, s = cell["q4"], cell["gscale"]
-    ax = w4_group_axis(q, s)
+    qp, s = cell["q4p"], cell["gscale"]
+    ax = w4_group_axis(qp, s)
+    q = unpack_int4(qp, ax)
     n_groups = s.shape[ax]
     g = q.shape[ax] // n_groups
     shp = q.shape[:ax] + (n_groups, g) + q.shape[ax + 1:]
@@ -136,7 +184,7 @@ def dequantize_w4(cell: Dict[str, jax.Array], dtype=None) -> jax.Array:
 
 
 def dequantize_array(qd: Dict[str, jax.Array]) -> jax.Array:
-    if "q4" in qd:
+    if "q4p" in qd:
         return dequantize_w4(qd)
     q = qd["q"] if "q" in qd else qd["qa"]
     return q.astype(qd["scale"].dtype) * qd["scale"]
@@ -174,7 +222,9 @@ def quantize_layer_stack(
       "w8a8" — same int8 weights marked for dynamic per-token int8
                activations: int8 x int8 MXU dot (2x bf16 peak on v5e).
       "w4"   — group-wise int4 along the input axis (axis 1 of the
-               [depth, in, out...] stack), ~4x HBM vs bf16.
+               [depth, in, out...] stack), nibble-packed into int8,
+               ~4x HBM vs bf16. Odd input axes (never hit by real layers)
+               fall back to int8.
     """
     mode = mode or ("w8a8" if act_quant else "w8")
     qkey = "qa" if mode == "w8a8" else "q"
@@ -189,7 +239,7 @@ def quantize_layer_stack(
                     and v.size >= min_size
                     and v.ndim >= 3  # [depth, in, out...]
                 ):
-                    if mode == "w4":
+                    if mode == "w4" and v.shape[1] % 2 == 0 and v.shape[1] >= 4:
                         out[k] = quantize_array_w4(v, axis=1, group_size=group_size)
                         continue
                     wf = v.astype(jnp.float32)
@@ -214,12 +264,18 @@ def _randint8_layer(key, shape):
 
 @functools.partial(jax.jit, static_argnums=1)
 def _randint4_layer(key, shape):
-    # randint has no int4 dtype; draw int8 in [-7, 7] and narrow in-graph.
-    return jax.random.randint(key, shape, -7, 8, dtype=jnp.int8).astype(jnp.int4)
+    """One layer of nibble-PACKED uniform int4: `shape` is the packed shape
+    (input axis already halved); each byte holds two independent [-7, 7]
+    nibbles. Packed entirely in-graph — no S4 dtype ever exists (see module
+    docstring for the runtime recursion bug that rules jnp.int4 out)."""
+    ka, kb = jax.random.split(key)
+    even = jax.random.randint(ka, shape, -7, 8, dtype=jnp.int8)
+    odd = jax.random.randint(kb, shape, -7, 8, dtype=jnp.int8)
+    return ((even & 0xF) | (odd << 4)).astype(jnp.int8)
 
 
 def _random_int8(key: jax.Array, shape, bits: int = 8) -> jax.Array:
-    """Uniform int8/int4 of `shape` with bounded device transients.
+    """Uniform int8 (or packed-int4) of `shape` with bounded device transients.
 
     randint over a whole [depth, ...] stack materializes 4-byte random bits
     (48 GB for 12B params) and uint32->int8 bitcasts hit 32x lane-padding;
@@ -271,14 +327,15 @@ def init_flux_params_quantized(
                         tag = zlib.crc32("/".join(path + (k,)).encode()) & 0x3FFFFFFF
                         sub = jax.random.fold_in(key, tag)
                         fan_in = shape[1]
-                        if mode == "w4":
-                            q = _random_int8(sub, shape, bits=4)
+                        if mode == "w4" and fan_in % 2 == 0 and fan_in >= 4:
+                            packed = (depth, fan_in // 2) + shape[2:]
+                            q = _random_int8(sub, packed, bits=4)
                             # std(uniform int in [-7, 7]) = sqrt((15^2-1)/12)
                             s = (fan_in**-0.5) / 4.3205
                             n_groups, _ = _w4_group_sizes(fan_in, W4_GROUP)
                             gscale_shape = (depth, n_groups) + shape[2:]
                             out[k] = {
-                                "q4": q,
+                                "q4p": q,
                                 "gscale": jnp.full(gscale_shape, s, jnp.float32),
                             }
                             continue

@@ -91,7 +91,7 @@ def flux_param_sharding(mesh: Mesh, cfg=None) -> Dict[str, Any]:
 def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]:
     """Place a param pytree onto the mesh with the TP sharding rules.
 
-    Quantized leaves ({"q"|"qa", "scale"} / {"q4", "gscale"} dicts in place
+    Quantized leaves ({"q"|"qa", "scale"} / {"q4p", "gscale"} dicts in place
     of a "w" array) inherit the weight's spec for the int tensor (same
     shape). int8 per-channel scales are tiny and replicate; w4 group scales
     share the weight's spec positionally (the group axis stands where the
@@ -104,12 +104,19 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]
 
     def place(p, s):
         if _is_quantized(p):
-            if "q4" in p:
-                try:
-                    gs = jax.device_put(p["gscale"], s)
-                except ValueError:
-                    gs = jax.device_put(p["gscale"], NamedSharding(mesh, P()))
-                return {"q4": jax.device_put(p["q4"], s), "gscale": gs}
+            if "q4p" in p:
+                # Both tensors' grouped/packed axes are shorter than the
+                # weight's input axis (size/2 bytes, size/group scales); the
+                # spec still applies positionally, but either can miss the
+                # mesh-divisibility requirement — replicate then (GSPMD
+                # reshards as needed, correctness-neutral).
+                out = {}
+                for k in ("q4p", "gscale"):
+                    try:
+                        out[k] = jax.device_put(p[k], s)
+                    except ValueError:
+                        out[k] = jax.device_put(p[k], NamedSharding(mesh, P()))
+                return out
             qk = "q" if "q" in p else "qa"
             return {
                 qk: jax.device_put(p[qk], s),

@@ -36,12 +36,15 @@ DEFAULT_SINGLE_TARGETS = ("qkv", "proj", "mlp_in", "mlp_out")
 
 def _leaf_dims(w) -> Tuple[int, int, int]:
     """(depth, in, out_flat) of a stacked weight leaf (bf16 or quantized
-    dict — q/qa int8 and q4 int4 all keep the weight's natural shape)."""
+    dict — q/qa int8 keep the weight's natural shape; the nibble-packed
+    q4p halves the input axis, so it is doubled back here)."""
+    packed = False
     if isinstance(w, dict):
-        arr = w.get("qa", w.get("q", w.get("q4")))
+        arr = w.get("qa", w.get("q", w.get("q4p")))
+        packed = "q4p" in w
     else:
         arr = w
-    depth, d_in = arr.shape[0], arr.shape[1]
+    depth, d_in = arr.shape[0], arr.shape[1] * (2 if packed else 1)
     d_out = 1
     for s in arr.shape[2:]:
         d_out *= s

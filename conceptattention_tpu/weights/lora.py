@@ -379,15 +379,17 @@ def convert_cogvideox_lora_state_dict(
 
 def _requantize_like(wq: Dict[str, jax.Array], merged_f32: jax.Array):
     """Requantize a merged weight in the source cell's scheme: per-(layer,
-    out-channel) int8 for {q|qa, scale}, group-wise int4 for {q4, gscale}."""
-    if "q4" in wq:
+    out-channel) int8 for {q|qa, scale}, group-wise int4 for {q4p, gscale}."""
+    if "q4p" in wq:
         from conceptattention_tpu.ops.quant import (
             quantize_array_w4,
             w4_group_axis,
         )
 
-        ax = w4_group_axis(wq["q4"], wq["gscale"])
-        group = wq["q4"].shape[ax] // wq["gscale"].shape[ax]
+        ax = w4_group_axis(wq["q4p"], wq["gscale"])
+        # q4p's grouped axis is nibble-packed (size/2 bytes): the true input
+        # size is 2x the packed extent.
+        group = (2 * wq["q4p"].shape[ax]) // wq["gscale"].shape[ax]
         return quantize_array_w4(merged_f32, axis=ax, group_size=group)
     qkey = "qa" if "qa" in wq else "q"
     amax = jnp.max(jnp.abs(merged_f32), axis=1, keepdims=True)
@@ -399,8 +401,8 @@ def _requantize_like(wq: Dict[str, jax.Array], merged_f32: jax.Array):
 def _merge_leaf(w, factor: Dict[str, jax.Array], strength: float):
     a, b = factor["a"], factor["b"]
     delta = jnp.einsum("dik,dko->dio", a, b) * strength  # [depth, in, out]
-    if isinstance(w, dict):  # quantized leaf {q|qa, scale} or {q4, gscale}
-        if "q4" in w:
+    if isinstance(w, dict):  # quantized leaf {q|qa, scale} or {q4p, gscale}
+        if "q4p" in w:
             from conceptattention_tpu.ops.quant import dequantize_w4
 
             wf = dequantize_w4(w, jnp.float32)

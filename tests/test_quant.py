@@ -37,15 +37,41 @@ def test_quantize_roundtrip_error_bounded():
     assert (err16 <= np.asarray(qd16["scale"], np.float32) * 1.0 + 1e-6).all()
 
 
+def test_int4_pack_unpack_roundtrip():
+    """pack_int4/unpack_int4 are exact inverses on [-7, 7] int8, including
+    negatives in both nibble positions (sign lives in the top bits of each
+    nibble; unpack sign-extends with arithmetic shifts)."""
+    from conceptattention_tpu.ops.quant import pack_int4, unpack_int4
+
+    q = jax.random.randint(jax.random.PRNGKey(0), (64, 10), -7, 8, jnp.int8)
+    for ax in (0, 1):
+        packed = pack_int4(q, ax)
+        assert packed.dtype == jnp.int8
+        assert packed.shape[ax] == q.shape[ax] // 2
+        np.testing.assert_array_equal(
+            np.asarray(unpack_int4(packed, ax)), np.asarray(q)
+        )
+    # exhaustive: every (even, odd) nibble pair survives the byte round trip
+    vals = jnp.arange(-7, 8, dtype=jnp.int8)
+    grid = jnp.stack(
+        [jnp.repeat(vals, 15), jnp.tile(vals, 15)], axis=0
+    ).reshape(2, 225)  # axis 0: [even, odd] interleave
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(pack_int4(grid, 0), 0)), np.asarray(grid)
+    )
+
+
 def test_w4_roundtrip_error_bounded():
     """Group-wise int4: per-element error <= gscale/2 (symmetric [-7,7]
-    absmax per (input-group, out-channel))."""
+    absmax per (input-group, out-channel)); storage is nibble-packed int8
+    with the input axis halved."""
     w = jax.random.normal(jax.random.PRNGKey(4), (256, 48)) * 0.5
     cell = quantize_array_w4(w, axis=0, group_size=128)
-    assert cell["q4"].dtype == jnp.int4
-    assert cell["q4"].shape == w.shape
+    assert cell["q4p"].dtype == jnp.int8
+    assert cell["q4p"].shape == (128, 48)  # packed: 2 nibbles / byte
     assert cell["gscale"].shape == (2, 48)  # 256 / 128 groups
     back = dequantize_w4(cell, jnp.float32)
+    assert back.shape == w.shape
     err = np.abs(np.asarray(back) - np.asarray(w))
     # expand the group scales back to per-element bounds
     bound = np.repeat(np.asarray(cell["gscale"], np.float32), 128, axis=0)
@@ -57,16 +83,25 @@ def test_w4_roundtrip_error_bounded():
 
 
 def test_w4_group_fallback_on_indivisible_axis():
-    """Input sizes not divisible by the group fall back to the largest
-    common divisor (one group for odd sizes = per-out-channel scales)."""
+    """Group counts fall back to the largest common divisor >= 4 (one group
+    otherwise); odd input axes are rejected by quantize_array_w4 and fall
+    back to int8 at the stack level (real layers are never odd)."""
+    import pytest
+
     w = jax.random.normal(jax.random.PRNGKey(5), (96, 8))
     cell = quantize_array_w4(w, axis=0, group_size=128)  # gcd(96,128)=32
     assert cell["gscale"].shape == (3, 8)
-    w_odd = jax.random.normal(jax.random.PRNGKey(6), (7, 8))
-    cell_odd = quantize_array_w4(w_odd, axis=0, group_size=128)
-    assert cell_odd["gscale"].shape == (1, 8)
-    back = dequantize_w4(cell_odd, jnp.float32)
-    assert np.abs(np.asarray(back) - np.asarray(w_odd)).max() < 0.2
+    w_gcd2 = jax.random.normal(jax.random.PRNGKey(6), (6, 8))
+    cell_gcd2 = quantize_array_w4(w_gcd2, axis=0, group_size=128)
+    assert cell_gcd2["gscale"].shape == (1, 8)  # gcd 2 < 4 -> one group
+    back = dequantize_w4(cell_gcd2, jnp.float32)
+    assert np.abs(np.asarray(back) - np.asarray(w_gcd2)).max() < 0.5
+    with pytest.raises(ValueError):
+        quantize_array_w4(jnp.ones((7, 8)), axis=0)
+    # stack-level: an odd input axis silently falls back to weight-only int8
+    stack = {"w": jax.random.normal(jax.random.PRNGKey(7), (2, 7, 8))}
+    q = quantize_layer_stack(stack, 0, mode="w4")
+    assert set(q["w"].keys()) == {"q", "scale"}
 
 
 def test_w4_forward_close_to_fp():
@@ -81,7 +116,7 @@ def test_w4_forward_close_to_fp():
     qparams = dict(params)
     qparams["double"] = quantize_layer_stack(params["double"], 0, mode="w4", group_size=8)
     qparams["single"] = quantize_layer_stack(params["single"], 0, mode="w4", group_size=8)
-    assert qparams["double"]["img_qkv"]["w"]["q4"].dtype == jnp.int4
+    assert qparams["double"]["img_qkv"]["w"]["q4p"].dtype == jnp.int8
 
     img = jax.random.normal(keys[1], (1, 16, CFG.in_channels))
     txt = jax.random.normal(keys[2], (1, 4, CFG.context_in_dim))
@@ -110,7 +145,7 @@ def test_w4_lora_merge_requantizes_in_kind():
     lora = jax.tree.map(lambda x: x + 0.01 if x.ndim == 3 else x, lora)
     merged = merge_lora(w4p, lora, strength=1.0)
     cell = merged["double"]["img_qkv"]["w"]
-    assert set(cell.keys()) == {"q4", "gscale"} and cell["q4"].dtype == jnp.int4
+    assert set(cell.keys()) == {"q4p", "gscale"} and cell["q4p"].dtype == jnp.int8
     d0 = dequantize_w4(w4p["double"]["img_qkv"]["w"], jnp.float32)
     d1 = dequantize_w4(cell, jnp.float32)
     assert float(jnp.abs(d1 - d0).max()) > 0  # the merge had an effect
@@ -118,8 +153,8 @@ def test_w4_lora_merge_requantizes_in_kind():
     # dequantized weights reproduces them exactly)
     same = merge_lora(w4p, lora, strength=0.0)
     np.testing.assert_array_equal(
-        np.asarray(same["double"]["img_qkv"]["w"]["q4"], np.int8),
-        np.asarray(w4p["double"]["img_qkv"]["w"]["q4"], np.int8),
+        np.asarray(same["double"]["img_qkv"]["w"]["q4p"], np.int8),
+        np.asarray(w4p["double"]["img_qkv"]["w"]["q4p"], np.int8),
     )
 
 
@@ -131,7 +166,9 @@ def test_w4_random_init_and_forward():
     big = CFG.__class__(**{**CFG.__dict__, "hidden_size": 256, "num_heads": 8})
     qp = init_flux_params_quantized(jax.random.PRNGKey(0), big, mode="w4")
     w = qp["double"]["img_qkv"]["w"]
-    assert w["q4"].dtype == jnp.int4 and w["gscale"].dtype == jnp.float32
+    assert w["q4p"].dtype == jnp.int8 and w["gscale"].dtype == jnp.float32
+    # qkv leaf [depth, in, 3, H, hd]: packed input axis is in/2
+    assert w["q4p"].shape[1] == big.hidden_size // 2
     img = jax.random.normal(jax.random.PRNGKey(1), (1, 16, big.in_channels), jnp.bfloat16)
     txt = jax.random.normal(jax.random.PRNGKey(2), (1, 4, big.context_in_dim), jnp.bfloat16)
     y = jax.random.normal(jax.random.PRNGKey(3), (1, big.vec_in_dim), jnp.bfloat16)

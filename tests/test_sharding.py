@@ -114,12 +114,12 @@ def test_sharded_train_step_runs_and_reduces_loss(batch):
     assert float(loss1) < float(loss0)
 
 
-@pytest.mark.parametrize("act_quant", [False, True], ids=["w8", "w8a8"])
-def test_quantized_params_shard_and_match(batch, act_quant):
+@pytest.mark.parametrize("mode", ["w8", "w8a8", "w4"])
+def test_quantized_params_shard_and_match(batch, mode):
     from conceptattention_tpu.ops.quant import quantize_flux_params
 
     params = init_flux_params(jax.random.PRNGKey(0), CFG, jnp.float32)
-    qparams = quantize_flux_params(params, act_quant=act_quant)
+    qparams = quantize_flux_params(params, mode=mode)
     pred_single, _ = flux_forward(
         qparams, CFG,
         img=batch["img"], img_ids=batch["img_ids"],
@@ -128,7 +128,7 @@ def test_quantized_params_shard_and_match(batch, act_quant):
     )
     mesh = make_mesh(data=2, model=4)
     sharded = shard_params(qparams, mesh, CFG)
-    qk = "qa" if act_quant else "q"
+    qk = {"w8": "q", "w8a8": "qa", "w4": "q4p"}[mode]
     assert sharded["double"]["img_qkv"]["w"][qk].sharding.spec == P(
         None, None, None, AXES.model, None
     )
