@@ -377,15 +377,20 @@ def quantize_flux_params(
     min_size: int = 1 << 16,
     act_quant: bool = False,
     mode: Optional[str] = None,
+    group_size: int = W4_GROUP,
 ) -> Dict[str, Any]:
     """Quantize the per-layer stacks (the ~99% of parameters); embedders,
     norms, biases, and the final layer stay bf16. mode selects "w8" (weight
     int8), "w8a8" (int8 activations x int8 weights on the MXU) or "w4"
-    (group-wise int4 weights, ~6 GB full flux); act_quant=True is the legacy
-    spelling of mode="w8a8"."""
+    (group-wise int4 weights, ~6 GB full flux; group_size applies here);
+    act_quant=True is the legacy spelling of mode="w8a8"."""
     out = dict(params)
-    out["double"] = quantize_layer_stack(params["double"], min_size, act_quant, mode)
-    out["single"] = quantize_layer_stack(params["single"], min_size, act_quant, mode)
+    out["double"] = quantize_layer_stack(
+        params["double"], min_size, act_quant, mode, group_size
+    )
+    out["single"] = quantize_layer_stack(
+        params["single"], min_size, act_quant, mode, group_size
+    )
     return out
 
 
@@ -394,6 +399,7 @@ def quantize_video_dit_params(
     min_size: int = 1 << 16,
     act_quant: bool = False,
     mode: Optional[str] = None,
+    group_size: int = W4_GROUP,
 ) -> Dict[str, Any]:
     """CogVideoX DiT: quantize the stacked transformer blocks (every matmul
     already routes through the quant-aware `_linear`); patch/text/time
@@ -401,5 +407,7 @@ def quantize_video_dit_params(
     ~2x in HBM (int8) or ~4x (w4), enabling single-chip serving next to the
     video VAE."""
     out = dict(params)
-    out["blocks"] = quantize_layer_stack(params["blocks"], min_size, act_quant, mode)
+    out["blocks"] = quantize_layer_stack(
+        params["blocks"], min_size, act_quant, mode, group_size
+    )
     return out

@@ -445,8 +445,8 @@ class TestDDIM:
 
 
 class TestQuantizedVideoDiT:
-    @pytest.mark.parametrize("act_quant", [False, True], ids=["w8", "w8a8"])
-    def test_quantized_forward_close_to_fp(self, act_quant):
+    @pytest.mark.parametrize("mode", ["w8", "w8a8", "w4"])
+    def test_quantized_forward_close_to_fp(self, mode):
         from conceptattention_tpu.models.video.dit import (
             init_video_dit_params,
             video_dit_forward,
@@ -455,8 +455,11 @@ class TestQuantizedVideoDiT:
 
         cfg = CogVideoXConfig(use_rotary_positional_embeddings=True, **TINY)
         params = init_video_dit_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-        qparams = quantize_video_dit_params(params, min_size=1, act_quant=act_quant)
-        qk = "qa" if act_quant else "q"
+        # group 8 keeps the tiny config at a production-like group-count
+        # ratio for w4 (the default 128 would collapse it to one group per
+        # out-channel, the w4 worst case full-size models never hit).
+        qparams = quantize_video_dit_params(params, min_size=1, mode=mode, group_size=8)
+        qk = {"w8": "q", "w8a8": "qa", "w4": "q4p"}[mode]
         assert qparams["blocks"]["qkv"]["w"][qk].dtype == jnp.int8
 
         video = jax.random.normal(jax.random.PRNGKey(1), (B, F_LAT, TINY["in_channels"], H_LAT, W_LAT))
