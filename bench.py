@@ -302,10 +302,34 @@ def _require_accelerator(timeout_s: float = 300.0):
     return got["devices"]
 
 
-def main():
+def _cli_ladder(argv):
+    """Optional overrides: `python bench.py --quantize w4 --batch 16
+    [--backends pallas,...]` pins a single full-depth rung instead of the
+    default ladder (how the README's non-headline rows — e.g. the w4
+    capacity numbers — are reproduced). Bare `python bench.py` (the driver
+    contract) is unchanged."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--quantize", default=None,
+                   choices=["w8", "w8a8", "w4", "bf16"])
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--backends", default=None, help="comma-separated")
+    a = p.parse_args(argv)
+    if a.quantize is None and a.batch is None and a.backends is None:
+        return None
+    quantize = False if a.quantize in (None, "bf16") else a.quantize
+    backends = tuple((a.backends or "pallas").split(","))
+    return [(19, 38, quantize, backends, a.batch or 8)]
+
+
+def main(argv=None):
+    cli = _cli_ladder(argv if argv is not None else sys.argv[1:])
     _require_accelerator()
     hbm = hbm_limit()
-    if hbm >= 26e9:
+    if cli is not None:
+        ladder = cli
+    elif hbm >= 26e9:
         ladder = [(19, 38, False, ("xla", "pallas"), 1)]
     else:
         # int8 full depth first (XLA attention's materialized logits don't fit

@@ -166,6 +166,15 @@ def w4_group_axis(q4p: jax.Array, gscale: jax.Array) -> int:
     )
 
 
+def w4_dims(cell: Dict[str, jax.Array]) -> tuple:
+    """(group_axis, input_size, group_size) of a packed w4 cell — the single
+    owner of the 2-nibbles-per-byte convention, so consumers (LoRA dims,
+    requantize-in-kind) never re-derive the packing factor themselves."""
+    ax = w4_group_axis(cell["q4p"], cell["gscale"])
+    size = 2 * cell["q4p"].shape[ax]
+    return ax, size, size // cell["gscale"].shape[ax]
+
+
 def dequantize_w4(cell: Dict[str, jax.Array], dtype=None) -> jax.Array:
     """Expand a {"q4p", "gscale"} cell to a dense weight of `dtype`.
 

@@ -105,18 +105,18 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, cfg=None) -> Dict[str, Any]
     def place(p, s):
         if _is_quantized(p):
             if "q4p" in p:
-                # Both tensors' grouped/packed axes are shorter than the
-                # weight's input axis (size/2 bytes, size/group scales); the
-                # spec still applies positionally, but either can miss the
-                # mesh-divisibility requirement — replicate then (GSPMD
-                # reshards as needed, correctness-neutral).
-                out = {}
-                for k in ("q4p", "gscale"):
-                    try:
-                        out[k] = jax.device_put(p[k], s)
-                    except ValueError:
-                        out[k] = jax.device_put(p[k], NamedSharding(mesh, P()))
-                return out
+                # The weight tensor keeps the loud failure: silently
+                # replicating a multi-GB q4p leaf would defeat the capacity
+                # mode with no warning (spec/mesh mismatches are config
+                # errors). Only the small group scales fall back to
+                # replication — their grouped axis (size/group) often misses
+                # the mesh divisibility the weight's axis (size/2) meets,
+                # and GSPMD reshards them for free.
+                try:
+                    gs = jax.device_put(p["gscale"], s)
+                except ValueError:
+                    gs = jax.device_put(p["gscale"], NamedSharding(mesh, P()))
+                return {"q4p": jax.device_put(p["q4p"], s), "gscale": gs}
             qk = "q" if "q" in p else "qa"
             return {
                 qk: jax.device_put(p[qk], s),

@@ -8,9 +8,14 @@ base can stay int8-quantized while the adapters train in f32.
 
 Functional design: the adapter is its own pytree (same layout
 weights/lora.py converts to), the loss merges it into the base inside the
-jitted step (`merge_lora` is differentiable through a @ b), and the
-optimizer state covers only the adapter. Standard LoRA init: a ~ N(0, 1/in),
-b = 0 — the first step is exactly the base model.
+jitted step with `merge_lora(requantize=False)` — the float-merge form, so
+gradients flow exactly through a @ b even on a quantized base (requantizing
+in kind would kill the tangent at the int cast: only one amax element per
+quant group would carry gradient). Targeted leaves therefore run bf16-class
+matmuls during training and their dense float merge materializes in-jit;
+untargeted leaves keep streaming quantized from HBM. The optimizer state
+covers only the adapter. Standard LoRA init: a ~ N(0, 1/in), b = 0 — the
+first step is exactly the base model.
 """
 
 from __future__ import annotations
@@ -37,14 +42,15 @@ DEFAULT_SINGLE_TARGETS = ("qkv", "proj", "mlp_in", "mlp_out")
 def _leaf_dims(w) -> Tuple[int, int, int]:
     """(depth, in, out_flat) of a stacked weight leaf (bf16 or quantized
     dict — q/qa int8 keep the weight's natural shape; the nibble-packed
-    q4p halves the input axis, so it is doubled back here)."""
-    packed = False
-    if isinstance(w, dict):
-        arr = w.get("qa", w.get("q", w.get("q4p")))
-        packed = "q4p" in w
+    q4p's true input size comes from quant.w4_dims)."""
+    if isinstance(w, dict) and "q4p" in w:
+        from conceptattention_tpu.ops.quant import w4_dims
+
+        arr = w["q4p"]
+        depth, d_in = arr.shape[0], w4_dims(w)[1]
     else:
-        arr = w
-    depth, d_in = arr.shape[0], arr.shape[1] * (2 if packed else 1)
+        arr = w.get("qa", w.get("q")) if isinstance(w, dict) else w
+        depth, d_in = arr.shape[0], arr.shape[1]
     d_out = 1
     for s in arr.shape[2:]:
         d_out *= s
@@ -87,9 +93,11 @@ def lora_flow_matching_loss(
     key: jax.Array,
     strength: float = 1.0,
 ) -> jax.Array:
-    """flow_matching_loss on merge_lora(base, lora) — differentiable in the
-    adapter only (the base is a frozen constant under grad)."""
-    merged = merge_lora(base_params, lora, strength)
+    """flow_matching_loss on merge_lora(base, lora, requantize=False) —
+    differentiable in the adapter only (the base is a frozen constant under
+    grad). The float merge keeps the adapter gradient exact on quantized
+    bases; requantizing in kind would zero it at the int cast."""
+    merged = merge_lora(base_params, lora, strength, requantize=False)
     return flow_matching_loss(merged, cfg, batch, key)
 
 

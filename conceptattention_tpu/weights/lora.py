@@ -381,15 +381,9 @@ def _requantize_like(wq: Dict[str, jax.Array], merged_f32: jax.Array):
     """Requantize a merged weight in the source cell's scheme: per-(layer,
     out-channel) int8 for {q|qa, scale}, group-wise int4 for {q4p, gscale}."""
     if "q4p" in wq:
-        from conceptattention_tpu.ops.quant import (
-            quantize_array_w4,
-            w4_group_axis,
-        )
+        from conceptattention_tpu.ops.quant import quantize_array_w4, w4_dims
 
-        ax = w4_group_axis(wq["q4p"], wq["gscale"])
-        # q4p's grouped axis is nibble-packed (size/2 bytes): the true input
-        # size is 2x the packed extent.
-        group = (2 * wq["q4p"].shape[ax]) // wq["gscale"].shape[ax]
+        ax, _, group = w4_dims(wq)
         return quantize_array_w4(merged_f32, axis=ax, group_size=group)
     qkey = "qa" if "qa" in wq else "q"
     amax = jnp.max(jnp.abs(merged_f32), axis=1, keepdims=True)
@@ -398,7 +392,8 @@ def _requantize_like(wq: Dict[str, jax.Array], merged_f32: jax.Array):
     return {qkey: q, "scale": scale.astype(wq["scale"].dtype)}
 
 
-def _merge_leaf(w, factor: Dict[str, jax.Array], strength: float):
+def _merge_leaf(w, factor: Dict[str, jax.Array], strength: float,
+                requantize: bool = True):
     a, b = factor["a"], factor["b"]
     delta = jnp.einsum("dik,dko->dio", a, b) * strength  # [depth, in, out]
     if isinstance(w, dict):  # quantized leaf {q|qa, scale} or {q4p, gscale}
@@ -411,6 +406,13 @@ def _merge_leaf(w, factor: Dict[str, jax.Array], strength: float):
             wf = w[qkey].astype(jnp.float32) * w["scale"].astype(jnp.float32)
         if wf.ndim == 5:  # qkv [depth, in, 3, H, hd]
             delta = delta.reshape(wf.shape)
+        if not requantize:
+            # Training path: round().astype(int) would zero the adapter's
+            # gradient (the tangent dies at the int cast — only the one
+            # amax element per group would survive, via the scale). Return
+            # the dense float merge instead; the forward runs bf16-class
+            # matmuls but grads flow exactly through a @ b.
+            return wf + delta
         return _requantize_like(w, wf + delta)
     if w.ndim == 5:  # qkv 4D (stacked): [depth, in, 3, H, hd]
         delta = delta.reshape(w.shape)
@@ -421,10 +423,16 @@ def merge_lora(
     params: Dict[str, Any],
     lora: Dict[str, Any],
     strength: float = 1.0,
+    requantize: bool = True,
 ) -> Dict[str, Any]:
     """Return params with `strength * (a @ b)` added to every weight leaf the
-    adapter targets. Works on bf16 and int8-quantized ({q|qa, scale}) stacks;
-    untouched leaves are returned by reference (no copy).
+    adapter targets. Works on bf16 and quantized ({q|qa, scale} / {q4p,
+    gscale}) stacks; untouched leaves are returned by reference (no copy).
+
+    requantize=False returns dense float weights for targeted quantized
+    leaves instead of requantizing in kind — the TRAINING form: gradients
+    flow exactly through a @ b (requantization's int cast would zero them).
+    Serving merges keep the default (requantize in kind).
 
     The adapter's top-level keys name parameter stacks ("double"/"single" for
     flux, "blocks" for the video DiT); leaf names may be dotted paths into
@@ -448,7 +456,9 @@ def merge_lora(
             if last not in node:
                 raise KeyError(f"LoRA targets unknown leaf {stack}.{leaf}")
             node[last] = dict(node[last])
-            node[last]["w"] = _merge_leaf(node[last]["w"], factor, strength)
+            node[last]["w"] = _merge_leaf(
+                node[last]["w"], factor, strength, requantize
+            )
         out[stack] = new_stack
     return out
 

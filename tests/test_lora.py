@@ -308,6 +308,49 @@ class TestTraining:
         # adapters actually moved (b no longer zero)
         assert float(jnp.abs(lora["double"]["img_qkv"]["b"]).max()) > 0
 
+    @pytest.mark.parametrize("mode", ["w8", "w8a8", "w4"])
+    def test_quantized_base_gradients_match_fp(self, mode):
+        """Adapter gradients on a quantized base must track the fp-base
+        gradients (regression: merging with requantize-in-kind zeroed
+        ~7/8 of the tangent at the int cast and bent the rest — lora_loss
+        now merges with requantize=False)."""
+        from conceptattention_tpu.ops.packing import make_img_ids
+        from conceptattention_tpu.ops.quant import quantize_flux_params
+        from conceptattention_tpu.training.lora import (
+            init_lora_params,
+            lora_flow_matching_loss,
+        )
+
+        params = init_flux_params(jax.random.PRNGKey(6), CFG, jnp.float32)
+        qparams = quantize_flux_params(params, min_size=0, mode=mode, group_size=8)
+        lora = init_lora_params(jax.random.PRNGKey(7), params, rank=R)
+        # move off the b=0 saddle so gradients are generic
+        lora = jax.tree.map(lambda x: x + 0.02 if x.ndim == 3 else x, lora)
+
+        b, p, t = 1, 16, 4
+        ks = jax.random.split(jax.random.PRNGKey(8), 4)
+        batch = {
+            "img": jax.random.normal(ks[0], (b, p, CFG.in_channels)),
+            "img_ids": make_img_ids(4, 4, b),
+            "txt": jax.random.normal(ks[1], (b, t, CFG.context_in_dim)),
+            "txt_ids": jnp.zeros((b, t, 3)),
+            "y": jax.random.normal(ks[2], (b, CFG.vec_in_dim)),
+        }
+        key = jax.random.PRNGKey(9)
+        gfn = jax.grad(lora_flow_matching_loss)
+        g_fp = gfn(lora, params, CFG, batch, key)
+        g_q = gfn(lora, qparams, CFG, batch, key)
+
+        a = np.concatenate([np.asarray(x, np.float64).ravel()
+                            for x in jax.tree.leaves(g_fp)])
+        b_ = np.concatenate([np.asarray(x, np.float64).ravel()
+                             for x in jax.tree.leaves(g_q)])
+        # dense gradient (no zeroed tangent) ...
+        assert (np.abs(b_) > 0).mean() > 0.9, "quantized-base grad is sparse"
+        # ... pointing the same way as the fp-base gradient
+        cos = (a @ b_) / (np.linalg.norm(a) * np.linalg.norm(b_) + 1e-12)
+        assert cos > 0.95, f"grad cosine vs fp base: {cos:.3f}"
+
 
 class TestExportRoundTrip:
     def test_export_import_merge_equal(self):
