@@ -172,6 +172,11 @@ class ConceptAttentionFluxPipeline:
         # path, so int8 cells quantize the adapted weights).
         lora: Optional[Any] = None,
         lora_strength: Union[float, Sequence[float]] = 1.0,
+        # Retain a pristine host-side copy of the pre-merge weights so
+        # swap_loras() can re-base to a different adapter set at runtime
+        # (the serving daemon's /v1/loras endpoint). Opt-in: the snapshot
+        # costs host RAM (~the model's unquantized or quantized size).
+        keep_base_for_swap: bool = False,
     ):
         self.spec: ModelSpec = configs[model_name]
         self.model_name = model_name
@@ -182,26 +187,27 @@ class ConceptAttentionFluxPipeline:
         # VAE spatial downsample factor (8x for Flux: 3 stride-2 stages).
         self.vae_factor = 2 ** (len(self.spec.ae_params.ch_mult) - 1)
 
-        adapters: List[Any] = []
-        if lora is not None:
-            from conceptattention_tpu.weights.lora import load_lora
-
-            items = lora if isinstance(lora, (list, tuple)) else [lora]
-            adapters = [
-                load_lora(it, self.cfg) if isinstance(it, str) else it
-                for it in items
-            ]
-        strengths = (
-            list(lora_strength)
-            if isinstance(lora_strength, (list, tuple))
-            else [float(lora_strength)] * len(adapters)
+        self._quantize = quantize
+        self._swap_base = None  # set by _snapshot_base when keep_base_for_swap
+        self._swap_stage = "final"
+        self._active_loras: List[dict] = []
+        adapters, strengths, self._active_loras = self._load_adapters(
+            lora, lora_strength
         )
-        if len(strengths) != len(adapters):
-            raise ValueError(
-                f"{len(adapters)} LoRA adapter(s) but {len(strengths)} strengths"
-            )
 
-        def _merged(p):
+        def _snapshot_base(p, stage):
+            """Host-side pristine copy for swap_loras (np leaves; quantized
+            cell dicts survive as dicts of np arrays)."""
+            if keep_base_for_swap:
+                import numpy as _np
+
+                self._swap_base = jax.tree.map(
+                    lambda x: _np.asarray(x) if hasattr(x, "shape") else x, p
+                )
+                self._swap_stage = stage
+
+        def _merged(p, stage="final"):
+            _snapshot_base(p, stage)
             if not adapters:
                 return p
             from conceptattention_tpu.weights.lora import merge_loras
@@ -229,8 +235,9 @@ class ConceptAttentionFluxPipeline:
                         )
                         # Merge adapters BEFORE quantizing so the int8 cells
                         # quantize the adapted weights (merging after would
-                        # requantize twice and lose precision).
-                        params = _merged(params)
+                        # requantize twice and lose precision). The swap base
+                        # is the pre-quantize bf16 tree for the same reason.
+                        params = _merged(params, stage="prequant")
                         from conceptattention_tpu.ops.quant import resolve_quant_mode
 
                         params = quantize_flux_params(
@@ -255,8 +262,8 @@ class ConceptAttentionFluxPipeline:
                 params = _merged(
                     init_flux_params(jax.random.PRNGKey(init_seed), self.cfg, dtype)
                 )
-        elif adapters:
-            params = _merged(params)
+        else:
+            params = _merged(params)  # no-op without adapters; snapshots base
         if ae_params is None:
             ae_ckpt = self.spec.ae_path
             if ae_ckpt:
@@ -296,6 +303,96 @@ class ConceptAttentionFluxPipeline:
                 f"tests), or drop int8_qk."
             )
         self.int8_qk = int8_qk
+
+    # ------------------------------------------------------------------
+    def _load_adapters(self, lora, lora_strength):
+        """(adapters, strengths, descriptors) from the public `lora` forms:
+        a safetensors path, a converted adapter pytree, or a sequence of
+        either; descriptors are JSON-able {"source", "strength"} records for
+        the serving daemon's GET /v1/loras."""
+        adapters: List[Any] = []
+        sources: List[str] = []
+        if lora is not None:
+            from conceptattention_tpu.weights.lora import load_lora
+
+            items = lora if isinstance(lora, (list, tuple)) else [lora]
+            for it in items:
+                if isinstance(it, str):
+                    adapters.append(load_lora(it, self.cfg))
+                    sources.append(it)
+                else:
+                    adapters.append(it)
+                    sources.append("<adapter pytree>")
+        strengths = (
+            list(lora_strength)
+            if isinstance(lora_strength, (list, tuple))
+            else [float(lora_strength)] * len(adapters)
+        )
+        if len(strengths) != len(adapters):
+            raise ValueError(
+                f"{len(adapters)} LoRA adapter(s) but {len(strengths)} strengths"
+            )
+        descriptors = [
+            {"source": s, "strength": float(st)}
+            for s, st in zip(sources, strengths)
+        ]
+        return adapters, strengths, descriptors
+
+    @property
+    def active_loras(self) -> List[dict]:
+        """JSON-able descriptors of the currently merged adapter set."""
+        return list(self._active_loras)
+
+    def swap_loras(
+        self,
+        lora: Optional[Any] = None,
+        lora_strength: Union[float, Sequence[float]] = 1.0,
+    ) -> List[dict]:
+        """Replace the active LoRA set at runtime from the pristine base
+        retained by `keep_base_for_swap=True` (lora=None clears adapters).
+
+        Rebuilds exactly what construction would have built: on the
+        checkpoint+quantize path the base is the pre-quantize bf16 tree, so
+        the new adapters merge in float and the cells quantize the adapted
+        weights (never requantize-on-requantize); on other paths the base is
+        the pre-merge tree and quantized cells requantize in kind. Not
+        thread-safe against in-flight forwards — the serving daemon runs
+        swaps on its batcher worker so they serialize with generation.
+        Returns the new active-adapter descriptors."""
+        if self._swap_base is None:
+            raise RuntimeError(
+                "swap_loras needs keep_base_for_swap=True at construction "
+                "(the pipeline does not retain its pre-merge weights by "
+                "default — they cost host RAM)"
+            )
+        adapters, strengths, descriptors = self._load_adapters(lora, lora_strength)
+        from conceptattention_tpu.weights.lora import merge_loras
+
+        if self._swap_stage == "prequant":
+            from conceptattention_tpu.ops.quant import (
+                quantize_flux_params,
+                resolve_quant_mode,
+            )
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                p = self._swap_base
+                if adapters:
+                    p = merge_loras(p, adapters, strengths)
+                p = quantize_flux_params(p, mode=resolve_quant_mode(self._quantize))
+            p = jax.device_put(p)
+        else:
+            p = self._swap_base
+            if adapters:
+                p = merge_loras(p, adapters, strengths)
+            # normalize host np leaves (and merged jnp leaves) onto device
+            p = jax.tree.map(jnp.asarray, p)
+        if self.mesh is not None:
+            from conceptattention_tpu.parallel.sharding import shard_params
+
+            p = shard_params(p, self.mesh, self.cfg)
+        self.params = p
+        self._active_loras = descriptors
+        return self.active_loras
 
     # ------------------------------------------------------------------
     def _attention_spec(self) -> ConceptAttentionSpec:

@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     p.add_argument("--lora", nargs="+", default=None, metavar="PATH",
                    help="LoRA adapter safetensors path(s), merged at load")
     p.add_argument("--lora_strength", type=float, nargs="+", default=None)
+    p.add_argument("--lora_swap", action="store_true",
+                   help="enable POST /v1/loras runtime adapter swapping "
+                        "(keeps a pristine host-side copy of the pre-merge "
+                        "weights — costs host RAM)")
     p.add_argument("--max_batch", type=int, default=8,
                    help="largest coalesced batch (= largest compiled graph)")
     p.add_argument("--max_wait_ms", type=float, default=25.0,
@@ -65,6 +69,7 @@ def main(argv=None) -> None:
         quantize=args.quantize or False,
         attention_backend=args.attention_backend,
         int8_qk=args.int8_qk,
+        keep_base_for_swap=args.lora_swap,
         **pipe_kwargs,
     )
     server = ConceptAttentionServer(

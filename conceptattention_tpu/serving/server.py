@@ -14,6 +14,10 @@ Endpoints
 ---------
 - ``POST /v1/generate``  — JSON body (see `GenerateRequest.from_json`);
   returns base64 PNGs for the image and per-concept heatmaps.
+- ``POST /v1/loras``     — replace the active LoRA adapter set at runtime
+  ({"adapters": [{"path", "strength"}]}; [] clears). Swaps serialize with
+  generation on the batcher worker; needs --lora_swap at startup.
+- ``GET /v1/loras``      — the active adapter set.
 - ``GET /healthz``       — liveness + device platform + model name.
 - ``GET /metrics``       — batcher counters, queue depth, latency quantiles.
 
@@ -287,6 +291,52 @@ class EncodeRequest:
         return req
 
 
+_SWAP_NONCE = iter(range(1 << 62))
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraSwapRequest:
+    """One POST /v1/loras request: replace the active LoRA adapter set
+    (empty list clears it). Swaps ride the batcher like any other request —
+    each gets a unique batch key, so the worker runs it alone, serialized
+    against generation batches (no forward ever sees half-swapped params).
+    Requires the server's pipeline to retain its pristine base
+    (`keep_base_for_swap=True` / the daemon's --lora_swap flag)."""
+
+    paths: Tuple[str, ...]
+    strengths: Tuple[float, ...]
+    nonce: int = dataclasses.field(default_factory=lambda: next(_SWAP_NONCE))
+
+    def batch_key(self) -> tuple:
+        return ("lora_swap", self.nonce)
+
+    @classmethod
+    def from_json(cls, body: dict) -> "LoraSwapRequest":
+        import os
+
+        _expect(isinstance(body, dict), "body must be a JSON object")
+        unknown = set(body) - {"adapters"}
+        _expect(not unknown, f"unknown fields: {sorted(unknown)}")
+        adapters = body.get("adapters")
+        _expect(isinstance(adapters, list) and len(adapters) <= 8,
+                "adapters must be a list of <= 8 {path, strength} objects "
+                "(empty list clears the active set)")
+        paths, strengths = [], []
+        for a in adapters:
+            _expect(isinstance(a, dict) and isinstance(a.get("path"), str),
+                    "each adapter needs a string 'path'")
+            _expect(not (set(a) - {"path", "strength"}),
+                    f"unknown adapter fields: {sorted(set(a) - {'path', 'strength'})}")
+            s = a.get("strength", 1.0)
+            _expect(isinstance(s, (int, float)) and not isinstance(s, bool)
+                    and -16.0 <= s <= 16.0, "strength must be a number in [-16, 16]")
+            _expect(os.path.isfile(a["path"]),
+                    f"adapter path not found: {a['path']}")
+            paths.append(a["path"])
+            strengths.append(float(s))
+        return cls(paths=tuple(paths), strengths=tuple(strengths))
+
+
 def _png_b64(pil_image) -> str:
     buf = io.BytesIO()
     pil_image.save(buf, format="PNG")
@@ -398,15 +448,19 @@ class ConceptAttentionServer:
                     self._reply(200, outer._health())
                 elif self.path == "/metrics":
                     self._reply(200, outer._metrics())
+                elif self.path == "/v1/loras":
+                    self._reply(200, {"active_loras": outer.pipeline.active_loras})
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path not in ("/v1/generate", "/v1/encode"):
+                routes = {"/v1/generate": GenerateRequest,
+                          "/v1/encode": EncodeRequest,
+                          "/v1/loras": LoraSwapRequest}
+                request_cls = routes.get(self.path)
+                if request_cls is None:
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
-                request_cls = (GenerateRequest if self.path == "/v1/generate"
-                               else EncodeRequest)
                 t0 = time.monotonic()
                 try:
                     try:
@@ -530,6 +584,13 @@ class ConceptAttentionServer:
     def _validate_against_model(self, request) -> None:
         """Model-dependent validation from_json can't do (it has no pipeline):
         reject as 400 what would otherwise assert deep inside the batch."""
+        if isinstance(request, LoraSwapRequest):
+            if getattr(self.pipeline, "_swap_base", None) is None:
+                raise RequestError(
+                    "this server was started without LoRA swap support "
+                    "(restart with --lora_swap / keep_base_for_swap=True)"
+                )
+            return
         depth = self.pipeline.cfg.depth
         if request.layer_indices is not None and any(
             i >= depth for i in request.layer_indices
@@ -550,6 +611,15 @@ class ConceptAttentionServer:
         path is image-specific; num_samples batches internally).
         """
         head = requests[0]
+        if isinstance(head, LoraSwapRequest):
+            # Unique batch key -> the group is exactly this one request; the
+            # swap happens on the single device-dispatching worker thread,
+            # so no generation batch can interleave with half-swapped params.
+            active = self.pipeline.swap_loras(
+                list(head.paths) or None, list(head.strengths) or 1.0
+            )
+            logger.info("lora swap: %s", active)
+            return [(active, 1)]
         if isinstance(head, EncodeRequest):
             return [(self._run_encode(r), len(requests)) for r in requests]
         n = len(requests)
@@ -592,6 +662,8 @@ class ConceptAttentionServer:
         )
 
     def _format_result(self, request, output, batch_size: int) -> dict:
+        if isinstance(request, LoraSwapRequest):
+            return {"active_loras": output}
         payload = {
             "concept_heatmaps": _format_heatmaps(
                 output.concept_heatmaps, request.concepts,

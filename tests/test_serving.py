@@ -387,3 +387,100 @@ class TestServerEndToEnd:
         assert metrics["requests_total"] >= 1
         assert metrics["batcher"]["batches_total"] >= 1
         assert "latency_ms" in metrics
+
+
+# ---------------------------------------------------------------------------
+class TestLoraSwap:
+    """POST /v1/loras replaces the active adapter set at runtime; swaps ride
+    the batcher worker so they serialize with generation batches."""
+
+    @pytest.fixture(scope="class")
+    def adapter_path(self, tmp_path_factory, pipe):
+        import jax
+        from safetensors.numpy import save_file
+        from conceptattention_tpu.training.lora import (
+            export_lora_state_dict,
+            init_lora_params,
+        )
+
+        lora = init_lora_params(jax.random.PRNGKey(21), pipe.params, rank=4)
+        lora = jax.tree.map(lambda x: x + 0.05 if x.ndim == 3 else x, lora)
+        sd = {k: np.asarray(v, np.float32)
+              for k, v in export_lora_state_dict(lora).items()}
+        path = tmp_path_factory.mktemp("loras") / "style.safetensors"
+        save_file(sd, str(path))
+        return str(path)
+
+    @pytest.fixture(scope="class")
+    def swap_server(self):
+        swap_pipe = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, keep_base_for_swap=True
+        )
+        srv = ConceptAttentionServer(
+            swap_pipe, port=0, max_batch=2, max_wait_ms=50, bucket_sizes=(2,),
+            request_timeout_s=300,
+        )
+        with srv:
+            yield srv
+
+    def test_swap_changes_output_and_clear_restores(self, swap_server,
+                                                    adapter_path):
+        port = swap_server.port
+        status, data = _get(port, "/v1/loras")
+        assert status == 200 and data["active_loras"] == []
+
+        status, base = _post(port, dict(BASE_BODY, heatmap_format="array"))
+        assert status == 200, base
+        base_maps = np.asarray(base["concept_heatmaps"]["cat"], np.float32)
+
+        status, data = _post(
+            port, {"adapters": [{"path": adapter_path, "strength": 0.7}]},
+            path="/v1/loras")
+        assert status == 200, data
+        assert data["active_loras"] == [
+            {"source": adapter_path, "strength": 0.7}
+        ]
+        status, data = _get(port, "/v1/loras")
+        assert data["active_loras"][0]["source"] == adapter_path
+
+        status, adapted = _post(port, dict(BASE_BODY, heatmap_format="array"))
+        assert status == 200, adapted
+        adapted_maps = np.asarray(adapted["concept_heatmaps"]["cat"], np.float32)
+        assert np.abs(adapted_maps - base_maps).max() > 0
+
+        # swap == merging the same adapter at construction time
+        direct = cat.ConceptAttentionFluxPipeline(
+            "flux-tiny", dtype=jnp.float32, lora=adapter_path,
+            lora_strength=0.7,
+        ).generate_image(
+            BASE_BODY["prompt"], CONCEPTS, width=SIZE, height=SIZE,
+            num_inference_steps=1, seed=BASE_BODY["seed"],
+            return_pil_heatmaps=False,
+        )
+        np.testing.assert_allclose(
+            adapted_maps, np.asarray(direct.concept_heatmaps[0], np.float32),
+            atol=2e-3,  # batched-vs-solo matmul slack (bucket pads to 2)
+        )
+
+        status, data = _post(port, {"adapters": []}, path="/v1/loras")
+        assert status == 200 and data["active_loras"] == []
+        status, restored = _post(port, dict(BASE_BODY, heatmap_format="array"))
+        restored_maps = np.asarray(restored["concept_heatmaps"]["cat"], np.float32)
+        np.testing.assert_array_equal(restored_maps, base_maps)
+
+    def test_swap_validation(self, swap_server, server, adapter_path):
+        # server without keep_base_for_swap refuses swaps with a 400
+        status, data = _post(server.port, {"adapters": []}, path="/v1/loras")
+        assert status == 400 and "lora_swap" in data["error"]
+        # nonexistent adapter path is a 400 on the swap-capable server
+        status, data = _post(
+            swap_server.port,
+            {"adapters": [{"path": "/nonexistent.safetensors"}]},
+            path="/v1/loras")
+        assert status == 400 and "not found" in data["error"]
+        # malformed strength
+        status, data = _post(
+            swap_server.port,
+            {"adapters": [{"path": adapter_path, "strength": "x"}]},
+            path="/v1/loras")
+        assert status == 400 and "strength" in data["error"]
