@@ -4,6 +4,12 @@ from conceptattention_tpu.parallel.sharding import (
     shard_params,
     activation_sharding,
 )
+from conceptattention_tpu.parallel.fsdp import (
+    flux_fsdp_sharding,
+    fsdp_sharding,
+    fsdp_spec,
+    shard_params_fsdp,
+)
 from conceptattention_tpu.parallel.pipeline import pipeline_apply
 from conceptattention_tpu.parallel.moe import (
     init_moe_params,
@@ -17,6 +23,10 @@ __all__ = [
     "flux_param_sharding",
     "shard_params",
     "activation_sharding",
+    "flux_fsdp_sharding",
+    "fsdp_sharding",
+    "fsdp_spec",
+    "shard_params_fsdp",
     "pipeline_apply",
     "init_moe_params",
     "moe_mlp",

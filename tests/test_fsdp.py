@@ -1,0 +1,166 @@
+"""FSDP (ZeRO-3) tests on the virtual 8-device CPU mesh.
+
+Checks, against the unsharded single-device step: spec derivation (every
+divisible leaf sharded over `data`, TP dims respected), true per-device
+memory reduction, optimizer-state inheritance, and exact train-step
+equivalence for pure-FSDP and FSDP x TP meshes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conceptattention_tpu.config import configs
+from conceptattention_tpu.models.flux.params import init_flux_params
+from conceptattention_tpu.ops.packing import make_img_ids
+from conceptattention_tpu.parallel.fsdp import (
+    flux_fsdp_sharding,
+    fsdp_spec,
+    shard_params_fsdp,
+)
+from conceptattention_tpu.parallel.mesh import AXES, make_mesh
+from conceptattention_tpu.training.train_step import (
+    flow_matching_loss,
+    init_train_state,
+    make_train_step,
+)
+
+CFG = configs["flux-tiny"].params
+B, T = 8, 4  # B divisible by the largest `data` axis used below
+GRID = (4, 4)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    return dict(
+        img=jax.random.normal(keys[0], (B, GRID[0] * GRID[1], CFG.in_channels)),
+        img_ids=make_img_ids(*GRID, batch_size=B),
+        txt=jax.random.normal(keys[1], (B, T, CFG.context_in_dim)),
+        txt_ids=jnp.zeros((B, T, 3)),
+        y=jax.random.normal(keys[2], (B, CFG.vec_in_dim)),
+    )
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_flux_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+
+
+def test_fsdp_spec_shards_every_divisible_leaf(params):
+    mesh = make_mesh(data=4)
+    spec = fsdp_spec(params, mesh)
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        spec, is_leaf=lambda x: isinstance(x, P)
+    )
+    shapes = [x.shape for x in jax.tree.leaves(params)]
+    assert len(flat) == len(shapes)
+    for (path, s), shape in zip(flat, shapes):
+        divisible = any(d % 4 == 0 and d >= 4 for d in shape)
+        if divisible:
+            assert AXES.data in s, (jax.tree_util.keystr(path), s, shape)
+        else:
+            assert AXES.data not in s
+
+    # The sharded dim is the LARGEST divisible one: qkv w [depth, D, 3, H, Dh]
+    # -> D (axis 1), not depth.
+    assert spec["double"]["img_qkv"]["w"] == P(None, AXES.data, None, None, None)
+    assert spec["double"]["img_mlp_out"]["w"] == P(None, AXES.data, None)
+
+
+def test_fsdp_composes_with_tp(params):
+    mesh = make_mesh(data=4, model=2)
+    shardings = flux_fsdp_sharding(params, mesh, CFG)
+    qkv = shardings["double"]["img_qkv"]["w"]
+    # TP keeps the head axis; FSDP takes D.
+    assert qkv.spec == P(None, AXES.data, None, AXES.model, None)
+    # Row-parallel proj: TP on the input axis, FSDP on the output axis.
+    assert shardings["double"]["img_proj"]["w"].spec == P(
+        None, AXES.model, AXES.data
+    )
+    # mlp_in: TP already shards M (the largest dim), FSDP falls to D.
+    assert shardings["double"]["img_mlp_in"]["w"].spec == P(
+        None, AXES.data, AXES.model
+    )
+
+
+def test_fsdp_reduces_per_device_bytes(params):
+    mesh = make_mesh(data=8)
+    placed = shard_params_fsdp(params, mesh, CFG)
+    total = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    dev0 = jax.devices()[0]
+    local = 0
+    for leaf in jax.tree.leaves(placed):
+        for s in leaf.addressable_shards:
+            if s.device == dev0:
+                local += s.data.size * s.data.dtype.itemsize
+    # Everything big is 1/8th; only non-divisible crumbs replicate.
+    assert local < total / 8 * 1.05, (local, total)
+    # Values survive placement exactly.
+    np.testing.assert_array_equal(
+        np.asarray(placed["double"]["img_mlp_in"]["w"]),
+        np.asarray(params["double"]["img_mlp_in"]["w"]),
+    )
+
+
+def test_fsdp_rejects_quantized_trees(params):
+    from conceptattention_tpu.ops.quant import quantize_flux_params
+
+    mesh = make_mesh(data=4)
+    qparams = quantize_flux_params(params)
+    with pytest.raises(ValueError, match="LoRA"):
+        shard_params_fsdp(qparams, mesh, CFG)
+
+
+@pytest.mark.parametrize("mesh_shape", [dict(data=8), dict(data=4, model=2)])
+def test_fsdp_train_step_matches_unsharded(params, batch, mesh_shape):
+    key = jax.random.PRNGKey(42)
+    tx, opt0 = init_train_state(params, learning_rate=1e-3)
+
+    # Unsharded single-device reference step.
+    ref_step = make_train_step(CFG, tx, donate=False)
+    ref_params, _, ref_loss = ref_step(params, opt0, batch, key)
+
+    mesh = make_mesh(**mesh_shape)
+    placed = shard_params_fsdp(params, mesh, CFG)
+    shardings = flux_fsdp_sharding(placed, mesh, CFG)
+    # Optimizer state built from sharded params inherits the ZeRO layout.
+    _, opt_sharded = init_train_state(placed, learning_rate=1e-3)
+    mu = opt_sharded[0].mu["double"]["img_qkv"]["w"]
+    assert AXES.data in mu.sharding.spec
+
+    batch_sharding = jax.tree.map(
+        lambda _: NamedSharding(mesh, P(AXES.data)), batch
+    )
+    sharded_batch = jax.tree.map(jax.device_put, batch, batch_sharding)
+    step = make_train_step(
+        CFG, tx, mesh=mesh, param_sharding=shardings,
+        batch_sharding=batch_sharding, donate=False,
+    )
+    new_params, _, loss = step(placed, opt_sharded, sharded_batch, key)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    # Updated params come back in the SHARDED layout and match the reference
+    # step numerically (grad reduce-scatter + sharded adamw == dense adamw).
+    w = new_params["double"]["img_mlp_out"]["w"]
+    assert AXES.data in w.sharding.spec
+    # atol: adamw's update/(sqrt(nu)+eps) amplifies f32 reduction-order
+    # differences between the reduce-scattered and dense gradients when nu is
+    # ~0 at step 1 (observed: 1 element in 131k off by 2.6e-5).
+    np.testing.assert_allclose(
+        np.asarray(w),
+        np.asarray(ref_params["double"]["img_mlp_out"]["w"]),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_fsdp_loss_only_matches(params, batch):
+    """flow_matching_loss under FSDP sharding equals the dense loss (forward
+    all-gather correctness, independent of the optimizer)."""
+    mesh = make_mesh(data=8)
+    placed = shard_params_fsdp(params, mesh, CFG)
+    key = jax.random.PRNGKey(7)
+    dense = float(jax.jit(flow_matching_loss, static_argnames="cfg")(params, CFG, batch, key))
+    shard = float(jax.jit(flow_matching_loss, static_argnames="cfg")(placed, CFG, batch, key))
+    np.testing.assert_allclose(shard, dense, rtol=1e-6)
