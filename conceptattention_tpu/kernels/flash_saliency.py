@@ -94,17 +94,26 @@ def _flash_kernel(
         x8 = jnp.round(x_f32 / jnp.maximum(s, 1e-9)).astype(jnp.int8)
         return x8, s
 
+    # On the fused-rope path the attention scale is folded into the cached
+    # roped-q tile: one (bq, d) multiply at fill time replaces a full
+    # (bq, bk) VPU pass over every score tile (the kernel's ceiling is VPU
+    # serialization, not MXU — see the K-cache comment below). The int8 row
+    # scales absorb it automatically (qs is computed from the scaled q).
+    q_prescaled = fuse_rope
+
     @pl.when(ki == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
         if fuse_rope:
-            # rotate the q tile once per q-block, reuse across all k tiles
-            qrot = _rot(q_ref[0], cosq_ref[0], sinq_ref[0])
-            qrot_scratch[...] = qrot
+            # rotate the q tile once per q-block, reuse across all k tiles;
+            # _rot keeps f32 internally so scale adds no extra bf16 rounding
+            qf = q_ref[0].astype(jnp.float32)
+            qrot_f32 = (qf * cosq_ref[0] + _pair_swap(qf) * sinq_ref[0]) * scale
+            qrot_scratch[...] = qrot_f32.astype(qrot_scratch.dtype)
             if int8_qk:
-                q8, qs = _quantize_rows(qrot.astype(jnp.float32))
+                q8, qs = _quantize_rows(qrot_f32)
                 q8_scratch[...] = q8
                 qs_scratch[...] = jnp.broadcast_to(qs, qs_scratch.shape)
         elif int8_qk:
@@ -219,12 +228,12 @@ def _flash_kernel(
             s = s32.astype(jnp.float32) * (
                 qs_scratch[:, :1] * ks_col.reshape(1, -1)
             )
-            return s * scale
+            return s if q_prescaled else s * scale
         s = jax.lax.dot_general(
             q_tile(), k_tile(), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return s * scale
+        return s if q_prescaled else s * scale
 
     # When the whole grid is interior joint tiles (no concepts, exact-divisor
     # tiles) the masked branch is statically dead — eliding it at trace time
