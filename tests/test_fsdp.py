@@ -155,6 +155,24 @@ def test_fsdp_train_step_matches_unsharded(params, batch, mesh_shape):
     )
 
 
+def test_fsdp_example_runs_headless():
+    """examples/fsdp_train.py drives train_loop with FSDP x TP shardings on a
+    self-bootstrapped virtual mesh — the user-facing entry for the feature."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "fsdp_train.py"),
+         "--steps", "2", "--data", "2", "--model", "2", "--batch", "4"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "done: final loss" in result.stdout
+
+
 def test_fsdp_loss_only_matches(params, batch):
     """flow_matching_loss under FSDP sharding equals the dense loss (forward
     all-gather correctness, independent of the optimizer)."""
