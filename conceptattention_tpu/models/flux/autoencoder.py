@@ -141,6 +141,18 @@ def decode(p: Params, cfg: AutoEncoderConfig, z: jax.Array) -> jax.Array:
 
 
 def _conv2d_nhwc(x, p, stride=1, padding=1):
+    if stride == 1 and padding == 1 and p["w"].shape[2:] == (3, 3):
+        # 3x3 SAME convs (the decoder's hot op) route through the Pallas
+        # shifted-GEMM kernel on TPU backends: XLA's conv lowering measures
+        # 38-50 TFLOP/s at these shapes where the kernel's clean GEMM taps
+        # run ~2x faster (kernels/conv3x3.py).
+        from conceptattention_tpu.kernels.conv3x3 import (
+            conv3x3_same,
+            use_conv3x3_kernel,
+        )
+
+        if use_conv3x3_kernel(x.shape, x.shape[-1], p["w"].shape[0]):
+            return conv3x3_same(x, p["w"].transpose(2, 3, 1, 0), p["b"])
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     w = p["w"].transpose(2, 3, 1, 0)  # OIHW -> HWIO (cheap; hoisted by XLA)
