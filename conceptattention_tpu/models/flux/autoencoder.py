@@ -182,10 +182,33 @@ def _attn_block_nhwc(x, p):
     q = _conv2d_nhwc(h_, p["q"], padding=0).reshape(b, h * w, c)
     k = _conv2d_nhwc(h_, p["k"], padding=0).reshape(b, h * w, c)
     v = _conv2d_nhwc(h_, p["v"], padding=0).reshape(b, h * w, c)
-    scale = 1.0 / (c**0.5)
-    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) * scale
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bqk,bkc->bqc", weights, v).reshape(b, h, w, c)
+    s = h * w
+    from conceptattention_tpu.kernels.conv3x3 import use_conv3x3_kernel
+
+    if s >= 4096 and s % 512 == 0 and use_conv3x3_kernel(x.shape, c, c):
+        # 1024^2 decode puts 16k tokens through this single-head attention;
+        # the einsum path materializes a [16384, 16384] f32 logits matrix
+        # (~1 GB, measured 16.4 ms/img of the 151 ms decode). The flash
+        # kernel streams it blockwise (same gate as the conv routing: a
+        # TPU-like backend).
+        from conceptattention_tpu.kernels.flash_saliency import (
+            _auto_tiles,
+            fused_concept_flash_attention,
+        )
+
+        bq, bk = _auto_tiles(s)
+        out = fused_concept_flash_attention(
+            q[:, None], k[:, None], v[:, None],
+            txt_len=s, img_len=0, concept_len=0,
+            block_q=min(bq, s), block_k=min(bk, s),
+        )[:, 0].reshape(b, h, w, c)
+    else:
+        scale = 1.0 / (c**0.5)
+        logits = jnp.einsum(
+            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", weights, v).reshape(b, h, w, c)
     return x + _conv2d_nhwc(out, p["proj_out"], padding=0)
 
 
@@ -198,6 +221,9 @@ def _resnet_block_nhwc(x, p):
 
 
 def _upsample_nhwc(x, p):
+    # jnp.repeat measures 5.3 ms per 512->1024 hop on chip; broadcast_to +
+    # reshape was tried and is NOT faster (5.6 ms) — the interleaving
+    # relayout is the cost either way, so keep the simple form.
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     return _conv2d_nhwc(x, p["conv"])
 

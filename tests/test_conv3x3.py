@@ -85,6 +85,30 @@ def test_gate_and_ht():
     assert _pick_ht(128, 128, 512, 512) * 128 >= 8192 or _pick_ht(128, 128, 512, 512) <= 128
 
 
+def test_flash_kernel_at_vae_attention_shape():
+    """The VAE mid-attention routes through the flash kernel at 1024^2
+    (single head, d = C = 512, S = 16384); pin kernel == softmax(QK^T)V at
+    that shape class (scaled down for interpret mode)."""
+    from conceptattention_tpu.kernels.flash_saliency import (
+        fused_concept_flash_attention,
+    )
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    s, d = 512, 256
+    q = jax.random.normal(kq, (1, 1, s, d), jnp.float32)
+    k = jax.random.normal(kk, (1, 1, s, d), jnp.float32)
+    v = jax.random.normal(kv, (1, 1, s, d), jnp.float32)
+    got = fused_concept_flash_attention(
+        q, k, v, txt_len=s, img_len=0, concept_len=0,
+        block_q=128, block_k=128, interpret=True,
+    )
+    logits = jnp.einsum("bhqc,bhkc->bhqk", q, k) / (d**0.5)
+    want = jnp.einsum("bhqk,bhkc->bhqc", jax.nn.softmax(logits, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_decoder_routes_through_kernel_on_cpu_fallback():
     """On CPU the gate is False, so decode_nhwc stays on lax.conv — pin that
     the routing helper itself answers False here (tests run on CPU)."""
