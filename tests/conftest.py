@@ -30,3 +30,22 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full 384-test suite accumulates hundreds of live XLA:CPU executables
+    in one process; past ~350 tests the next compile segfaults inside
+    backend_compile_and_load (reproduced twice at the same test, while every
+    half-suite subset passes — a cumulative JIT-code-memory threshold, not a
+    specific test). Dropping the in-memory caches at module boundaries stays
+    well below the threshold; the persistent disk cache (above) makes the
+    cross-module reloads cheap.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
