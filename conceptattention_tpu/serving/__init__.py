@@ -7,7 +7,12 @@ runs batch 8); `ConceptAttentionServer` is the stdlib HTTP front end.
 Run a server: ``python -m conceptattention_tpu.serving --model flux-schnell``.
 """
 
-from conceptattention_tpu.serving.batcher import BatcherStats, MicroBatcher, next_bucket
+from conceptattention_tpu.serving.batcher import (
+    BatcherStats,
+    MicroBatcher,
+    QueueFullError,
+    next_bucket,
+)
 from conceptattention_tpu.serving.server import (
     ConceptAttentionServer,
     EncodeRequest,
@@ -18,6 +23,7 @@ from conceptattention_tpu.serving.server import (
 __all__ = [
     "BatcherStats",
     "MicroBatcher",
+    "QueueFullError",
     "next_bucket",
     "ConceptAttentionServer",
     "EncodeRequest",

@@ -42,6 +42,10 @@ def main(argv=None) -> None:
     p.add_argument("--bucket_sizes", type=int, nargs="+", default=[1, 2, 4, 8],
                    help="padded batch sizes (one compiled graph each)")
     p.add_argument("--request_timeout_s", type=float, default=600.0)
+    p.add_argument("--max_queue_depth", type=int, default=64,
+                   help="admission control: queued requests beyond this get "
+                        "HTTP 503 + Retry-After instead of waiting toward "
+                        "the request timeout (0 = unbounded)")
     p.add_argument("--warmup", default=None, metavar="JSON",
                    help='pre-compile every bucket before listening, e.g. '
                         '\'{"prompt": "w", "concepts": ["object"], "width": 1024, '
@@ -80,6 +84,7 @@ def main(argv=None) -> None:
         max_wait_ms=args.max_wait_ms,
         bucket_sizes=args.bucket_sizes,
         request_timeout_s=args.request_timeout_s,
+        max_queue_depth=args.max_queue_depth or None,
     )
     if args.warmup:
         from conceptattention_tpu.serving import GenerateRequest

@@ -28,6 +28,17 @@ from concurrent.futures import Future
 from typing import Any, Callable, List, Optional, Sequence
 
 
+class QueueFullError(RuntimeError):
+    """submit() refused: the queue already holds max_queue_depth requests.
+
+    Admission control for overload: without a bound, sustained traffic above
+    the chip's throughput makes every request wait toward the request
+    timeout (600 s by default) before failing — the server should fail fast
+    (HTTP 503 + Retry-After) instead so clients back off while in-flight
+    work still completes.
+    """
+
+
 @dataclasses.dataclass
 class BatcherStats:
     """Cumulative counters, updated under the batcher lock."""
@@ -35,6 +46,7 @@ class BatcherStats:
     requests_total: int = 0
     batches_total: int = 0
     errors_total: int = 0  # requests failed (batch_fn raised)
+    rejects_total: int = 0  # submits refused by admission control
     batched_requests_total: int = 0  # sum of real (unpadded) batch sizes
     last_batch_size: int = 0
 
@@ -76,11 +88,17 @@ class MicroBatcher:
         max_wait_ms: float = 25.0,
         group_key: Callable[[Any], Any] = lambda _request: None,
         name: str = "micro-batcher",
+        max_queue_depth: Optional[int] = None,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_queue_depth is not None and max_queue_depth < 1:
+            raise ValueError(
+                f"max_queue_depth must be >= 1 or None, got {max_queue_depth}"
+            )
         self._batch_fn = batch_fn
         self._max_batch = max_batch
+        self._max_queue_depth = max_queue_depth
         self._max_wait_s = max_wait_ms / 1000.0
         self._group_key = group_key
         self.stats = BatcherStats()
@@ -97,6 +115,13 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            if (self._max_queue_depth is not None
+                    and len(self._queue) >= self._max_queue_depth):
+                self.stats.rejects_total += 1
+                raise QueueFullError(
+                    f"queue is full ({len(self._queue)} >= "
+                    f"max_queue_depth {self._max_queue_depth})"
+                )
             self._queue.append((request, fut))
             self.stats.requests_total += 1
             self._cv.notify()

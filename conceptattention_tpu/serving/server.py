@@ -21,6 +21,10 @@ Endpoints
 - ``GET /healthz``       — liveness + device platform + model name.
 - ``GET /metrics``       — batcher counters, queue depth, latency quantiles.
 
+Overload: the batcher queue is bounded (``max_queue_depth``, default 64);
+when it is full, new POSTs fail fast with HTTP 503 + a ``Retry-After``
+estimate instead of queueing toward the 600 s request timeout.
+
 Run: ``python -m conceptattention_tpu.serving --model flux-schnell --port 8000``
 (see __main__.py for flags: quantization, attention backend, batching knobs).
 """
@@ -40,7 +44,11 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from conceptattention_tpu.serving.batcher import MicroBatcher, next_bucket
+from conceptattention_tpu.serving.batcher import (
+    MicroBatcher,
+    QueueFullError,
+    next_bucket,
+)
 
 logger = logging.getLogger("conceptattention_tpu.serving")
 
@@ -401,10 +409,12 @@ class ConceptAttentionServer:
         max_wait_ms: float = 25.0,
         bucket_sizes: Sequence[int] = (1, 2, 4, 8),
         request_timeout_s: float = 600.0,
+        max_queue_depth: Optional[int] = 64,
     ):
         self.pipeline = pipeline
         self.metrics = ServerMetrics()
         self.request_timeout_s = request_timeout_s
+        self.max_queue_depth = max_queue_depth
         self._buckets = tuple(sorted(set(int(b) for b in bucket_sizes)))
         if max_batch > self._buckets[-1]:
             # Otherwise bursts above the top bucket compile one NEW graph per
@@ -420,6 +430,7 @@ class ConceptAttentionServer:
             max_wait_ms=max_wait_ms,
             group_key=lambda r: r.batch_key(),
             name="serving-batcher",
+            max_queue_depth=max_queue_depth,
         )
         outer = self
 
@@ -487,7 +498,24 @@ class ConceptAttentionServer:
                     self._reply(400, {"error": str(e)})
                     return
                 try:
-                    output, batch_size = outer.batcher.submit(request).result(
+                    try:
+                        fut = outer.batcher.submit(request)
+                    except QueueFullError as e:
+                        # Admission control: fail fast under sustained
+                        # overload instead of queueing toward the
+                        # request_timeout_s deadline. 503 + Retry-After tells
+                        # well-behaved clients when to come back.
+                        outer.metrics.record(time.monotonic() - t0, ok=False)
+                        retry_after = outer._retry_after_s()
+                        data = json.dumps({"error": str(e)}).encode()
+                        self.send_response(503)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.send_header("Retry-After", str(retry_after))
+                        self.end_headers()
+                        self.wfile.write(data)
+                        return
+                    output, batch_size = fut.result(
                         timeout=outer.request_timeout_s
                     )
                     # Formatting (PNG encode + base64) runs HERE, on the
@@ -560,7 +588,20 @@ class ConceptAttentionServer:
         out = self.metrics.snapshot()
         out["batcher"] = self.batcher.stats.snapshot()
         out["queue_depth"] = self.batcher.queue_depth()
+        out["max_queue_depth"] = self.max_queue_depth
         return out
+
+    def _retry_after_s(self) -> int:
+        """Retry-After for a 503: estimated seconds until the queue drains —
+        full-queue batches to run x observed p50 latency (which includes one
+        batch's queue wait), floored at 1 s and capped at the request
+        timeout. With no latency history yet, a conservative 30 s."""
+        lat = self.metrics.snapshot().get("latency_ms")
+        if not lat:
+            return 30
+        batches = max(1, -(-(self.max_queue_depth or 1) // self.batcher._max_batch))
+        est = batches * lat["p50"] / 1000.0
+        return int(min(max(1.0, est), self.request_timeout_s))
 
     # ------------------------------------------------------------------
     def warmup(self, prototype: GenerateRequest,

@@ -390,6 +390,107 @@ class TestServerEndToEnd:
 
 
 # ---------------------------------------------------------------------------
+class TestAdmissionControl:
+    """Bounded queue: overload fails fast with QueueFullError / HTTP 503 +
+    Retry-After instead of waiting toward the request timeout."""
+
+    def test_batcher_rejects_when_queue_full(self):
+        from conceptattention_tpu.serving import QueueFullError
+
+        release = threading.Event()
+        started = threading.Event()
+
+        def batch_fn(reqs):
+            started.set()
+            release.wait(30)
+            return list(reqs)
+
+        b = MicroBatcher(batch_fn, max_batch=1, max_wait_ms=1,
+                         max_queue_depth=2)
+        try:
+            f0 = b.submit(0)
+            assert started.wait(10)  # worker is now blocked inside batch_fn
+            f1, f2 = b.submit(1), b.submit(2)  # fill the queue (depth 2)
+            with pytest.raises(QueueFullError):
+                b.submit(3)
+            assert b.stats.rejects_total == 1
+            release.set()
+            assert [f.result(30) for f in (f0, f1, f2)] == [0, 1, 2]
+            # Drained queue admits again.
+            assert b.submit(4).result(30) == 4
+        finally:
+            release.set()
+            b.close(timeout=5)
+
+    def test_http_503_with_retry_after_under_burst(self):
+        import PIL.Image
+
+        class _Out:
+            image = PIL.Image.new("RGB", (8, 8))
+            concept_heatmaps = np.zeros((len(CONCEPTS), 4, 4), np.float32)
+            cross_attention_maps = np.zeros((len(CONCEPTS), 4, 4), np.float32)
+
+        class _SlowPipe:
+            """Minimal pipeline stand-in: one Event-gated generate so the
+            test controls exactly when the worker is busy."""
+
+            model_name = "fake"
+            active_loras: list = []
+
+            class cfg:
+                depth = 2
+
+            def __init__(self):
+                self.release = threading.Event()
+                self.started = threading.Event()
+
+            def generate_images(self, prompts, concepts, **_kw):
+                self.started.set()
+                self.release.wait(30)
+                return [_Out() for _ in prompts]
+
+        pipe = _SlowPipe()
+        srv = ConceptAttentionServer(
+            pipe, port=0, max_batch=1, max_wait_ms=1, bucket_sizes=(1,),
+            request_timeout_s=60, max_queue_depth=1,
+        )
+        statuses = {}
+
+        def call(i):
+            body = dict(BASE_BODY, width=16, height=16, seed=i)
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+            conn.request("POST", "/v1/generate", json.dumps(body),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            statuses[i] = (resp.status, resp.getheader("Retry-After"),
+                           json.loads(resp.read()))
+            conn.close()
+
+        with srv:
+            t0 = threading.Thread(target=call, args=(0,))
+            t0.start()
+            assert pipe.started.wait(10)  # worker busy; queue empty
+            t1 = threading.Thread(target=call, args=(1,))
+            t1.start()
+            deadline = time.monotonic() + 10
+            while (srv.batcher.queue_depth() < 1
+                   and time.monotonic() < deadline):
+                time.sleep(0.005)
+            assert srv.batcher.queue_depth() == 1  # request 1 queued
+            call(2)  # queue full -> rejected immediately
+            status, retry_after, data = statuses[2]
+            assert status == 503 and "full" in data["error"]
+            assert retry_after is not None and int(retry_after) >= 1
+            pipe.release.set()
+            t0.join(30)
+            t1.join(30)
+            assert statuses[0][0] == 200 and statuses[1][0] == 200
+            _, metrics = _get(srv.port, "/metrics")
+            assert metrics["batcher"]["rejects_total"] == 1
+            assert metrics["max_queue_depth"] == 1
+
+
+# ---------------------------------------------------------------------------
 class TestLoraSwap:
     """POST /v1/loras replaces the active adapter set at runtime; swaps ride
     the batcher worker so they serialize with generation batches."""
