@@ -72,10 +72,49 @@ def _load_or_init_vit(env_var: str, cfg, random_weights: bool, seed: int = 0):
     return init_vit_params(jax.random.PRNGKey(seed), cfg)
 
 
+def tiny_configs(name: str) -> dict:
+    """Per-family tiny configs for smoke runs (`tiny=True`): every baseline
+    family gets a seconds-scale CPU model so harness/figure drivers can be
+    exercised end-to-end without checkpoints. Metrics are meaningless."""
+    from conceptattention_tpu.models.clip_vit import (
+        OpenCLIPTextConfig,
+        OpenCLIPVisionConfig,
+    )
+    from conceptattention_tpu.models.sd_unet import UNetConfig
+    from conceptattention_tpu.models.vit import ViTConfig
+
+    if name in _CHEFER_METHODS or name == "DINO":
+        return {"vit_cfg": ViTConfig(image_size=32, patch_size=8,
+                                     hidden_size=32, depth=2, num_heads=2,
+                                     num_classes=5)}
+    if name == "DAAMSD2":
+        return {"unet_cfg": UNetConfig(
+            block_out_channels=(16, 32), layers_per_block=1,
+            attention_heads=(2, 2), cross_attention_levels=(True, False),
+            context_dim=8, num_groups=4)}
+    if name == "DAAMSDXL":
+        return {"unet_cfg": UNetConfig(
+            block_out_channels=(16, 32), layers_per_block=1,
+            attention_heads=(2, 2), cross_attention_levels=(False, True),
+            context_dim=8, num_groups=4, transformer_layers_per_block=(1, 2),
+            addition_embed_type="text_time", addition_time_embed_dim=4,
+            projection_class_embeddings_input_dim=8 + 24)}
+    if name == "TextSpan":
+        return {"vit_cfg": OpenCLIPVisionConfig(image_size=28, patch_size=14,
+                                                width=32, depth=2,
+                                                num_heads=2, embed_dim=16),
+                "clip_txt_cfg": OpenCLIPTextConfig(context_length=16,
+                                                   vocab_size=64, width=32,
+                                                   depth=2, num_heads=2,
+                                                   embed_dim=16)}
+    return {}  # flux taps: tiny-ness comes from the pipeline's model_name
+
+
 def build_segmentation_model(
     name: str,
     pipeline=None,  # ConceptAttentionFluxPipeline, for the flux-tap models
     random_weights: bool = False,
+    tiny: bool = False,
     vit_cfg=None,
     unet_cfg=None,
     clip_txt_cfg=None,
@@ -83,9 +122,20 @@ def build_segmentation_model(
     **tap_kwargs: Any,
 ):
     """name -> a SegmentationModel. `tap_kwargs` (num_steps, noise_timestep,
-    layer_indices, width, ...) apply to the flux-tap models."""
+    layer_indices, width, ...) apply to the flux-tap models. `tiny=True`
+    fills any cfg left as None from `tiny_configs` (smoke mode)."""
     if name not in MODEL_CHOICES:
         raise ValueError(f"unknown model {name!r}; choose from {MODEL_CHOICES}")
+    if tiny:
+        for key, cfg in tiny_configs(name).items():
+            if {"vit_cfg": vit_cfg, "unet_cfg": unet_cfg,
+                    "clip_txt_cfg": clip_txt_cfg}[key] is None:
+                if key == "vit_cfg":
+                    vit_cfg = cfg
+                elif key == "unet_cfg":
+                    unet_cfg = cfg
+                else:
+                    clip_txt_cfg = cfg
 
     if name in ("RawOutputSpace", "RawCrossAttention", "RawValueSpace", "DAAMFlux"):
         from conceptattention_tpu.evals.segmentation import (
