@@ -84,7 +84,7 @@ def flux_denoise_ops(depth, depth_single, num_steps, p_tokens, t_tokens, c_token
                          + 4 * c_tokens * (c_tokens + p_tokens) * hidden)
     at_single = depth_single * 4 * s_single**2 * hidden
     return (num_steps * (mm_double + mm_single),
-            num_steps * (at_double + at_single))
+            num_steps * at_double, num_steps * at_single)
 
 
 def hbm_limit() -> float:
@@ -140,6 +140,156 @@ def measure_attention_rate(batch=8, heads=24, seq=4352, head_dim=128, iters=6,
     dt = loop_rate(attn, q, k, v, iters=iters)
     ops = 4 * seq * seq * head_dim * heads * batch  # qk + av, 2 ops per MAC
     return ops / dt
+
+
+def video_ops(num_layers, s_video, s_text, c_tokens, hidden=3072, mlp_ratio=4.0):
+    """Analytic (matmul_ops, attention_ops) per CogVideoX DiT forward
+    (multiply-adds as 2 ops). Per block: shared qkv 6*D^2 + proj 2*D^2 per
+    token over video+text(+concepts), joint FF 2*D^2*2r over video+text plus
+    the concept FF; joint attention 4*S_joint^2*D plus the concept pass
+    4*C*(C+P)*D."""
+    d2 = hidden * hidden
+    r = mlp_ratio
+    s_joint = s_video + s_text
+    l_tot = s_joint + c_tokens
+    mm = num_layers * (l_tot * d2 * 2 * (3 + 1) + l_tot * d2 * 2 * 2 * r)
+    at = num_layers * (4 * s_joint**2 * hidden
+                       + 4 * c_tokens * (c_tokens + s_video) * hidden)
+    return mm, at
+
+
+def video_attempt(num_layers: int, quantize, batch: int = 1, iters: int = 4,
+                  c_tokens: int = 4, frames: int = 13, backend: str = "pallas",
+                  cfg_overrides: dict = None):
+    """One CogVideoX-5b-class denoise forward with per-frame concept
+    saliency at the production video shape: 13 latent frames x (30x45)
+    tokens = 17,550 video tokens + 226 text + concepts, through the fused
+    flash kernel (BASELINE config 5; the reference materializes the full
+    17.6k^2 logits in a dense SDPA,
+    reference experiments/video_model/cogvideox/modified_attention_layer.py:85-104).
+
+    Returns (sec_per_forward, peak_hbm_bytes_or_None)."""
+    from conceptattention_tpu.models.video.dit import (
+        cogvideox_5b_config,
+        init_video_dit_params,
+        video_dit_forward,
+    )
+    from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+    from conceptattention_tpu.utils.profiling import loop_rate
+
+    cfg = cogvideox_5b_config(num_layers=num_layers, **(cfg_overrides or {}))
+    f = frames  # 49-frame 480x720 video: (49-1)/4 + 1 latent frames
+    h, w = cfg.sample_height, cfg.sample_width  # 60 x 90 latents -> 30x45 tokens
+    key = jax.random.PRNGKey(3)
+    kp, kv, kt, kc = jax.random.split(key, 4)
+    if quantize:
+        from conceptattention_tpu.ops.quant import (
+            quantize_video_dit_params,
+            resolve_quant_mode,
+        )
+
+        # Quantize on host, ship only int8 (staging ~10 GB bf16 next to the
+        # quantized copy would waste the HBM the int8 path frees).
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_video_dit_params(kp, cfg, jnp.bfloat16)
+            params = quantize_video_dit_params(
+                params, mode=resolve_quant_mode(quantize)
+            )
+        params = jax.device_put(params)
+    else:
+        params = init_video_dit_params(kp, cfg, jnp.bfloat16)
+
+    video = jax.random.normal(kv, (batch, f, cfg.in_channels, h, w), jnp.bfloat16)
+    text = jax.random.normal(kt, (batch, cfg.max_text_seq_length,
+                                  cfg.text_embed_dim), jnp.bfloat16)
+    concepts = jax.random.normal(kc, (batch, c_tokens, cfg.text_embed_dim),
+                                 jnp.bfloat16)
+    spec = ConceptAttentionSpec(taps=("output", "cross_attention"),
+                                backend=backend)
+
+    def step(video, text, concepts):
+        t_vec = jnp.full((batch,), 999.0, jnp.float32)
+        return video_dit_forward(params, cfg, video, text, t_vec,
+                                 concepts=concepts, spec=spec)
+
+    dt = loop_rate(step, video, text, concepts, iters=iters)
+    peak = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            peak = stats.get("peak_bytes_in_use")
+    except Exception:
+        pass
+    return dt, peak
+
+
+def run_video(iters: int = 4):
+    """The video rung: ladder bf16 -> w8 -> w4 at full 42 layers, then
+    reduced depth with FLOP-normalization (the flux bench's
+    bf16_companion pattern). Returns the JSON record (metric/value/unit/
+    vs_baseline + transparency extras)."""
+    full_layers = 42
+    s_video, s_text, c = 13 * 30 * 45, 226, 4
+    ladder = [
+        (full_layers, False), (full_layers, "w8"), (full_layers, "w4"),
+        (14, False),
+    ]
+    for layers, quantize in ladder:
+        try:
+            dt, peak = video_attempt(layers, quantize, iters=iters, c_tokens=c)
+        except Exception as e:
+            import gc
+            import traceback
+
+            traceback.print_exc(limit=2, file=sys.stderr)
+            print(f"# video config L{layers} q={quantize} failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+            e.__traceback__ = None
+            del e
+            gc.collect()
+            continue
+        scale = layers / full_layers
+        dt_full_equiv = dt / scale
+        mm, at = video_ops(layers, s_video, s_text, c)
+        mm_full, at_full = video_ops(full_layers, s_video, s_text, c)
+        # A 49-frame generation = 50 DDIM steps x 2 CFG forwards (reference
+        # experiments/video_model/cogvideox/pipeline.py:89-435); frames/s is
+        # decoded pixel frames over that denoise wall-clock (video VAE
+        # excluded on both sides — the reference pipeline decodes too, but
+        # BASELINE config 5 targets the per-frame *heatmap* forwards).
+        frames_per_sec = 49.0 / (50 * 2 * dt_full_equiv)
+        mm_peak = PEAK_INT8 if quantize == "w8a8" else PEAK_BF16
+        ideal = mm / mm_peak + at / PEAK_BF16
+        record = {
+            "metric": (
+                f"video DiT step/s cogvideox-5b-L{layers} 17550+226+4 tokens "
+                f"b1 per-frame heatmaps, "
+                f"{ {'w8': 'int8-weights', 'w8a8': 'int8-w8a8', 'w4': 'int4-weights'}.get(quantize, 'bf16') }, "
+                f"1 chip, attn=pallas (full-depth-equiv "
+                f"{1.0 / dt_full_equiv:.3f} step/s; frames/s is a derived "
+                f"50-step 2x-CFG 49-frame generation rate; vs_baseline — "
+                f"no published reference number exists, BASELINE.md)"
+            ),
+            "value": round(1.0 / dt, 4),
+            "unit": "dit_steps/sec",
+            "vs_baseline": None,
+            "sec_per_forward": round(dt, 3),
+            "frames_per_sec_derived": round(frames_per_sec, 4),
+            "mfu": round(ideal / dt, 3),
+        }
+        try:
+            rate = measure_attention_rate(
+                batch=1, heads=48, seq=s_video + s_text, head_dim=64,
+                iters=iters,
+            )
+            record["attention_tflops_s17776"] = round(rate / 1e12, 1)
+        except Exception as e:
+            print(f"# video attention probe skipped: {type(e).__name__}",
+                  file=sys.stderr)
+        if peak:
+            record["peak_hbm_gb"] = round(peak / 1e9, 2)
+        return record
+    raise RuntimeError("no video configuration fit the device")
 
 
 def attempt(depth: int, depth_single: int, quantize: bool, backends, batch: int = 1):
@@ -315,7 +465,12 @@ def _cli_ladder(argv):
                    choices=["w8", "w8a8", "w4", "bf16"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--backends", default=None, help="comma-separated")
+    p.add_argument("--video", action="store_true",
+                   help="run ONLY the video rung (cogvideox-5b shape, "
+                        "17.8k tokens) and print its JSON line")
     a = p.parse_args(argv)
+    if a.video:
+        return "video"
     if a.quantize is None and a.batch is None and a.backends is None:
         return None
     quantize = False if a.quantize in (None, "bf16") else a.quantize
@@ -326,6 +481,9 @@ def _cli_ladder(argv):
 def main(argv=None):
     cli = _cli_ladder(argv if argv is not None else sys.argv[1:])
     _require_accelerator()
+    if cli == "video":
+        print(json.dumps(run_video()))
+        return
     hbm = hbm_limit()
     if cli is not None:
         ladder = cli
@@ -386,9 +544,13 @@ def main(argv=None):
         vs_baseline = full_equiv / A100_FULL_FLUX_IMGS_PER_SEC
 
         # ---- transparency extras (no extra full-size compiles) ----
-        mm_ops, at_ops = flux_denoise_ops(depth, depth_single, 4, 4096, 256, 4)
+        mm_ops, at_double, at_single = flux_denoise_ops(
+            depth, depth_single, 4, 4096, 256, 4
+        )
         mm_ops *= batch
-        at_ops *= batch
+        at_double *= batch
+        at_single *= batch
+        at_ops = at_double + at_single
         t_denoise = t_nodecode
         t_decode = max(0.0, t_with - t_nodecode)
         # Mixed-precision roofline: matmuls ride the int8 MXU path under
@@ -400,19 +562,25 @@ def main(argv=None):
         mfu = ideal_t / t_denoise if t_denoise > 0 else 0.0
         phases = {}
         try:
-            # In-jit kernel microbench at the bench's joint-attention shape:
-            # measured rate x analytic attention ops -> attention seconds;
-            # the denoise remainder is the matmul phase. (Device traces break
-            # on the axon backend, so this ablation IS the profiler.)
-            attn_rate = measure_attention_rate(
-                batch=batch, int8_qk=backend.endswith("+i8")
-            )
-            t_attn = at_ops / attn_rate
+            # In-jit kernel microbenches at BOTH shapes the model actually
+            # runs — the doubles' fused concept shape (S=4608: txt+img+256-
+            # padded concepts) and the singles' joint shape (S=4352) — each
+            # weighted by its analytic op count. One shape alone
+            # misattributes the phase split: the two tile configs measure
+            # different TFLOP/s (round-3 Weak #2). (Device traces break on
+            # the axon backend, so this ablation IS the profiler.)
+            i8 = backend.endswith("+i8")
+            rate_doubles = measure_attention_rate(batch=batch, seq=4608, int8_qk=i8)
+            rate_singles = measure_attention_rate(batch=batch, seq=4352, int8_qk=i8)
+            t_attn = at_double / rate_doubles + at_single / rate_singles
+            attn_rate = at_ops / t_attn  # ops-weighted harmonic blend
             phases = {
                 "attention_pct": round(100.0 * t_attn / t_with, 1),
                 "matmul_pct": round(100.0 * (t_denoise - t_attn) / t_with, 1),
                 "decode_pct": round(100.0 * t_decode / t_with, 1),
                 "attention_tflops_measured": round(attn_rate / 1e12, 1),
+                "attention_tflops_s4608": round(rate_doubles / 1e12, 1),
+                "attention_tflops_s4352": round(rate_singles / 1e12, 1),
             }
         except Exception as e:
             print(f"# phase split skipped: {type(e).__name__}", file=sys.stderr)
@@ -455,6 +623,16 @@ def main(argv=None):
         }
         if bf16_companion:
             record["bf16_companion"] = bf16_companion
+        # Video rung (BASELINE config 5) rides the same JSON line as a
+        # transparency field so the driver contract stays one line; its
+        # failure must never take down the flux headline. BENCH_SKIP_VIDEO=1
+        # opts out (saves ~5 min of compile when iterating on flux rungs).
+        if os.environ.get("BENCH_SKIP_VIDEO") != "1" and cli is None:
+            try:
+                record["video"] = run_video()
+            except Exception as e:
+                print(f"# video rung skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
         print(json.dumps(record))
         return
     raise SystemExit("no benchmark configuration fit the device")

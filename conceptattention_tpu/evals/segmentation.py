@@ -120,11 +120,13 @@ class FluxTapSegmentationModel(SegmentationModel):
         height: int = 1024,
         concept_cross_attention: bool = True,
         concept_self_attention: bool = True,
+        vae_sample: bool = True,
     ):
         """concept_cross_attention / concept_self_attention reproduce the
         reference's joint_attention_kwargs ablations (run_cross_self_
         ablation.sh; modified_double_stream_block.py:126-159): which key set
-        the concept queries attend over."""
+        the concept queries attend over. `vae_sample=False` encodes with the
+        posterior mean (deterministic eval / parity runs)."""
         assert tap in ("output", "cross_attention", "value")
         self.pipe = pipeline
         self.tap = tap
@@ -149,6 +151,7 @@ class FluxTapSegmentationModel(SegmentationModel):
         self.height = height
         self.concept_cross_attention = concept_cross_attention
         self.concept_self_attention = concept_self_attention
+        self.vae_sample = vae_sample
 
     def segment_individual_image(self, image, concepts, caption, **kwargs):
         from conceptattention_tpu.pipeline.concept_pipeline import (
@@ -156,21 +159,24 @@ class FluxTapSegmentationModel(SegmentationModel):
         )
 
         pipe = self.pipe
-        z = pipe._encode_pixels(image, self.height, self.width, self.seed)
+        z = pipe._encode_pixels(image, self.height, self.width, self.seed,
+                                sample=self.vae_sample)
         b, _, lh, lw = z.shape
         schedule = get_schedule(
             self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
         )
         t = schedule[self.noise_timestep]
 
-        txt, txt_ids, vec = pipe._prepare_text(caption, 1)
+        txt, txt_ids, _ = pipe._prepare_text(caption, 1)
         c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
 
         # Shared with concept_pipeline.encode_image: one batched forward over
         # all noise samples, per-sample keys, samples leading in the output.
+        # y is the zeroed concept CLIP vector on the encode path (reference
+        # raw_output_space.py:195, y=inp["concept_vec"]), not clip(caption).
         saliency = batched_noise_saliency(
             pipe, z, t, self.num_samples, self.height, self.width, self.seed,
-            txt, txt_ids, vec, c_emb, c_ids, c_vec,
+            txt, txt_ids, c_vec, c_emb, c_ids, c_vec,
             ConceptAttentionSpec(
                 taps=(self.tap,), backend=default_backend(),
                 cross_attention=self.concept_cross_attention,
@@ -194,17 +200,18 @@ class FluxTapSegmentationModel(SegmentationModel):
         )
 
         pipe = self.pipe
-        z = pipe._encode_pixels(image, self.height, self.width, self.seed)
+        z = pipe._encode_pixels(image, self.height, self.width, self.seed,
+                                sample=self.vae_sample)
         _, _, lh, lw = z.shape
         schedule = get_schedule(
             self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
         )
         t = schedule[self.noise_timestep]
-        txt, txt_ids, vec = pipe._prepare_text(caption, 1)
+        txt, txt_ids, _ = pipe._prepare_text(caption, 1)
         c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
         saliency = batched_noise_saliency(
             pipe, z, t, self.num_samples, self.height, self.width, self.seed,
-            txt, txt_ids, vec, c_emb, c_ids, c_vec,
+            txt, txt_ids, c_vec, c_emb, c_ids, c_vec,
             ConceptAttentionSpec(
                 taps=(self.tap,), backend=default_backend(),
                 cross_attention=self.concept_cross_attention,

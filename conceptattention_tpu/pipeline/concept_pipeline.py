@@ -697,7 +697,7 @@ class ConceptAttentionFluxPipeline:
 
         z = self._encode_pixels(image, height, width, seed)
 
-        txt, txt_ids, vec = self._prepare_text(prompt, 1)
+        txt, txt_ids, _ = self._prepare_text(prompt, 1)
         c_emb, c_ids, c_vec = self._prepare_concepts(concepts, 1)
 
         b, _, lh, lw = z.shape
@@ -707,9 +707,14 @@ class ConceptAttentionFluxPipeline:
         )
         t = schedule[noise_timestep]
 
+        # The encode protocol modulates BOTH streams with the zeroed concept
+        # CLIP vector (y=inp["concept_vec"], reference
+        # concept_attention_pipeline.py:293 and raw_output_space.py:195) —
+        # not clip(prompt) as in generation. Mask-level parity depends on it
+        # (tests/test_seg_protocol_parity.py).
         saliency = batched_noise_saliency(
             self, z, t, num_samples, height, width, seed,
-            txt, txt_ids, vec, c_emb, c_ids, c_vec,
+            txt, txt_ids, c_vec, c_emb, c_ids, c_vec,
             self._attention_spec(),
             stop_after=stop_after_multi_modal_attentions,
         )
@@ -727,8 +732,14 @@ class ConceptAttentionFluxPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _encode_pixels(self, image, height: int, width: int, seed: int) -> jax.Array:
-        """PIL/array -> [1, 3, H, W] in [-1, 1] -> VAE latents [1, 16, H/8, W/8]."""
+    def _encode_pixels(self, image, height: int, width: int, seed: int,
+                       sample: bool = True) -> jax.Array:
+        """PIL/array -> [1, 3, H, W] in [-1, 1] -> VAE latents [1, 16, H/8, W/8].
+
+        `sample=False` returns the posterior MEAN (no reparameterization
+        draw) — the deterministic-eval mode parity tests use (the reference's
+        DiagonalGaussian(sample=...) switch, flux modules/autoencoder.py:262-274).
+        """
         # Shared dtype-branching scaler (utils/images.py): integer inputs are
         # byte-valued, floats are trusted as [0, 1] — no value-range heuristic.
         arr = 2.0 * as_float01_chw(image) - 1.0
@@ -741,7 +752,8 @@ class ConceptAttentionFluxPipeline:
         # diffusion-noise draws, which use PRNGKey(seed [+ i]) directly — a
         # bare PRNGKey(seed) here would make sample 0's forward noise
         # bit-identical to the VAE noise (same shape), correlating them.
-        vae_key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
+        vae_key = (jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
+                   if sample else None)
         return vae.encode(
             self.ae_params, self.spec.ae_params, x, key=vae_key
         ).astype(self.dtype)

@@ -133,6 +133,14 @@ def main():
             [image], target_concepts=[target], concepts=concepts,
             captions=[target], apply_blur=args.apply_blur,
         )
+        # Min-max rescale of the soft coefficients BEFORE AP scoring
+        # (reference run_experiment.py:177-178). Not rank-invariant here:
+        # get_ap_scores flattens the {bg=1-c, fg=c} channels together, so
+        # cross-channel ordering — and therefore mAP — depends on the map's
+        # absolute scale (tests/test_seg_protocol_parity.py pins this).
+        c = np.asarray(coeffs[0], np.float64)
+        denom = c.max() - c.min()
+        coeffs[0] = (c - c.min()) / denom if denom > 0 else np.zeros_like(c)
         if args.downscale:
             # soft coefficients only — pixAcc/mIoU keep the full-res mask
             d = args.downscale
@@ -152,8 +160,16 @@ def main():
             coeffs[0].astype(np.float64), args.label_size, args.label_size
         )
 
-        correct, labeled = batch_pix_accuracy(pred, label224)
-        inter, union = batch_intersection_union(pred, label224, nclass=2)
+        # The reference scores the STACKED {bg=1-m, fg=m} pair
+        # (run_experiment.py:203-215), not plain class maps. For pixAcc the
+        # pair form only doubles both counts (same ratio), but for IoU it is
+        # a DIFFERENT statistic — both histogram bins become
+        # (TP+TN)/(2N-TP-TN) — so reference-mIoU parity requires the pair
+        # (tests/test_seg_protocol_parity.py::test_metrics_protocol_parity).
+        pred_pair = np.stack([1 - pred, pred])
+        label_pair = np.stack([1 - label224, label224])
+        correct, labeled = batch_pix_accuracy(pred_pair, label_pair)
+        inter, union = batch_intersection_union(pred_pair, label_pair, nclass=2)
         # soft AP over {bg, fg} channels
         soft = np.stack([1.0 - coeff224, coeff224])[None]
         st.update(correct, labeled, inter, union,

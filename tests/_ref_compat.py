@@ -67,7 +67,7 @@ def install_reference():
     tvom.FrozenBatchNorm2d = torch.nn.BatchNorm2d
     # clip_text_span/utils/transform.py module-scope imports (only used for
     # image preprocessing pipelines the parity tests never run).
-    for _name in ("Normalize", "Compose", "RandomResizedCrop", "ToTensor",
+    for _name in ("Normalize", "RandomResizedCrop",
                   "Resize", "CenterCrop", "ToPILImage", "InterpolationMode"):
         setattr(tvt, _name, type(_name, (), {
             "__init__": lambda self, *a, **k: None,
@@ -75,6 +75,74 @@ def install_reference():
             "__getattr__": lambda self, n: None,
             "BICUBIC": "bicubic",  # InterpolationMode enum stand-in
         }))
+
+    # Functional stand-ins the segmentation-protocol parity test drives for
+    # real (reference segmentation.py: Compose/Lambda/ToTensor in
+    # encode_image, F.gaussian_blur in SegmentationAbstractClass.__call__).
+    # Semantics match torchvision's implementations.
+    class _Compose:
+        def __init__(self, transforms):
+            self.transforms = list(transforms)
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class _Lambda:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __call__(self, x):
+            return self.fn(x)
+
+    class _ToTensor:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, pic):
+            # torchvision semantics: PIL/uint8 HWC -> float CHW in [0, 1];
+            # float ndarray -> CHW tensor unscaled.
+            import numpy as np
+
+            arr = np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1).copy()).contiguous()
+            if t.dtype == torch.uint8:
+                return t.float() / 255.0
+            return t.float()
+
+    tvt.Compose = _Compose
+    tvt.Lambda = _Lambda
+    tvt.ToTensor = _ToTensor
+
+    def _gaussian_blur(img, kernel_size, sigma):
+        """torchvision.transforms.functional.gaussian_blur: separable
+        gaussian (linspace kernel, normalized), reflect padding, per-channel
+        conv2d over the trailing two dims."""
+        ks = ([kernel_size, kernel_size] if isinstance(kernel_size, int)
+              else list(kernel_size))
+        sig = [float(sigma), float(sigma)] if isinstance(
+            sigma, (int, float)) else [float(s) for s in sigma]
+
+        def kernel1d(k, s):
+            half = (k - 1) * 0.5
+            x = torch.linspace(-half, half, steps=k)
+            pdf = torch.exp(-0.5 * (x / s).pow(2))
+            return pdf / pdf.sum()
+
+        kx = kernel1d(ks[0], sig[0]).to(img.dtype)
+        ky = kernel1d(ks[1], sig[1]).to(img.dtype)
+        kernel2d = torch.mm(ky[:, None], kx[None, :])
+        shape = img.shape
+        x = img.reshape(-1, 1, shape[-2], shape[-1])
+        pad = [ks[0] // 2, ks[0] // 2, ks[1] // 2, ks[1] // 2]
+        x = torch.nn.functional.pad(x, pad, mode="reflect")
+        x = torch.nn.functional.conv2d(x, kernel2d[None, None])
+        return x.reshape(shape)
+
+    tvf.gaussian_blur = _gaussian_blur
     # clip_text_span/utils/tokenizer.py needs `ftfy` and `regex` at module
     # scope (the BPE tokenizer itself is never constructed by the parity
     # tests). The stubs must NOT stay in sys.modules — transformers' lazy
