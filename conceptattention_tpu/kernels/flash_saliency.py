@@ -384,9 +384,20 @@ def fused_concept_flash_attention(
                 compiler_params = _cp_cls(dimension_semantics=dims)
             except TypeError:
                 compiler_params = None
+    # With the fused-rope roped-K cache, k (and the k rope tables below) are
+    # only READ on the qi == 0 cache-fill sweep — but a plain (bh, ki, 0)
+    # index map would re-DMA them on EVERY grid step. At production tiles
+    # that redundant stream (k + cos_k + sin_k ~ 2.0 MB/step next to v's
+    # 0.4 MB) exceeds the step's MXU time — the measured 48%-of-peak ceiling
+    # was DMA-bound. Pinning the block index to 0 for qi > 0 makes the index
+    # unchanged across consecutive steps, so Pallas elides the copies.
+    if rope_cos is not None:
+        k_stream_idx = lambda bh, qi, ki: (bh, (qi == 0) * ki, 0)  # noqa: E731
+    else:
+        k_stream_idx = lambda bh, qi, ki: (bh, ki, 0)  # noqa: E731
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d), k_stream_idx),
         pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
     ]
     scratch_shapes = [
@@ -398,9 +409,11 @@ def fused_concept_flash_attention(
     if rope_cos is not None:
         assert rope_cos.shape == (b, s, d), (rope_cos.shape, b, s, d)
         # Tables are per batch; the grid's leading coordinate is b*h, so the
-        # batch row is bh // h (per-sample position ids supported).
+        # batch row is bh // h (per-sample position ids supported). The k
+        # tables are only read during the qi == 0 cache-fill sweep — same
+        # index-pinning trick as the k stream above.
         q_idx = lambda bh, qi, ki: (bh // h, qi, 0)  # noqa: E731
-        k_idx = lambda bh, qi, ki: (bh // h, ki, 0)  # noqa: E731
+        k_idx = lambda bh, qi, ki: (bh // h, (qi == 0) * ki, 0)  # noqa: E731
         in_specs += [
             pl.BlockSpec((1, block_q, d), q_idx),
             pl.BlockSpec((1, block_q, d), q_idx),

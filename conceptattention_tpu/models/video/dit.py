@@ -101,12 +101,13 @@ VideoDiTConfig = CogVideoXConfig
 
 
 def cogvideox_5b_config(**overrides) -> CogVideoXConfig:
-    return CogVideoXConfig(
+    base = dict(
         num_attention_heads=48,
         num_layers=42,
         use_rotary_positional_embeddings=True,
-        **overrides,
     )
+    base.update(overrides)  # overrides may retarget the 5b defaults too
+    return CogVideoXConfig(**base)
 
 
 def make_video_ids(
