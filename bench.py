@@ -43,7 +43,12 @@ import jax.numpy as jnp
 # (same workaround as conceptattention_tpu/__init__._honor_jax_platforms_env;
 # bench.py imports the package only inside attempt(), too late).
 if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    _plats = os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        # host-side quantize staging needs the cpu backend; the first entry
+        # stays the default platform, so this changes nothing else
+        _plats += ",cpu"
+    jax.config.update("jax_platforms", _plats)
 
 # Persistent compile cache: full-size graphs take 2-5 min each through the
 # remote compile relay; cached reloads cut a cold bench from ~20 min to ~2.
@@ -238,9 +243,12 @@ def run_video(iters: int = 4):
     vs_baseline + transparency extras)."""
     full_layers = 42
     s_video, s_text, c = 13 * 30 * 45, 226, 4
+    # bf16 at full depth (~10 GB weights + ~3 GB of 17.8k-token activations)
+    # measured RESOURCE_EXHAUSTED on the 16 GB chip; w8 leads (int8 weights
+    # ~5 GB), then w4, then the depth-scaled bf16 rung (L14 measured fitting,
+    # L28 not).
     ladder = [
-        (full_layers, False), (full_layers, "w8"), (full_layers, "w4"),
-        (14, False),
+        (full_layers, "w8"), (full_layers, "w4"), (14, False),
     ]
     for layers, quantize in ladder:
         try:
@@ -254,6 +262,12 @@ def run_video(iters: int = 4):
                   f"{type(e).__name__}", file=sys.stderr)
             e.__traceback__ = None
             del e
+            gc.collect()
+            # Drop compiled executables + their kept-alive operand buffers:
+            # a failed larger rung otherwise pollutes the next one into a
+            # spurious RESOURCE_EXHAUSTED (L14 failed inside the ladder but
+            # passed standalone).
+            jax.clear_caches()
             gc.collect()
             continue
         scale = layers / full_layers
@@ -286,11 +300,14 @@ def run_video(iters: int = 4):
             "mfu": round(ideal / dt, 3),
         }
         try:
+            # The model's fused kernel length: txt + video + the 256-padded
+            # concept block (pallas_joint_concept_attention pads concepts to
+            # a lane-friendly 256).
+            s_fused = s_video + s_text + 256
             rate = measure_attention_rate(
-                batch=1, heads=48, seq=s_video + s_text, head_dim=64,
-                iters=iters,
+                batch=1, heads=48, seq=s_fused, head_dim=64, iters=iters,
             )
-            record["attention_tflops_s17776"] = round(rate / 1e12, 1)
+            record[f"attention_tflops_s{s_fused}"] = round(rate / 1e12, 1)
         except Exception as e:
             print(f"# video attention probe skipped: {type(e).__name__}",
                   file=sys.stderr)

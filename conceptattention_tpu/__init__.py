@@ -28,6 +28,12 @@ def _honor_jax_platforms_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
     if not want:
         return
+    # Keep the cpu backend reachable even under e.g. JAX_PLATFORMS=axon:
+    # host-side staging (quantize-then-device_put) uses
+    # jax.default_device(jax.devices("cpu")[0]), and jax keeps the FIRST
+    # entry as the default platform, so appending cpu changes nothing else.
+    if "cpu" not in want.split(","):
+        want += ",cpu"
     try:
         import jax
 
