@@ -189,18 +189,16 @@ def video_attempt(num_layers: int, quantize, batch: int = 1, iters: int = 4,
     kp, kv, kt, kc = jax.random.split(key, 4)
     if quantize:
         from conceptattention_tpu.ops.quant import (
-            quantize_video_dit_params,
+            init_video_dit_params_quantized,
             resolve_quant_mode,
         )
 
-        # Quantize on host, ship only int8 (staging ~10 GB bf16 next to the
-        # quantized copy would waste the HBM the int8 path frees).
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = init_video_dit_params(kp, cfg, jnp.bfloat16)
-            params = quantize_video_dit_params(
-                params, mode=resolve_quant_mode(quantize)
-            )
-        params = jax.device_put(params)
+        # Direct quantized init (depth-1 skeleton + generated int8 stacks):
+        # materialize-then-quantize measured ~25 min of host work on this
+        # 1-core host for the 5b-class tree; this takes seconds.
+        params = init_video_dit_params_quantized(
+            kp, cfg, jnp.bfloat16, mode=resolve_quant_mode(quantize)
+        )
     else:
         params = init_video_dit_params(kp, cfg, jnp.bfloat16)
 

@@ -297,32 +297,12 @@ def _random_int8(key: jax.Array, shape, bits: int = 8) -> jax.Array:
     return jnp.stack(layers)
 
 
-def init_flux_params_quantized(
-    key: jax.Array,
-    cfg,
-    dtype=jnp.bfloat16,
-    act_quant: bool = False,
-    mode: Optional[str] = None,
-) -> Dict[str, Any]:
-    """Random *already-quantized* Flux params: int8/int4 weights + scales
-    generated directly, so the full 11.9B model never materializes in bf16
-    (24 GB) on a 16 GB chip. Weight distribution matches init_flux_params'
-    1/sqrt(in) std. For real checkpoints, convert + quantize on HOST memory
-    and device_put only the quantized result (the pipeline's quantize=True
-    load path does this under jax.default_device(cpu))."""
-    from conceptattention_tpu.models.flux.params import init_flux_params
-
-    mode = mode or ("w8a8" if act_quant else "w8")
-
-    tiny_like = cfg.__class__(**{**cfg.__dict__, "depth": 1, "depth_single_blocks": 1})
-    # Build the depth-1 skeleton on host: keeping its ~1.3 GB on the chip
-    # during generation would push the 12 GB int8 init past a 16 GB HBM.
-    try:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            skeleton = init_flux_params(key, tiny_like, dtype)
-    except RuntimeError:
-        skeleton = init_flux_params(key, tiny_like, dtype)
+def _make_quantized_expander(key: jax.Array, mode: str, dtype):
+    """expand(stack, depth): tile a depth-1 layer-stack skeleton to `depth`,
+    replacing every large "w" leaf with directly-generated random int8/int4
+    weights + matched-std scales (the full-precision stack never
+    materializes). Shared by init_flux_params_quantized and
+    init_video_dit_params_quantized."""
 
     def expand(stack, depth):
         def visit(node, path=()):
@@ -371,6 +351,38 @@ def init_flux_params_quantized(
 
         return visit(stack)
 
+    return expand
+
+
+def init_flux_params_quantized(
+    key: jax.Array,
+    cfg,
+    dtype=jnp.bfloat16,
+    act_quant: bool = False,
+    mode: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Random *already-quantized* Flux params: int8/int4 weights + scales
+    generated directly, so the full 11.9B model never materializes in bf16
+    (24 GB) on a 16 GB chip. Weight distribution matches init_flux_params'
+    1/sqrt(in) std. For real checkpoints, convert + quantize on HOST memory
+    and device_put only the quantized result (the pipeline's quantize=True
+    load path does this under jax.default_device(cpu))."""
+    from conceptattention_tpu.models.flux.params import init_flux_params
+
+    mode = mode or ("w8a8" if act_quant else "w8")
+
+    tiny_like = cfg.__class__(**{**cfg.__dict__, "depth": 1, "depth_single_blocks": 1})
+    # Build the depth-1 skeleton on host: keeping its ~1.3 GB on the chip
+    # during generation would push the 12 GB int8 init past a 16 GB HBM.
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            skeleton = init_flux_params(key, tiny_like, dtype)
+    except RuntimeError:
+        skeleton = init_flux_params(key, tiny_like, dtype)
+
+    expand = _make_quantized_expander(key, mode, dtype)
+
     params = {
         k: jax.tree.map(jax.device_put, v)  # move host skeleton leaves on-chip
         for k, v in skeleton.items()
@@ -401,6 +413,42 @@ def quantize_flux_params(
         params["single"], min_size, act_quant, mode, group_size
     )
     return out
+
+
+def init_video_dit_params_quantized(
+    key: jax.Array,
+    cfg,
+    dtype=jnp.bfloat16,
+    mode: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Random *already-quantized* CogVideoX DiT params, built like
+    init_flux_params_quantized: a depth-1 host skeleton expanded with
+    directly-generated int8/int4 stacks, so a 5b-class model (~10 GB bf16)
+    never materializes — measured ~25 min of host init+quantize+transfer on
+    this 1-core host for the materialize-then-quantize path vs seconds here
+    (benchmark/serving-init use; real checkpoints still convert+quantize on
+    host memory)."""
+    import dataclasses as _dc
+
+    from conceptattention_tpu.models.video.dit import init_video_dit_params
+
+    mode = mode or "w8"
+    tiny_like = _dc.replace(cfg, num_layers=1)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            skeleton = init_video_dit_params(key, tiny_like, dtype)
+    except RuntimeError:
+        skeleton = init_video_dit_params(key, tiny_like, dtype)
+
+    expand = _make_quantized_expander(key, mode, dtype)
+    params = {
+        k: jax.tree.map(jax.device_put, v)
+        for k, v in skeleton.items()
+        if k != "blocks"
+    }
+    params["blocks"] = expand(skeleton["blocks"], cfg.num_layers)
+    return params
 
 
 def quantize_video_dit_params(
