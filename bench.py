@@ -242,11 +242,13 @@ def run_video(iters: int = 4):
     full_layers = 42
     s_video, s_text, c = 13 * 30 * 45, 226, 4
     # bf16 at full depth (~10 GB weights + ~3 GB of 17.8k-token activations)
-    # measured RESOURCE_EXHAUSTED on the 16 GB chip; w8 leads (int8 weights
-    # ~5 GB), then w4, then the depth-scaled bf16 rung (L14 measured fitting,
-    # L28 not).
+    # measured RESOURCE_EXHAUSTED on the 16 GB chip; w8a8 leads (int8
+    # weights ~5 GB AND int8xint8 matmuls at the 394 TOP/s MXU peak — the
+    # same serving mode as the flux headline), then weight-only int8/int4,
+    # then the depth-scaled bf16 rung (L14 measured fitting, L28 not).
     ladder = [
-        (full_layers, "w8"), (full_layers, "w4"), (14, False),
+        (full_layers, "w8a8"), (full_layers, "w8"), (full_layers, "w4"),
+        (14, False),
     ]
     for layers, quantize in ladder:
         try:

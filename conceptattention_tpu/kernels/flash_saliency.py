@@ -470,6 +470,10 @@ _BEST_TILES = {
     # shapes full-row: 0.532 img/s vs 0.580, heatmap overhead 0% -> 11%).
     4352: (544, 2176),  # flux singles (256 txt + 4096 img)
     4608: (576, 1536),  # flux doubles (+256 concept pad): beat 512x1536 3/3
+    # cogvideox fused length (226 txt + 17550 video + 256-padded concepts),
+    # b1 x 48 heads x d=64: autotuned on v5e — 58.7 TFLOP/s vs 50.3 at the
+    # generic-divisor (368, 1024) fallback (round-4 sweep, 11 candidates).
+    18032: (768, 1536),
 }
 
 # Runtime overlay written by kernels/autotune.py (user-tuned on the CURRENT

@@ -19,7 +19,7 @@ def bench_mod():
     return bench
 
 
-@pytest.mark.parametrize("quantize", [False, "w8"])
+@pytest.mark.parametrize("quantize", [False, "w8", "w8a8", "w4"])
 def test_video_attempt_tiny(bench_mod, quantize):
     dt, _peak = bench_mod.video_attempt(
         2, quantize, iters=2, frames=2, backend="pallas_interpret",
