@@ -140,16 +140,13 @@ def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "h_tokens", "w_tokens"))
-def _vae_decode_batch_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
-    """Whole-batch decode in ONE device dispatch: per-dispatch overhead
-    through the axon tunnel is 30-90 ms, so generate_images' old per-image
-    decode loop cost up to ~0.7 s of pure dispatch at batch 8. lax.map keeps
-    only one image's 1024^2 conv activations live at a time (the same
-    memory-bounding trick as bench.py's run_decode)."""
-    z = unpack_latents(latents_packed.astype(jnp.float32), h_tokens, w_tokens)
-    p32 = jax.tree.map(lambda x: x.astype(jnp.float32), ae_params)
-    return jax.lax.map(lambda zi: vae.decode_nhwc(p32, cfg, zi[None])[0], z)
+# NOTE a single-dispatch lax.map batch decode was tried twice and measured
+# dead both times: round 3 found chunked lax.map 1.5x slower and full-batch
+# RESOURCE_EXHAUSTED next to the resident DiT; round 4's retry hit a scoped-
+# VMEM OOM inside the f32 conv3x3 Pallas kernel under the while-loop body
+# (123.7M vs the 96.25M stack limit at the 512^2 x 256 stage — the same
+# kernel fits when compiled outside a loop). Per-image dispatches with
+# DEFERRED fetches (below) get the overlap without the loop-body limits.
 
 
 class ConceptAttentionFluxPipeline:
@@ -645,13 +642,22 @@ class ConceptAttentionFluxPipeline:
             attention_norm, grid,
         )
 
-        pixels = _vae_decode_batch_f32(
-            self.ae_params, self.spec.ae_params, latents, grid[0], grid[1]
-        )
-        pixels = jnp.clip(pixels, -1.0, 1.0)
-        arrs = np.asarray(
-            ((pixels + 1.0) * 127.5).transpose(0, 2, 3, 1)
-        ).astype(np.uint8)
+        # Dispatch every decode BEFORE fetching any result: np.asarray is the
+        # only sync point on this backend, so the old dispatch->fetch->
+        # dispatch loop serialized 30-90 ms of tunnel overhead per image;
+        # issuing all dispatches first overlaps that overhead (and the host
+        # conversion of image i) with the device still decoding i+1.
+        pixel_futs = [
+            _vae_decode_f32(self.ae_params, self.spec.ae_params,
+                            latents[i : i + 1], grid[0], grid[1])
+            for i in range(b)
+        ]
+        arrs = [
+            np.asarray(
+                ((jnp.clip(p[0], -1.0, 1.0) + 1.0) * 127.5).transpose(1, 2, 0)
+            ).astype(np.uint8)
+            for p in pixel_futs
+        ]
 
         outputs = []
         for i in range(b):
