@@ -468,8 +468,12 @@ _BEST_TILES = {
     # cross-step online-softmax rescale) but are SLOWER in the full model —
     # the ~60 MB scoped VMEM starves the surrounding graph (bench with both
     # shapes full-row: 0.532 img/s vs 0.580, heatmap overhead 0% -> 11%).
-    4352: (544, 2176),  # flux singles (256 txt + 4096 img)
-    4608: (576, 1536),  # flux doubles (+256 concept pad): beat 512x1536 3/3
+    4352: (544, 2176),  # flux singles (256 txt + 4096 img); re-confirmed by
+    #                     the round-4 sweep under the pinned-K-stream kernel
+    #                     (83.5 TFLOP/s, next-best 512x2176 at 79.1)
+    4608: (768, 1536),  # flux doubles (+256 concept pad): round-4 sweep
+    #                     winner under the pinned-K-stream kernel
+    #                     (94.3 TFLOP/s vs 89.2 for the old 576x1536)
     # cogvideox fused length (226 txt + 17550 video + 256-padded concepts),
     # b1 x 48 heads x d=64: autotuned on v5e — 58.7 TFLOP/s vs 50.3 at the
     # generic-divisor (368, 1024) fallback (round-4 sweep, 11 candidates).
