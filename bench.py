@@ -44,7 +44,7 @@ import jax.numpy as jnp
 # bench.py imports the package only inside attempt(), too late).
 if os.environ.get("JAX_PLATFORMS"):
     _plats = os.environ["JAX_PLATFORMS"]
-    if "cpu" not in _plats.split(","):
+    if "cpu" not in [p.strip().lower() for p in _plats.split(",")]:
         # host-side quantize staging needs the cpu backend; the first entry
         # stays the default platform, so this changes nothing else
         _plats += ",cpu"
@@ -273,7 +273,6 @@ def run_video(iters: int = 4):
         scale = layers / full_layers
         dt_full_equiv = dt / scale
         mm, at = video_ops(layers, s_video, s_text, c)
-        mm_full, at_full = video_ops(full_layers, s_video, s_text, c)
         # A 49-frame generation = 50 DDIM steps x 2 CFG forwards (reference
         # experiments/video_model/cogvideox/pipeline.py:89-435); frames/s is
         # decoded pixel frames over that denoise wall-clock (video VAE
@@ -312,7 +311,10 @@ def run_video(iters: int = 4):
             print(f"# video attention probe skipped: {type(e).__name__}",
                   file=sys.stderr)
         if peak:
-            record["peak_hbm_gb"] = round(peak / 1e9, 2)
+            # memory_stats' high-water mark is PROCESS-lifetime (cannot be
+            # reset), so when this rung runs after the flux headline in bare
+            # `python bench.py` the value reflects the larger of the two.
+            record["process_peak_hbm_gb"] = round(peak / 1e9, 2)
         return record
     raise RuntimeError("no video configuration fit the device")
 
@@ -377,7 +379,9 @@ def run_flux_dev(iters: int = 2):
         try:
             stats = jax.devices()[0].memory_stats()
             if stats and stats.get("peak_bytes_in_use"):
-                record["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 1e9, 2)
+                # process-lifetime high-water mark (see run_video's note)
+                record["process_peak_hbm_gb"] = round(
+                    stats["peak_bytes_in_use"] / 1e9, 2)
         except Exception:
             pass
         return record

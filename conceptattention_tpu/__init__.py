@@ -32,7 +32,7 @@ def _honor_jax_platforms_env() -> None:
     # host-side staging (quantize-then-device_put) uses
     # jax.default_device(jax.devices("cpu")[0]), and jax keeps the FIRST
     # entry as the default platform, so appending cpu changes nothing else.
-    if "cpu" not in want.split(","):
+    if "cpu" not in [p.strip().lower() for p in want.split(",")]:
         want += ",cpu"
     try:
         import jax

@@ -167,7 +167,7 @@ class FluxTapSegmentationModel(SegmentationModel):
         )
         t = schedule[self.noise_timestep]
 
-        txt, txt_ids, _ = pipe._prepare_text(caption, 1)
+        txt, txt_ids, _ = pipe._prepare_text(caption, 1, need_clip=False)
         c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
 
         # Shared with concept_pipeline.encode_image: one batched forward over
@@ -207,7 +207,7 @@ class FluxTapSegmentationModel(SegmentationModel):
             self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
         )
         t = schedule[self.noise_timestep]
-        txt, txt_ids, _ = pipe._prepare_text(caption, 1)
+        txt, txt_ids, _ = pipe._prepare_text(caption, 1, need_clip=False)
         c_emb, c_ids, c_vec = pipe._prepare_concepts(concepts, 1)
         saliency = batched_noise_saliency(
             pipe, z, t, self.num_samples, self.height, self.width, self.seed,

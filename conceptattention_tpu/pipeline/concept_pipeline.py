@@ -416,11 +416,19 @@ class ConceptAttentionFluxPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _prepare_text(self, prompt: str, batch_size: int = 1):
+    def _prepare_text(self, prompt: str, batch_size: int = 1,
+                      need_clip: bool = True):
+        """(txt, txt_ids, vec); `need_clip=False` skips the CLIP forward and
+        returns vec=None — the encode/segmentation paths modulate with the
+        zeroed concept vector instead (reference raw_output_space.py:195), so
+        running the full CLIP text tower there would be pure waste with real
+        checkpoints."""
         txt = self.text_encoders.encode_t5([prompt]).astype(self.dtype)
         txt = jnp.broadcast_to(txt, (batch_size, *txt.shape[1:]))
-        vec = self.text_encoders.encode_clip([prompt]).astype(self.dtype)
-        vec = jnp.broadcast_to(vec, (batch_size, *vec.shape[1:]))
+        vec = None
+        if need_clip:
+            vec = self.text_encoders.encode_clip([prompt]).astype(self.dtype)
+            vec = jnp.broadcast_to(vec, (batch_size, *vec.shape[1:]))
         txt_ids = jnp.zeros((batch_size, txt.shape[1], 3), dtype=jnp.float32)
         return txt, txt_ids, vec
 
@@ -652,12 +660,7 @@ class ConceptAttentionFluxPipeline:
                             latents[i : i + 1], grid[0], grid[1])
             for i in range(b)
         ]
-        arrs = [
-            np.asarray(
-                ((jnp.clip(p[0], -1.0, 1.0) + 1.0) * 127.5).transpose(1, 2, 0)
-            ).astype(np.uint8)
-            for p in pixel_futs
-        ]
+        arrs = [self._pixels_to_uint8(p[0]) for p in pixel_futs]
 
         outputs = []
         for i in range(b):
@@ -728,7 +731,7 @@ class ConceptAttentionFluxPipeline:
 
         z = self._encode_pixels(image, height, width, seed)
 
-        txt, txt_ids, _ = self._prepare_text(prompt, 1)
+        txt, txt_ids, _ = self._prepare_text(prompt, 1, need_clip=False)
         c_emb, c_ids, c_vec = self._prepare_concepts(concepts, 1)
 
         b, _, lh, lw = z.shape
@@ -789,10 +792,16 @@ class ConceptAttentionFluxPipeline:
             self.ae_params, self.spec.ae_params, x, key=vae_key
         ).astype(self.dtype)
 
+    @staticmethod
+    def _pixels_to_uint8(p) -> np.ndarray:
+        """[3, H, W] f32 decode output -> HWC uint8. ONE conversion shared by
+        the single-image and batched paths so they can never diverge."""
+        x = jnp.clip(p, -1.0, 1.0)
+        return np.asarray(((x + 1.0) * 127.5).transpose(1, 2, 0)).astype(np.uint8)
+
     def _decode_to_image(self, latents, grid, return_array: bool):
         x = _vae_decode_f32(self.ae_params, self.spec.ae_params, latents, grid[0], grid[1])
-        x = jnp.clip(x, -1.0, 1.0)
-        arr = np.asarray(((x[0] + 1.0) * 127.5).transpose(1, 2, 0)).astype(np.uint8)
+        arr = self._pixels_to_uint8(x[0])
         if return_array:
             return arr
         import PIL.Image

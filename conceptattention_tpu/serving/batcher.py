@@ -127,6 +127,10 @@ class MicroBatcher:
             self._cv.notify()
         return fut
 
+    @property
+    def max_batch(self) -> int:
+        return self._max_batch
+
     def queue_depth(self) -> int:
         with self._lock:
             return len(self._queue)

@@ -441,11 +441,14 @@ class ConceptAttentionServer:
             def log_message(self, fmt, *args):  # route to logging, not stderr
                 logger.debug("%s %s", self.address_string(), fmt % args)
 
-            def _reply(self, code: int, payload: dict) -> None:
+            def _reply(self, code: int, payload: dict,
+                       headers: Optional[dict] = None) -> None:
                 data = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, str(v))
                 if self.close_connection:
                     # Advertise the close (set when the request body can't be
                     # consumed) so well-behaved clients don't race a reuse
@@ -506,14 +509,8 @@ class ConceptAttentionServer:
                         # request_timeout_s deadline. 503 + Retry-After tells
                         # well-behaved clients when to come back.
                         outer.metrics.record(time.monotonic() - t0, ok=False)
-                        retry_after = outer._retry_after_s()
-                        data = json.dumps({"error": str(e)}).encode()
-                        self.send_response(503)
-                        self.send_header("Content-Type", "application/json")
-                        self.send_header("Content-Length", str(len(data)))
-                        self.send_header("Retry-After", str(retry_after))
-                        self.end_headers()
-                        self.wfile.write(data)
+                        self._reply(503, {"error": str(e)},
+                                    headers={"Retry-After": outer._retry_after_s()})
                         return
                     output, batch_size = fut.result(
                         timeout=outer.request_timeout_s
@@ -599,7 +596,7 @@ class ConceptAttentionServer:
         lat = self.metrics.snapshot().get("latency_ms")
         if not lat:
             return 30
-        batches = max(1, -(-(self.max_queue_depth or 1) // self.batcher._max_batch))
+        batches = max(1, -(-(self.max_queue_depth or 1) // self.batcher.max_batch))
         est = batches * lat["p50"] / 1000.0
         return int(min(max(1.0, est), self.request_timeout_s))
 

@@ -20,17 +20,27 @@ import threading
 import time
 
 
-def call(host, port, body, timeout):
-    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+def call(host, port, body, timeout, max_retries: int = 8):
+    """One request, honoring the server's admission-control contract: a 503
+    carries Retry-After (queue full) — back off and retry instead of failing.
+    Returns (latency_s, retries_503)."""
+    retries = 0
     t0 = time.perf_counter()
-    conn.request("POST", "/v1/generate", json.dumps(body),
-                 {"Content-Type": "application/json"})
-    resp = conn.getresponse()
-    data = resp.read()
-    conn.close()
-    if resp.status != 200:
+    while True:
+        conn = http.client.HTTPConnection(host, port, timeout=timeout)
+        conn.request("POST", "/v1/generate", json.dumps(body),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read()
+        retry_after = resp.getheader("Retry-After")
+        conn.close()
+        if resp.status == 200:
+            return time.perf_counter() - t0, retries
+        if resp.status == 503 and retries < max_retries:
+            retries += 1
+            time.sleep(min(float(retry_after or 1), 30.0))
+            continue
         raise RuntimeError(f"HTTP {resp.status}: {data[:200]!r}")
-    return time.perf_counter() - t0
 
 
 def main():
@@ -72,7 +82,7 @@ def main():
     for t in warm_threads:
         t.join()
 
-    latencies, errors = [], []
+    latencies, errors, rejected_retries = [], [], [0]
     lock = threading.Lock()
     counter = iter(range(args.requests))
 
@@ -83,9 +93,11 @@ def main():
             if i is None:
                 return
             try:
-                dt = call(args.host, args.port, dict(base, seed=i), args.timeout)
+                dt, retries = call(args.host, args.port, dict(base, seed=i),
+                                   args.timeout)
                 with lock:
                     latencies.append(dt)
+                    rejected_retries[0] += retries
             except Exception as e:  # noqa: BLE001 — collected for the report
                 with lock:
                     errors.append(f"client{cid}: {e}")
@@ -117,6 +129,8 @@ def main():
         },
         "server_mean_batch_size": metrics.get("batcher", {}).get("mean_batch_size"),
         "server_batches_total": metrics.get("batcher", {}).get("batches_total"),
+        "admission_503_retries": rejected_retries[0],
+        "server_rejects_total": metrics.get("batcher", {}).get("rejects_total"),
     }
     print(json.dumps(report, indent=2))
     for e in errors[:5]:

@@ -361,8 +361,12 @@ def test_metrics_protocol_parity(ref, masks_and_coeffs):
     r_map = float(np.mean(r_ap))
 
     # ---- our chain (experiments/imagenet_segmentation/run_experiment.py:
-    # 142-160; plain int class maps — the stacked-pair form the reference
-    # uses double-counts every pixel symmetrically, so the RATIOS match) ----
+    # 142-168). The STACKED {bg=1-m, fg=m} pair is required: for pixAcc it
+    # only doubles both counts (same ratio as plain class maps), but for IoU
+    # it is a DIFFERENT statistic — both histogram bins become
+    # (TP+TN)/(2N-TP-TN) — and reference-mIoU equality holds only in pair
+    # form (this test failed on plain maps by 3e-3 mIoU before the harness
+    # was switched). ----
     lab = label224.astype(np.int64)
     coeff_n = ((our_coeff - our_coeff.min())
                / (our_coeff.max() - our_coeff.min()))
