@@ -66,13 +66,21 @@ def _conv_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, *, ht, w_out, fuse_swish):
     o_ref[0] = acc.reshape(ht, w_out, -1).astype(o_ref.dtype)
 
 
-def _pick_ht(h: int, w: int, cin: int, cout: int) -> int:
+def _pick_ht(h: int, w: int, cin: int, cout: int, itemsize: int = 2) -> int:
     """Output rows per grid step: keep the GEMM M dim >= ~8k for MXU
-    efficiency, bounded by VMEM (two input blocks + f32 accumulator)."""
+    efficiency, bounded by VMEM (two input blocks + f32 accumulator).
+
+    `itemsize` must be the INPUT dtype's: this bound was originally written
+    with bf16 hard-coded, which let f32 decodes (the pipeline casts the VAE
+    to f32) pick row-tiles 2x too big — the compiler's scoped-vmem stack
+    (blocks + concat temp + 9 tap slices + accumulator, ~5x this estimate)
+    measured 123.7M against a 96.25M limit at 512^2 x 256 f32 and failed the
+    remote AOT compile. Honoring itemsize halves ht there and the stack
+    fits."""
     ht = 8
     while ht < h and ht * w < 8192:
         ht *= 2
-    while ht > 8 and (2 * ht * (w + 2) * cin * 2 + ht * w * cout * 4) > 24e6:
+    while ht > 8 and (2 * ht * (w + 2) * cin * itemsize + ht * w * cout * 4) > 24e6:
         ht //= 2
     while h % ht:
         ht //= 2
@@ -92,7 +100,7 @@ def conv3x3_same(
     x*sigmoid(x) to the f32 accumulator before the output cast."""
     batch, h, w_dim, cin = x.shape
     cout = w.shape[-1]
-    ht = _pick_ht(h, w_dim, cin, cout)
+    ht = _pick_ht(h, w_dim, cin, cout, x.dtype.itemsize)
     nt = h // ht
     # SAME border + one extra all-zero row-block so the bottom tile's
     # second (i+1) input block exists.
@@ -144,10 +152,16 @@ def conv3x3_same(
     return out
 
 
-def use_conv3x3_kernel(x_shape, cin: int, cout: int) -> bool:
-    """Gate: the kernel wants lane-friendly channel counts and H divisible
-    into row-tiles; everything else stays on lax.conv."""
+def use_conv3x3_kernel(x_shape, cin: int, cout: int, dtype=None) -> bool:
+    """Gate: the kernel wants lane-friendly channel counts, H divisible into
+    row-tiles, and (when `dtype` is given) a 2-byte input — the f32 variant's
+    scoped-VMEM stack exceeds this chip's compile limit at decoder shapes
+    (isolated repro: 512^2 x 256 f32 fails the remote AOT compile at every
+    row-tile size; bf16 compiles and is the measured production path).
+    Everything else stays on lax.conv."""
     _, h, w_dim, _ = x_shape
+    if dtype is not None and jnp.dtype(dtype).itemsize > 2:
+        return False
     try:
         backend = jax.default_backend().lower()
     except Exception:

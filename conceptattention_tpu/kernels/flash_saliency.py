@@ -350,13 +350,25 @@ def fused_concept_flash_attention(
         fuse_rope=rope_cos is not None,
         int8_qk=int8_qk,
     )
-    # Scoped-VMEM budget: the fp32 score/prob temporaries dominate at
-    # ~3 copies of [bq, bk] x 4 bytes; the default 16 MB stack limit rejects
-    # 544x2176 tiles, so raise the ceiling with headroom for operands
-    # (v5e VMEM is far larger than the conservative default).
+    # Scoped-VMEM budget: fp32 score/prob temporaries (~6 copies of
+    # [bq, bk] x 4B) PLUS the whole-sequence roped-K cache on the fused-rope
+    # path — at f32 inputs that cache alone can dominate (the VAE's 16k-token
+    # d=512 mid-attention: 33.5 MB, which silently exceeded the old
+    # temporaries-only 32 MB floor and crashed the remote AOT compile of the
+    # pipeline's f32 decode; bf16 paths fit by luck). The default 16 MB stack
+    # limit also rejects 544x2176 tiles, so raise the ceiling with headroom
+    # for operands (v5e VMEM is far larger than the conservative default).
+    scratch_bytes = 6 * block_q * block_k * 4
+    if rope_cos is not None:
+        scratch_bytes += pl.cdiv(s, block_k) * block_k * d * q.dtype.itemsize
+        scratch_bytes += block_q * d * q.dtype.itemsize
+    if int8_qk:
+        scratch_bytes += block_q * (d + 512)
+        if rope_cos is not None:
+            scratch_bytes += pl.cdiv(s, block_k) * block_k * (d + 512)
     vmem_limit = min(
         128 * 1024 * 1024,
-        max(32 * 1024 * 1024, 6 * block_q * block_k * 4),
+        max(32 * 1024 * 1024, int(1.5 * scratch_bytes)),
     )
     # CompilerParams was TPUCompilerParams before the pallas rename; resolve
     # whichever exists (an AttributeError here would escape the TypeError

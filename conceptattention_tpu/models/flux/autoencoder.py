@@ -151,7 +151,7 @@ def _conv2d_nhwc(x, p, stride=1, padding=1):
             use_conv3x3_kernel,
         )
 
-        if use_conv3x3_kernel(x.shape, x.shape[-1], p["w"].shape[0]):
+        if use_conv3x3_kernel(x.shape, x.shape[-1], p["w"].shape[0], x.dtype):
             return conv3x3_same(x, p["w"].transpose(2, 3, 1, 0), p["b"])
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
@@ -185,6 +185,8 @@ def _attn_block_nhwc(x, p):
     s = h * w
     from conceptattention_tpu.kernels.conv3x3 import use_conv3x3_kernel
 
+    # NOTE the f32 flash mid-attention DOES compile on-chip (isolated repro);
+    # only the conv3x3 kernel is dtype-gated.
     if s >= 4096 and s % 512 == 0 and use_conv3x3_kernel(x.shape, c, c):
         # 1024^2 decode puts 16k tokens through this single-head attention;
         # the einsum path materializes a [16384, 16384] f32 logits matrix

@@ -130,14 +130,31 @@ def _encode_forward(
     return saliency
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "h_tokens", "w_tokens"))
-def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
-    z = unpack_latents(latents_packed.astype(jnp.float32), h_tokens, w_tokens)
-    # NHWC fast path: identical math (tests/test_autoencoder_nhwc.py), avoids
-    # the per-conv NCHW relayouts XLA inserts on TPU at 1024^2.
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "h_tokens", "w_tokens", "dtype")
+)
+def _vae_decode(ae_params, cfg, latents_packed, h_tokens, w_tokens,
+                dtype=jnp.float32):
+    """NHWC decode at `dtype` (identical math to NCHW,
+    tests/test_autoencoder_nhwc.py; avoids the per-conv relayouts XLA
+    inserts on TPU at 1024^2).
+
+    dtype resolution is the pipeline's `decode_dtype`: bf16 on TPU-like
+    backends — the reference itself decodes under torch.autocast(bfloat16)
+    (raw_output_space.py:219-221), it is the path the decode kernels are
+    chip-validated on, and the f32 conv3x3 / 16k-mid-attention variants
+    exceed this chip's scoped-VMEM compile limits — f32 on CPU (tests,
+    exact parity)."""
+    z = unpack_latents(latents_packed.astype(dtype), h_tokens, w_tokens)
     return vae.decode_nhwc(
-        jax.tree.map(lambda x: x.astype(jnp.float32), ae_params), cfg, z
+        jax.tree.map(lambda x: x.astype(dtype), ae_params), cfg, z
     )
+
+
+def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
+    # Backwards-compatible f32 spelling (tests, CPU parity paths).
+    return _vae_decode(ae_params, cfg, latents_packed, h_tokens, w_tokens,
+                       dtype=jnp.float32)
 
 
 # NOTE a single-dispatch lax.map batch decode was tried twice and measured
@@ -312,6 +329,19 @@ class ConceptAttentionFluxPipeline:
                 f"tests), or drop int8_qk."
             )
         self.int8_qk = int8_qk
+        # Decode dtype: bf16 on TPU-like backends (reference-autocast-
+        # faithful, chip-validated kernel path; the f32 conv3x3 / 16k
+        # mid-attention variants fail this chip's scoped-VMEM compile
+        # limits), f32 elsewhere (CPU tests keep exact parity) — see
+        # _vae_decode.
+        try:
+            backend = jax.default_backend().lower()
+        except Exception:
+            backend = "cpu"
+        self.decode_dtype = (
+            jnp.bfloat16 if ("tpu" in backend or "axon" in backend)
+            else jnp.float32
+        )
 
     # ------------------------------------------------------------------
     def _load_adapters(self, lora, lora_strength):
@@ -656,8 +686,9 @@ class ConceptAttentionFluxPipeline:
         # issuing all dispatches first overlaps that overhead (and the host
         # conversion of image i) with the device still decoding i+1.
         pixel_futs = [
-            _vae_decode_f32(self.ae_params, self.spec.ae_params,
-                            latents[i : i + 1], grid[0], grid[1])
+            _vae_decode(self.ae_params, self.spec.ae_params,
+                        latents[i : i + 1], grid[0], grid[1],
+                        dtype=self.decode_dtype)
             for i in range(b)
         ]
         arrs = [self._pixels_to_uint8(p[0]) for p in pixel_futs]
@@ -794,13 +825,15 @@ class ConceptAttentionFluxPipeline:
 
     @staticmethod
     def _pixels_to_uint8(p) -> np.ndarray:
-        """[3, H, W] f32 decode output -> HWC uint8. ONE conversion shared by
-        the single-image and batched paths so they can never diverge."""
-        x = jnp.clip(p, -1.0, 1.0)
+        """[3, H, W] decode output -> HWC uint8. ONE conversion shared by
+        the single-image and batched paths so they can never diverge; the
+        f32 upcast keeps the 0..255 mapping exact when the decode ran bf16."""
+        x = jnp.clip(p.astype(jnp.float32), -1.0, 1.0)
         return np.asarray(((x + 1.0) * 127.5).transpose(1, 2, 0)).astype(np.uint8)
 
     def _decode_to_image(self, latents, grid, return_array: bool):
-        x = _vae_decode_f32(self.ae_params, self.spec.ae_params, latents, grid[0], grid[1])
+        x = _vae_decode(self.ae_params, self.spec.ae_params, latents,
+                        grid[0], grid[1], dtype=self.decode_dtype)
         arr = self._pixels_to_uint8(x[0])
         if return_array:
             return arr
