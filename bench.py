@@ -43,12 +43,13 @@ import jax.numpy as jnp
 # (same workaround as conceptattention_tpu/__init__._honor_jax_platforms_env;
 # bench.py imports the package only inside attempt(), too late).
 if os.environ.get("JAX_PLATFORMS"):
-    _plats = os.environ["JAX_PLATFORMS"]
-    if "cpu" not in [p.strip().lower() for p in _plats.split(",")]:
-        # host-side quantize staging needs the cpu backend; the first entry
-        # stays the default platform, so this changes nothing else
-        _plats += ",cpu"
-    jax.config.update("jax_platforms", _plats)
+    # shared policy (cpu appended for host-side staging unless the user opts
+    # out) lives in the package so bench and import-time agree
+    from conceptattention_tpu import resolve_jax_platforms
+
+    jax.config.update(
+        "jax_platforms", resolve_jax_platforms(os.environ["JAX_PLATFORMS"])
+    )
 
 # Persistent compile cache: full-size graphs take 2-5 min each through the
 # remote compile relay; cached reloads cut a cold bench from ~20 min to ~2.
@@ -319,6 +320,96 @@ def run_video(iters: int = 4):
     raise RuntimeError("no video configuration fit the device")
 
 
+def run_encode(iters: int = 6):
+    """The real-image encode rung: the reference's flagship eval use case —
+    VAE-encode a 1024^2 image, forward-noise, ONE stopped DiT forward
+    (stop_after_multimodal_attentions: double blocks only, reference
+    concept_attention_pipeline.py:204-357 + segmentation.py:85-153) — the
+    path the ImageNet-Seg harness calls ~4.3k times. Measures the VAE
+    encoder (NCHW; the encoder-side twin of the f32-decode on-chip compile
+    bug, commit 38ab74a) and the batched stopped forward at num_samples 1
+    and 4, all w8a8 like the headline. Reports images/sec per eval image
+    (1 encode + 1 stopped forward at each sample count)."""
+    from conceptattention_tpu.config import AutoEncoderConfig, FluxConfig
+    from conceptattention_tpu.models.flux import autoencoder as vae
+    from conceptattention_tpu.models.flux.dit import flux_forward
+    from conceptattention_tpu.ops.attention import ConceptAttentionSpec
+    from conceptattention_tpu.ops.packing import make_img_ids, pack_latents
+    from conceptattention_tpu.ops.quant import (
+        init_flux_params_quantized,
+        resolve_quant_mode,
+    )
+    from conceptattention_tpu.utils.profiling import loop_rate
+
+    cfg = FluxConfig(depth=19, depth_single_blocks=38, guidance_embed=False)
+    dtype = jnp.bfloat16
+    t, c = 256, 4
+    key = jax.random.PRNGKey(11)
+    keys = jax.random.split(key, 4)
+    params = init_flux_params_quantized(
+        keys[0], cfg, dtype, mode=resolve_quant_mode("w8a8")
+    )
+    ae_cfg = AutoEncoderConfig()
+    ae_params = vae.init_autoencoder_params(keys[1], ae_cfg, dtype)
+
+    # --- VAE encoder at 1024^2 (NCHW fast path, the pipeline's
+    # _encode_pixels route, concept_pipeline.py) ---
+    x = jax.random.uniform(keys[2], (1, 3, 1024, 1024), dtype, -1.0, 1.0)
+
+    def enc(ae_params, x):
+        return vae.encode(ae_params, ae_cfg, x)
+
+    t_vae = loop_rate(enc, ae_params, x, iters=iters)
+
+    # --- stopped forward (depth-19 double blocks only) at n samples ---
+    spec = ConceptAttentionSpec(taps=("output", "cross_attention"),
+                                backend="pallas")
+
+    def stopped(n):
+        kz, kt, kc = jax.random.split(keys[3], 3)
+        z = jax.random.normal(kz, (n, 16, 128, 128), dtype)
+        img = pack_latents(z)
+        img_ids = make_img_ids(64, 64, n)
+        txt = jax.random.normal(kt, (n, t, cfg.context_in_dim), dtype)
+        txt_ids = jnp.zeros((n, t, 3), jnp.float32)
+        vec = jnp.zeros((n, cfg.vec_in_dim), dtype)
+        con = jax.random.normal(kc, (n, c, cfg.context_in_dim), dtype)
+        con_ids = jnp.zeros((n, c, 3), jnp.float32)
+        t_vec = jnp.full((n,), 0.5, jnp.float32)
+
+        def fwd(params, img):
+            _, sal = flux_forward(
+                params, cfg, img=img, img_ids=img_ids, txt=txt,
+                txt_ids=txt_ids, timesteps=t_vec, y=vec,
+                concepts=con, concept_ids=con_ids, concept_vec=vec,
+                stop_after_multimodal_attentions=True, spec=spec,
+            )
+            return sal
+        return loop_rate(fwd, params, img, iters=iters)
+
+    t_fwd1 = stopped(1)
+    t_fwd4 = stopped(4)
+    record = {
+        "metric": (
+            "encode-path images/sec flux-schnell-d19 1024px stopped forward "
+            "(stop_after_multimodal_attentions) + 4-concept taps, int8-w8a8, "
+            "1 chip, attn=pallas (per eval image = one 1024^2 VAE encode + "
+            "one stopped forward; n4 batches 4 noise samples per image as "
+            "the eval harness does; sizes the ~4.3k-image ImageNet-Seg run)"
+        ),
+        "value": round(1.0 / (t_vae + t_fwd1), 4),
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "vae_encode_ms": round(t_vae * 1000, 1),
+        "stopped_forward_ms_n1": round(t_fwd1 * 1000, 1),
+        "stopped_forward_ms_n4": round(t_fwd4 * 1000, 1),
+        "images_per_sec_n4_samples": round(1.0 / (t_vae + t_fwd4), 4),
+        "imagenet_seg_4.3k_est_min_n1": round(
+            4300 * (t_vae + t_fwd1) / 60, 1),
+    }
+    return record
+
+
 # Public community A100 numbers for bf16 flux-dev 50-step 1024^2 cluster at
 # 20-30 s/image end-to-end (same 2024-2025 sources as the schnell constant);
 # 0.04 img/s is the round-number midpoint. Same caveat as the headline: the
@@ -340,10 +431,11 @@ def run_flux_dev(iters: int = 2):
     ]
     for depth, depth_single, quantize, backends, batch in ladder:
         try:
-            imgs_per_sec, overhead_pct, backend, t_with, t_nodecode = attempt(
+            (imgs_per_sec, overhead_pct, backend, t_with, t_nodecode,
+             overhead_spread) = attempt(
                 depth, depth_single, quantize, backends, batch,
                 num_steps=50, shift=True, guidance_embed=True, guidance=3.5,
-                iters=iters,
+                iters=iters, overhead_pairs=4,
             )
         except Exception as e:
             import gc
@@ -366,7 +458,9 @@ def run_flux_dev(iters: int = 2):
                 f"heatmaps + VAE decode, "
                 f"{ {'w8a8': 'int8-w8a8', 'w8': 'int8-weights'}.get(quantize, 'bf16') }, "
                 f"1 chip, attn={backend} (full-depth-equiv {full_equiv:.4f} "
-                f"img/s, heatmap overhead {overhead_pct:.1f}%; per-step "
+                f"img/s, heatmap overhead {overhead_pct:.1f}% interleaved-"
+                f"paired mean of 4, spread {overhead_spread[0]:.1f}-"
+                f"{overhead_spread[1]:.1f}%; per-step "
                 f"saliency stash [50, {depth}, {batch}, 4, 4096] x2 taps "
                 f"resident)"
             ),
@@ -375,6 +469,9 @@ def run_flux_dev(iters: int = 2):
             "vs_baseline": round(
                 full_equiv / A100_FULL_FLUX_DEV_IMGS_PER_SEC, 3),
             "sec_per_image": round(1.0 / imgs_per_sec, 2),
+            "heatmap_overhead_pct": round(overhead_pct, 2),
+            "heatmap_overhead_spread_pct": [round(overhead_spread[0], 2),
+                                            round(overhead_spread[1], 2)],
         }
         try:
             stats = jax.devices()[0].memory_stats()
@@ -391,7 +488,7 @@ def run_flux_dev(iters: int = 2):
 def attempt(depth: int, depth_single: int, quantize: bool, backends,
             batch: int = 1, num_steps: int = 4, shift: bool = False,
             guidance_embed: bool = False, guidance: float = 0.0,
-            iters: int = 6):
+            iters: int = 6, overhead_pairs: int = 2):
     from conceptattention_tpu.config import AutoEncoderConfig, FluxConfig
     from conceptattention_tpu.models.flux import autoencoder as vae
     from conceptattention_tpu.models.flux.params import init_flux_params
@@ -500,13 +597,28 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends,
     if not results:
         raise RuntimeError("all backends failed")
     backend = min(results, key=results.get)
-    t_with = results[backend]
-    t_plain = timed(False, backend)
-    overhead = max(0.0, 100.0 * (t_with - t_plain) / t_plain)
+    # Heatmap overhead as an INTERLEAVED paired measurement: with/without
+    # loops alternate within one session (w p w p w ...), each plain loop
+    # scored against the mean of its two with-loop neighbors, so chip/tunnel
+    # drift between loops cannot masquerade as overhead (the round-4 method —
+    # the ratio of two separately timed loops — read anywhere from 1.0% to
+    # 5.8% for the same code, straddling BASELINE.md's <5% gate).
+    ts_with = [results[backend]]
+    ratios = []
+    for _ in range(max(1, overhead_pairs)):
+        t_plain = timed(False, backend)
+        ts_with.append(timed(True, backend))
+        tw = 0.5 * (ts_with[-2] + ts_with[-1])
+        ratios.append(max(0.0, 100.0 * (tw - t_plain) / t_plain))
+    overhead = sum(ratios) / len(ratios)
+    overhead_spread = (min(ratios), max(ratios))
+    # Steady-state throughput: mean of the with-loops (each already a
+    # multi-iteration in-session loop).
+    t_with = sum(ts_with) / len(ts_with)
     # Denoise-only time for the phase split / MFU: same compiled fns, no
     # extra compile — the decode loop is simply not dispatched.
     t_nodecode = timed(True, backend, decode=False)
-    return b / t_with, overhead, backend, t_with, t_nodecode
+    return b / t_with, overhead, backend, t_with, t_nodecode, overhead_spread
 
 
 def _require_accelerator(timeout_s: float = 300.0):
@@ -571,11 +683,16 @@ def _cli_ladder(argv):
     p.add_argument("--flux_dev", action="store_true",
                    help="run ONLY the flux-dev 50-step shifted-schedule "
                         "rung and print its JSON line")
+    p.add_argument("--encode", action="store_true",
+                   help="run ONLY the real-image encode rung (1024^2 VAE "
+                        "encode + stopped forward) and print its JSON line")
     a = p.parse_args(argv)
     if a.video:
         return "video"
     if a.flux_dev:
         return "flux_dev"
+    if a.encode:
+        return "encode"
     if a.quantize is None and a.batch is None and a.backends is None:
         return None
     quantize = False if a.quantize in (None, "bf16") else a.quantize
@@ -591,6 +708,9 @@ def main(argv=None):
         return
     if cli == "flux_dev":
         print(json.dumps(run_flux_dev()))
+        return
+    if cli == "encode":
+        print(json.dumps(run_encode()))
         return
     hbm = hbm_limit()
     if cli is not None:
@@ -619,7 +739,8 @@ def main(argv=None):
     for depth, depth_single, quantize, backends, batch in ladder:
         try:
             try:
-                imgs_per_sec, overhead_pct, backend, t_with, t_nodecode = attempt(
+                (imgs_per_sec, overhead_pct, backend, t_with, t_nodecode,
+                 overhead_spread) = attempt(
                     depth, depth_single, quantize, backends, batch
                 )
             except Exception as first:
@@ -631,7 +752,8 @@ def main(argv=None):
                 import gc as _gc
 
                 _gc.collect()
-                imgs_per_sec, overhead_pct, backend, t_with, t_nodecode = attempt(
+                (imgs_per_sec, overhead_pct, backend, t_with, t_nodecode,
+                 overhead_spread) = attempt(
                     depth, depth_single, quantize, backends, batch
                 )
         except Exception as e:
@@ -697,7 +819,8 @@ def main(argv=None):
         if quantize:
             for d2, s2, q2, be2, b2 in bf16_rungs:
                 try:
-                    bf_imgs, _, bf_backend, _, _ = attempt(d2, s2, q2, be2, b2)
+                    bf_imgs, _, bf_backend, _, _, _ = attempt(
+                        d2, s2, q2, be2, b2, overhead_pairs=1)
                 except Exception as e:
                     print(f"# bf16 companion b{b2} skipped: {type(e).__name__}",
                           file=sys.stderr)
@@ -718,8 +841,9 @@ def main(argv=None):
                 f"4-concept heatmaps + VAE decode, "
                 f"{ {'w8a8': 'int8-w8a8', 'w8': 'int8-weights', 'w4': 'int4-weights'}.get(quantize, 'bf16') }, "
                 f"1 chip, attn={backend} "
-                f"(full-depth-equiv {full_equiv:.3f} img/s, "
-                f"heatmap overhead {overhead_pct:.1f}%; vs_baseline compares "
+                f"(full-depth-equiv {full_equiv:.3f} img/s over 3 in-session "
+                f"loops, heatmap overhead {overhead_pct:.1f}% interleaved-"
+                f"paired; vs_baseline compares "
                 f"int8 serving to a ~0.5 img/s public bf16 A100 figure — see "
                 f"bf16_companion for the same-precision rung)"
             ),
@@ -727,6 +851,9 @@ def main(argv=None):
             "unit": "images/sec",
             "vs_baseline": round(vs_baseline, 3),
             "mfu": round(mfu, 3),
+            "heatmap_overhead_pct": round(overhead_pct, 2),
+            "heatmap_overhead_spread_pct": [round(overhead_spread[0], 2),
+                                            round(overhead_spread[1], 2)],
             "phases": phases,
         }
         if bf16_companion:
@@ -746,6 +873,12 @@ def main(argv=None):
                 record["flux_dev"] = run_flux_dev()
             except Exception as e:
                 print(f"# flux-dev rung skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+        if os.environ.get("BENCH_SKIP_ENCODE") != "1" and cli is None:
+            try:
+                record["encode"] = run_encode()
+            except Exception as e:
+                print(f"# encode rung skipped: {type(e).__name__}: {e}",
                       file=sys.stderr)
         print(json.dumps(record))
         return

@@ -14,6 +14,28 @@ Public API parity target: `concept_attention/__init__.py:2` in the reference.
 __version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 
+def resolve_jax_platforms(want: str) -> str:
+    """Canonicalize an explicit JAX_PLATFORMS value for this package.
+
+    Keeps the cpu backend reachable even under e.g. JAX_PLATFORMS=axon:
+    host-side staging (quantize-then-device_put) uses
+    jax.default_device(jax.devices("cpu")[0]), and jax keeps the FIRST entry
+    as the default platform, so appending cpu changes nothing else. A user
+    who deliberately wants a single-platform restriction opts out with
+    CONCEPTATTENTION_NO_CPU_APPEND=1 or a trailing "!" (stripped either way).
+    Shared by package import and bench.py so the policy lives in one place.
+    """
+    import os
+
+    if want.endswith("!"):
+        return want[:-1]
+    if os.environ.get("CONCEPTATTENTION_NO_CPU_APPEND") == "1":
+        return want
+    if "cpu" not in [p.strip().lower() for p in want.split(",")]:
+        want += ",cpu"
+    return want
+
+
 def _honor_jax_platforms_env() -> None:
     """Restore standard JAX semantics for an EXPLICIT JAX_PLATFORMS env var.
 
@@ -28,17 +50,20 @@ def _honor_jax_platforms_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
     if not want:
         return
-    # Keep the cpu backend reachable even under e.g. JAX_PLATFORMS=axon:
-    # host-side staging (quantize-then-device_put) uses
-    # jax.default_device(jax.devices("cpu")[0]), and jax keeps the FIRST
-    # entry as the default platform, so appending cpu changes nothing else.
-    if "cpu" not in [p.strip().lower() for p in want.split(",")]:
-        want += ",cpu"
+    resolved = resolve_jax_platforms(want)
     try:
         import jax
 
-        if jax.config.jax_platforms != want:
-            jax.config.update("jax_platforms", want)
+        if jax.config.jax_platforms != resolved:
+            if resolved != want:
+                import logging
+
+                logging.getLogger(__name__).debug(
+                    "JAX_PLATFORMS=%s resolved to %s (cpu appended for "
+                    "host-side staging; opt out with a trailing '!' or "
+                    "CONCEPTATTENTION_NO_CPU_APPEND=1)", want, resolved,
+                )
+            jax.config.update("jax_platforms", resolved)
     except Exception:
         pass  # backends already initialized: leave whatever the host chose
 

@@ -39,6 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # log2(e): softmax runs in the exp2 domain
 
+# Module-level default for the fused-rope K-stream index pinning (read at
+# trace time by pallas_joint_concept_attention). The round-4 pin (d11d047)
+# raised the ISOLATED kernel's rate (94.3 vs 89.2 TFLOP/s at S=4608) but a
+# round-5 in-model interleaved A/B measured it ~9% SLOWER end-to-end
+# (pin 0.531 vs no-pin 0.585 img/s mean of 3, same session): pinning the
+# block index serializes the qi==0 cache-fill sweep's DMAs with the
+# surrounding graph instead of overlapping them. Default off; kept as an
+# A/B knob, not a user-facing option.
+_PIN_K_STREAM = False
+
 
 def _pair_swap(x_f32):
     """swap(x)[2i] = x[2i+1], swap(x)[2i+1] = x[2i] on the VPU: two lane rolls
@@ -289,7 +299,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "txt_len", "img_len", "concept_len", "cross", "self_attention",
-        "block_q", "block_k", "interpret", "int8_qk",
+        "block_q", "block_k", "interpret", "int8_qk", "pin_k_stream",
     ),
 )
 def fused_concept_flash_attention(
@@ -307,6 +317,7 @@ def fused_concept_flash_attention(
     rope_cos: jax.Array = None,
     rope_sin: jax.Array = None,
     int8_qk: bool = False,
+    pin_k_stream: bool = True,
 ) -> jax.Array:
     """Fused dual-pass attention over S = [txt | img | concept | pad].
 
@@ -403,7 +414,9 @@ def fused_concept_flash_attention(
     # 0.4 MB) exceeds the step's MXU time — the measured 48%-of-peak ceiling
     # was DMA-bound. Pinning the block index to 0 for qi > 0 makes the index
     # unchanged across consecutive steps, so Pallas elides the copies.
-    if rope_cos is not None:
+    # pin_k_stream=False restores the round-3 always-stream behavior (kept as
+    # a static knob for A/B measurement of this exact effect).
+    if rope_cos is not None and pin_k_stream:
         k_stream_idx = lambda bh, qi, ki: (bh, (qi == 0) * ki, 0)  # noqa: E731
     else:
         k_stream_idx = lambda bh, qi, ki: (bh, ki, 0)  # noqa: E731
@@ -425,7 +438,10 @@ def fused_concept_flash_attention(
         # tables are only read during the qi == 0 cache-fill sweep — same
         # index-pinning trick as the k stream above.
         q_idx = lambda bh, qi, ki: (bh // h, qi, 0)  # noqa: E731
-        k_idx = lambda bh, qi, ki: (bh // h, (qi == 0) * ki, 0)  # noqa: E731
+        if pin_k_stream:
+            k_idx = lambda bh, qi, ki: (bh // h, (qi == 0) * ki, 0)  # noqa: E731
+        else:
+            k_idx = lambda bh, qi, ki: (bh // h, ki, 0)  # noqa: E731
         in_specs += [
             pl.BlockSpec((1, block_q, d), q_idx),
             pl.BlockSpec((1, block_q, d), q_idx),
@@ -467,6 +483,302 @@ def fused_concept_flash_attention(
     return out.reshape(b, h, s, d)
 
 
+def _flash_kernel_paired(
+    q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch, qpair_scratch, kdiag_scratch,
+    vdiag_scratch,
+    *,
+    scale: float,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    block_q: int,
+    block_k: int,
+    cross: bool,
+    self_attention: bool,
+    seq_len: int,
+):
+    """Two d=64 heads per grid step via block-diagonal packing.
+
+    At d=64 every MXU dot half-idles: QK^T's contraction dim (64) fills half
+    the 128-deep systolic array and AV's output width (64) half the result
+    lanes — measured 58.4 TFLOP/s at the video shape vs 94-105 at d=128
+    (ARCHITECTURE.md). Packing a HEAD PAIR restores the d=128 ratio with
+    zero wasted math:
+
+      scores: [q1|q2] (bq x 128)  @  [[k1|0],[0|k2]]^T (128 x 2bk)
+              = [q1 k1^T | q2 k2^T]           (full 128 contraction)
+      AV:     p (bq x 2bk)  @  [[v1|0],[0|v2]] (2bk x 128)
+              = [o1 | o2]                      (full 128 output lanes)
+
+    The zero blocks ride array cells that an unpaired d=64 dot would leave
+    idle anyway. Online softmax runs per half-tile (separate m/l per head,
+    broadcast into lane halves 0-63 / 64-127 so alpha/l align elementwise
+    with the packed accumulator). Same segment masking as _flash_kernel with
+    k positions = k_start + (lane % block_k). Fused-rope only (the d=64
+    video path always passes tables); block-diagonal roped-K and V caches
+    fill on the qi == 0 sweep like the base kernel's roped-K cache.
+    """
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    d = 64
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        # rope + fold the scale once per q tile, both heads side by side
+        q1 = q_ref[0, 0].astype(jnp.float32)
+        q2 = q_ref[0, 1].astype(jnp.float32)
+        cosq = cosq_ref[0]
+        sinq = sinq_ref[0]
+        q1r = (q1 * cosq + _pair_swap(q1) * sinq) * scale
+        q2r = (q2 * cosq + _pair_swap(q2) * sinq) * scale
+        qpair_scratch[...] = jnp.concatenate(
+            [q1r, q2r], axis=1).astype(qpair_scratch.dtype)
+
+    @pl.when(qi == 0)
+    def _fill_caches():
+        k1 = _rot(k_ref[0, 0], cosk_ref[0], sink_ref[0])
+        k2 = _rot(k_ref[0, 1], cosk_ref[0], sink_ref[0])
+        zero = jnp.zeros((block_k, d), k1.dtype)
+        base = 2 * ki * block_k
+        kdiag_scratch[pl.ds(base, block_k), :] = jnp.concatenate(
+            [k1, zero], axis=1)
+        kdiag_scratch[pl.ds(base + block_k, block_k), :] = jnp.concatenate(
+            [zero, k2], axis=1)
+        v1 = v_ref[0, 0]
+        v2 = v_ref[0, 1]
+        if seq_len % block_k:
+            # zero rows past the sequence so masked-out p (0) never meets a
+            # garbage v row (0 * NaN poisons the accumulator)
+            rows = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, v1.shape, 0)
+            v1 = jnp.where(rows < seq_len, v1, 0)
+            v2 = jnp.where(rows < seq_len, v2, 0)
+        zv = jnp.zeros((block_k, d), v1.dtype)
+        vdiag_scratch[pl.ds(base, block_k), :] = jnp.concatenate(
+            [v1, zv], axis=1)
+        vdiag_scratch[pl.ds(base + block_k, block_k), :] = jnp.concatenate(
+            [zv, v2], axis=1)
+
+    joint_end = txt_len + img_len
+    concept_end = joint_end + concept_len
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    # Block-level reachability on scalar ranges (positions are shared by the
+    # two heads, so the predicates are identical to the unpaired kernel's).
+    q_is_joint = q_start < joint_end
+    q_has_concept = (q_start + block_q > joint_end) & (q_start < concept_end)
+    k_is_joint = k_start < joint_end
+    k_is_img = (k_start + block_k > txt_len) & (k_start < joint_end)
+    k_has_concept = (k_start + block_k > joint_end) & (k_start < concept_end)
+    joint_reach = q_is_joint & k_is_joint
+    concept_reach = q_has_concept & (
+        (k_is_img if cross else False) | (k_has_concept if self_attention else False)
+    )
+    block_reachable = joint_reach | concept_reach
+    interior = (q_start + block_q <= joint_end) & (k_start + block_k <= joint_end)
+
+    def _halves(x, width):
+        return x[:, :width], x[:, width:]
+
+    def _online_softmax_update(s, allowed):
+        if allowed is not None:
+            s = jnp.where(allowed, s, NEG_INF)
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        s1, s2 = _halves(s, block_k)
+        m1 = jnp.max(s1, axis=-1, keepdims=True)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        m_cur = jnp.concatenate(
+            [jnp.broadcast_to(m1, (block_q, d)),
+             jnp.broadcast_to(m2, (block_q, d))], axis=1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_wide = jnp.concatenate(
+            [jnp.broadcast_to(m_new[:, :1], (block_q, block_k)),
+             jnp.broadcast_to(m_new[:, d : d + 1], (block_q, block_k))],
+            axis=1)
+        p = jnp.exp2(s - m_wide)
+        if allowed is not None:
+            p = jnp.where(allowed, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_new)
+        p1, p2 = _halves(p, block_k)
+        l_cur = jnp.concatenate(
+            [jnp.broadcast_to(jnp.sum(p1, axis=-1, keepdims=True), (block_q, d)),
+             jnp.broadcast_to(jnp.sum(p2, axis=-1, keepdims=True), (block_q, d))],
+            axis=1)
+        m_scratch[...] = m_new
+        l_scratch[...] = l_prev * alpha + l_cur
+        vdiag = vdiag_scratch[pl.ds(2 * ki * block_k, 2 * block_k), :]
+        acc_scratch[...] = acc_scratch[...] * alpha + jax.lax.dot_general(
+            p.astype(vdiag.dtype), vdiag, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _scores():
+        kdiag = kdiag_scratch[pl.ds(2 * ki * block_k, 2 * block_k), :]
+        return jax.lax.dot_general(
+            qpair_scratch[...], kdiag, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, 2*bk] = [head1 | head2], scale pre-folded into q
+
+    @pl.when(block_reachable & interior)
+    def _compute_unmasked():
+        _online_softmax_update(_scores(), None)
+
+    @pl.when(block_reachable & jnp.logical_not(interior))
+    def _compute_masked():
+        q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * block_k), 1)
+        # both lane halves carry the same key positions
+        k_idx = k_start + lane % block_k
+        q_joint = q_idx < joint_end
+        q_concept = jnp.logical_and(q_idx >= joint_end, q_idx < concept_end)
+        k_joint = k_idx < joint_end
+        k_img = jnp.logical_and(k_idx >= txt_len, k_idx < joint_end)
+        k_concept = jnp.logical_and(k_idx >= joint_end, k_idx < concept_end)
+        allowed = jnp.logical_and(q_joint, k_joint)
+        concept_keys = jnp.zeros_like(k_joint)
+        if cross:
+            concept_keys = jnp.logical_or(concept_keys, k_img)
+        if self_attention:
+            concept_keys = jnp.logical_or(concept_keys, k_concept)
+        allowed = jnp.logical_or(
+            allowed, jnp.logical_and(q_concept, concept_keys))
+        _online_softmax_update(_scores(), allowed)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scratch[...]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+        o_ref[0, 0] = out[:, :d]
+        o_ref[0, 1] = out[:, d:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "txt_len", "img_len", "concept_len", "cross", "self_attention",
+        "block_q", "block_k", "interpret",
+    ),
+)
+def fused_concept_flash_attention_paired(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    txt_len: int,
+    img_len: int,
+    concept_len: int,
+    cross: bool = True,
+    self_attention: bool = True,
+    block_q: int = 512,
+    block_k: int = 768,
+    interpret: bool = False,
+) -> jax.Array:
+    """Head-pair-packed fused attention for d=64 (see _flash_kernel_paired).
+
+    Same contract as fused_concept_flash_attention restricted to: head_dim
+    64, an even head count, and fused rope (tables required). Returns
+    [B, H, S, D] with padded rows zero."""
+    b, h, s, d = q.shape
+    assert d == 64 and h % 2 == 0, (h, d)
+    assert rope_cos is not None and rope_cos.shape == (b, s, d)
+    pairs = (b * h) // 2
+    q4 = q.reshape(pairs, 2, s, d)
+    k4 = k.reshape(pairs, 2, s, d)
+    v4 = v.reshape(pairs, 2, s, d)
+
+    grid = (pairs, pl.cdiv(s, block_q), pl.cdiv(s, block_k))
+    kernel = functools.partial(
+        _flash_kernel_paired,
+        scale=LOG2E / (d**0.5),
+        txt_len=txt_len,
+        img_len=img_len,
+        concept_len=concept_len,
+        block_q=block_q,
+        block_k=block_k,
+        cross=cross,
+        self_attention=self_attention,
+        seq_len=s,
+    )
+    nk_rows = 2 * pl.cdiv(s, block_k) * block_k
+    scratch_bytes = (
+        6 * block_q * 2 * block_k * 4          # f32 score/prob temporaries
+        + 2 * nk_rows * 128 * q.dtype.itemsize  # kdiag + vdiag caches
+        + block_q * 128 * q.dtype.itemsize      # qpair
+        + 3 * block_q * 128 * 4                 # m/l/acc
+    )
+    vmem_limit = min(
+        128 * 1024 * 1024,
+        max(32 * 1024 * 1024, int(1.5 * scratch_bytes)),
+    )
+    _cp_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams", None
+    )
+    dims = ("parallel", "arbitrary", "arbitrary")  # qi==0 fills the caches
+    compiler_params = None
+    if _cp_cls is not None:
+        try:
+            compiler_params = _cp_cls(
+                dimension_semantics=dims, vmem_limit_bytes=vmem_limit)
+        except TypeError:
+            try:
+                compiler_params = _cp_cls(dimension_semantics=dims)
+            except TypeError:
+                compiler_params = None
+    # k/v (+ k tables) are read only on the qi == 0 cache-fill sweep — pin
+    # their block index for qi > 0 so Pallas elides the re-DMA (same trick,
+    # and same rationale, as the base kernel's pinned K stream).
+    kv_idx = lambda pr, qi, ki: (pr, 0, (qi == 0) * ki, 0)  # noqa: E731
+    batch_of = lambda pr: (2 * pr) // h  # noqa: E731 — flat bh row -> batch
+    in_specs = [
+        pl.BlockSpec((1, 2, block_q, d), lambda pr, qi, ki: (pr, 0, qi, 0)),
+        pl.BlockSpec((1, 2, block_k, d), kv_idx),
+        pl.BlockSpec((1, 2, block_k, d), kv_idx),
+        # per-batch rope tables (positions shared by both heads of a pair)
+        pl.BlockSpec((1, block_q, d),
+                     lambda pr, qi, ki: (batch_of(pr), qi, 0)),
+        pl.BlockSpec((1, block_q, d),
+                     lambda pr, qi, ki: (batch_of(pr), qi, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda pr, qi, ki: (batch_of(pr), (qi == 0) * ki, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda pr, qi, ki: (batch_of(pr), (qi == 0) * ki, 0)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),   # m (halves = heads)
+        pltpu.VMEM((block_q, 128), jnp.float32),   # l
+        pltpu.VMEM((block_q, 128), jnp.float32),   # acc [o1 | o2]
+        pltpu.VMEM((block_q, 128), q.dtype),       # roped+scaled q pair
+        pltpu.VMEM((nk_rows, 128), q.dtype),       # block-diag roped K
+        pltpu.VMEM((nk_rows, 128), q.dtype),       # block-diag V
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2, block_q, d),
+                               lambda pr, qi, ki: (pr, 0, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((pairs, 2, s, d), v.dtype),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * s * d * b * h,
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(q4, k4, v4, rope_cos, rope_sin, rope_cos, rope_sin)
+    return out.reshape(b, h, s, d)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -483,9 +795,12 @@ _BEST_TILES = {
     4352: (544, 2176),  # flux singles (256 txt + 4096 img); re-confirmed by
     #                     the round-4 sweep under the pinned-K-stream kernel
     #                     (83.5 TFLOP/s, next-best 512x2176 at 79.1)
-    4608: (768, 1536),  # flux doubles (+256 concept pad): round-4 sweep
-    #                     winner under the pinned-K-stream kernel
-    #                     (94.3 TFLOP/s vs 89.2 for the old 576x1536)
+    4608: (576, 1536),  # flux doubles (+256 concept pad): round-5 in-model
+    #                     interleaved A/B (3 rounds each, no-pin kernel):
+    #                     576 tiles 0.585 img/s vs 768 tiles 0.574 — the
+    #                     round-4 768x1536 pick was an isolated-kernel
+    #                     optimum under the (since reverted) pinned K stream
+
     # cogvideox fused length (226 txt + 17550 video + 256-padded concepts),
     # b1 x 48 heads x d=64: autotuned on v5e — 58.7 TFLOP/s vs 50.3 at the
     # generic-divisor (368, 1024) fallback (round-4 sweep, 11 candidates).
@@ -496,6 +811,24 @@ _BEST_TILES = {
 # device kind); takes precedence over the v5e-measured table above.
 _TUNED_TILES: dict = {}
 _tile_cache_loaded = False
+
+# Head-pair-packed kernel (d=64): route through it by default; module-level
+# escape hatch for A/B measurement and debugging.
+_PAIR_HEADS = True
+
+# Measured-best (block_q, per-head block_k) for the paired kernel; the score
+# tile is [block_q, 2*block_k] so lane width matches the unpaired table's at
+# half the per-head block_k.
+_BEST_TILES_PAIRED = {
+    18032: (512, 768),  # cogvideox fused length (see _BEST_TILES)
+}
+
+
+def _auto_tiles_paired(s: int) -> Tuple[int, int]:
+    if s in _BEST_TILES_PAIRED:
+        return _BEST_TILES_PAIRED[s]
+    bq, bk = _auto_tiles(s)
+    return bq, max(128, bk // 2)
 
 
 def _auto_tiles(s: int) -> Tuple[int, int]:
@@ -608,18 +941,31 @@ def pallas_joint_concept_attention(
     q = jnp.concatenate(seqs_q, axis=2)
     k = jnp.concatenate(seqs_k, axis=2)
     v = jnp.concatenate(seqs_v, axis=2)
-    if block_q is None or block_k is None:
-        auto_q, auto_k = _auto_tiles(q.shape[2])
-        block_q = block_q or auto_q
-        block_k = block_k or auto_k
     rope_cos, rope_sin = expand_rope_tables(segments, q.shape[2])
-    out = fused_concept_flash_attention(
-        q, k, v,
-        txt_len=t, img_len=p, concept_len=c_real,
-        cross=cross, self_attention=self_attention,
-        block_q=block_q, block_k=block_k, interpret=interpret,
-        rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
-    )
+    if (d == 64 and h % 2 == 0 and not int8_qk and _PAIR_HEADS
+            and block_q is None and block_k is None):
+        # d=64 MXU dots half-idle the systolic array; the head-pair-packed
+        # kernel restores the d=128 ratio (see _flash_kernel_paired).
+        pbq, pbk = _auto_tiles_paired(q.shape[2])
+        out = fused_concept_flash_attention_paired(
+            q, k, v, rope_cos, rope_sin,
+            txt_len=t, img_len=p, concept_len=c_real,
+            cross=cross, self_attention=self_attention,
+            block_q=pbq, block_k=pbk, interpret=interpret,
+        )
+    else:
+        if block_q is None or block_k is None:
+            auto_q, auto_k = _auto_tiles(q.shape[2])
+            block_q = block_q or auto_q
+            block_k = block_k or auto_k
+        out = fused_concept_flash_attention(
+            q, k, v,
+            txt_len=t, img_len=p, concept_len=c_real,
+            cross=cross, self_attention=self_attention,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+            rope_cos=rope_cos, rope_sin=rope_sin, int8_qk=int8_qk,
+            pin_k_stream=_PIN_K_STREAM,
+        )
 
     txt_attn = merge_heads(out[:, :, :t])
     img_attn = merge_heads(out[:, :, t : t + p])

@@ -49,6 +49,9 @@ class BatcherStats:
     rejects_total: int = 0  # submits refused by admission control
     batched_requests_total: int = 0  # sum of real (unpadded) batch sizes
     last_batch_size: int = 0
+    # real (unpadded) batch size -> count; the coalescing histogram a load
+    # test needs to see WHERE the batcher is operating, not just the mean
+    batch_size_hist: dict = dataclasses.field(default_factory=dict)
 
     def snapshot(self) -> dict:
         d = dataclasses.asdict(self)
@@ -195,6 +198,9 @@ class MicroBatcher:
                 self.stats.batches_total += 1
                 self.stats.errors_total += len(batch)
                 self.stats.last_batch_size = len(batch)
+                n = len(batch)
+                self.stats.batch_size_hist[n] = (
+                    self.stats.batch_size_hist.get(n, 0) + 1)
             for _, fut in batch:
                 fut.set_exception(e)
             return
@@ -202,5 +208,8 @@ class MicroBatcher:
             self.stats.batches_total += 1
             self.stats.batched_requests_total += len(batch)
             self.stats.last_batch_size = len(batch)
+            n = len(batch)
+            self.stats.batch_size_hist[n] = (
+                self.stats.batch_size_hist.get(n, 0) + 1)
         for (_, fut), res in zip(batch, results):
             fut.set_result(res)

@@ -592,11 +592,17 @@ class ConceptAttentionServer:
         """Retry-After for a 503: estimated seconds until the queue drains —
         full-queue batches to run x observed p50 latency (which includes one
         batch's queue wait), floored at 1 s and capped at the request
-        timeout. With no latency history yet, a conservative 30 s."""
+        timeout. Batches-to-run divides by the OBSERVED mean batch size, not
+        max_batch: the batcher only coalesces requests sharing batch_key(),
+        so a heterogeneous queue drains in smaller batches and a max_batch
+        estimate would undershoot by up to that factor. With no latency
+        history yet, a conservative 30 s."""
         lat = self.metrics.snapshot().get("latency_ms")
         if not lat:
             return 30
-        batches = max(1, -(-(self.max_queue_depth or 1) // self.batcher.max_batch))
+        per_batch = (self.batcher.stats.snapshot().get("mean_batch_size")
+                     or self.batcher.max_batch)
+        batches = max(1, -(-(self.max_queue_depth or 1) // max(1, int(per_batch))))
         est = batches * lat["p50"] / 1000.0
         return int(min(max(1.0, est), self.request_timeout_s))
 

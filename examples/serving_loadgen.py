@@ -23,10 +23,13 @@ import time
 def call(host, port, body, timeout, max_retries: int = 8):
     """One request, honoring the server's admission-control contract: a 503
     carries Retry-After (queue full) — back off and retry instead of failing.
-    Returns (latency_s, retries_503)."""
+    Returns (total_s, service_s, retries_503): total includes 503 round-trips
+    and backoff sleeps; service is the successful attempt alone (conflating
+    the two would bill admission backoff — up to 8 x 30 s — as latency)."""
     retries = 0
     t0 = time.perf_counter()
     while True:
+        t_attempt = time.perf_counter()
         conn = http.client.HTTPConnection(host, port, timeout=timeout)
         conn.request("POST", "/v1/generate", json.dumps(body),
                      {"Content-Type": "application/json"})
@@ -34,8 +37,9 @@ def call(host, port, body, timeout, max_retries: int = 8):
         data = resp.read()
         retry_after = resp.getheader("Retry-After")
         conn.close()
+        now = time.perf_counter()
         if resp.status == 200:
-            return time.perf_counter() - t0, retries
+            return now - t0, now - t_attempt, retries
         if resp.status == 503 and retries < max_retries:
             retries += 1
             time.sleep(min(float(retry_after or 1), 30.0))
@@ -82,7 +86,7 @@ def main():
     for t in warm_threads:
         t.join()
 
-    latencies, errors, rejected_retries = [], [], [0]
+    totals, services, errors, rejected_retries = [], [], [], [0]
     lock = threading.Lock()
     counter = iter(range(args.requests))
 
@@ -93,10 +97,11 @@ def main():
             if i is None:
                 return
             try:
-                dt, retries = call(args.host, args.port, dict(base, seed=i),
-                                   args.timeout)
+                dt, svc, retries = call(args.host, args.port,
+                                        dict(base, seed=i), args.timeout)
                 with lock:
-                    latencies.append(dt)
+                    totals.append(dt)
+                    services.append(svc)
                     rejected_retries[0] += retries
             except Exception as e:  # noqa: BLE001 — collected for the report
                 with lock:
@@ -115,20 +120,29 @@ def main():
     metrics = json.loads(conn.getresponse().read())
     conn.close()
 
-    lat = sorted(latencies)
+    def quantiles(xs):
+        xs = sorted(xs)
+        if not xs:
+            return None
+        return {
+            "p50": round(xs[len(xs) // 2], 3),
+            "p90": round(xs[int(0.9 * (len(xs) - 1))], 3),
+            "p99": round(xs[int(0.99 * (len(xs) - 1))], 3),
+            "max": round(xs[-1], 3),
+            "mean": round(statistics.fmean(xs), 3),
+        }
+
     report = {
-        "requests_ok": len(lat),
+        "requests_ok": len(totals),
         "errors": len(errors),
         "wall_s": round(wall, 2),
-        "images_per_sec": round(len(lat) / wall, 4) if wall else None,
-        "latency_s": {
-            "p50": round(lat[len(lat) // 2], 3) if lat else None,
-            "p90": round(lat[int(0.9 * (len(lat) - 1))], 3) if lat else None,
-            "max": round(lat[-1], 3) if lat else None,
-            "mean": round(statistics.fmean(lat), 3) if lat else None,
-        },
+        "images_per_sec": round(len(totals) / wall, 4) if wall else None,
+        # service = successful attempt only; total adds 503 retries + backoff
+        "service_latency_s": quantiles(services),
+        "total_latency_s": quantiles(totals),
         "server_mean_batch_size": metrics.get("batcher", {}).get("mean_batch_size"),
         "server_batches_total": metrics.get("batcher", {}).get("batches_total"),
+        "server_batch_size_hist": metrics.get("batcher", {}).get("batch_size_hist"),
         "admission_503_retries": rejected_retries[0],
         "server_rejects_total": metrics.get("batcher", {}).get("rejects_total"),
     }

@@ -123,6 +123,7 @@ def main():
     start = st.next_index
 
     n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
+    constant_maps = 0  # degenerate (constant) coefficient maps seen
     for i in range(start, n):
         image, gt_mask, name = dataset[i]
         target = name.split("_")[0].replace("-", " ")
@@ -140,7 +141,16 @@ def main():
         # absolute scale (tests/test_seg_protocol_parity.py pins this).
         c = np.asarray(coeffs[0], np.float64)
         denom = c.max() - c.min()
-        coeffs[0] = (c - c.min()) / denom if denom > 0 else np.zeros_like(c)
+        if denom > 0:
+            coeffs[0] = (c - c.min()) / denom
+        else:
+            # The reference propagates NaN here; substituting zeros keeps the
+            # run alive but AP then scores bg-everywhere — surface it so a
+            # degenerate method output is visible in the log, not silent.
+            constant_maps += 1
+            print(f"WARNING: constant coefficient map for image {i} "
+                  f"({name}); scoring as all-background", flush=True)
+            coeffs[0] = np.zeros_like(c)
         if args.downscale:
             # soft coefficients only — pixAcc/mIoU keep the full-res mask
             d = args.downscale
@@ -177,6 +187,9 @@ def main():
         print(f"[{i+1}/{n}] {name}: {st.summary()}", flush=True)
         st.save(args.state_path)
 
+    if constant_maps:
+        print(f"WARNING: {constant_maps} constant coefficient map(s) were "
+              f"scored as all-background")
     print(f"FINAL {st.summary()}")
 
 

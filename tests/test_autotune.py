@@ -58,7 +58,8 @@ class TestPrecedence:
 
         monkeypatch.setattr(fs, "_TUNED_TILES", {})
         monkeypatch.setattr(fs, "_tile_cache_loaded", True)
-        assert _auto_tiles(4608) == (768, 1536)  # baked v5e table (round-4)
+        assert _auto_tiles(4608) == (576, 1536)  # baked v5e table (round-5
+        # in-model A/B: 576 beat the round-4 isolated-kernel pick 768)
         register_tuned_tiles(4608, (512, 1024))
         assert _auto_tiles(4608) == (512, 1024)
 
