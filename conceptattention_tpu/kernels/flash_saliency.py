@@ -812,15 +812,26 @@ _BEST_TILES = {
 _TUNED_TILES: dict = {}
 _tile_cache_loaded = False
 
-# Head-pair-packed kernel (d=64): route through it by default; module-level
-# escape hatch for A/B measurement and debugging.
-_PAIR_HEADS = True
+# Head-pair-packed kernel (d=64): OFF by default. The round-5 on-chip
+# elimination probe (examples/probe_paired.py, S=18032 h48 b1, 8 tile
+# candidates) measured the paired kernel's best EXACTLY TYING the unpaired
+# kernel (59.2 vs 59.2 TFLOP/s) — proof the d=64 rate is NOT MXU-fill-bound:
+# packing two heads restores full 128-deep contractions and 128-lane outputs
+# yet moves nothing. The binding resource is per-score VPU softmax work
+# (~59 TFLOP/s at d=64 is the same scores/sec as the ~100 TFLOP/s
+# VPU-serialization ceiling measured at d=128, scaled by d; paired packing
+# leaves exp/max/rescale volume per score unchanged). int8-QK re-raced at
+# d=64 the same session: 55.9 TFLOP/s, negative again. The kernel stays as
+# the measured elimination apparatus + an escape hatch (it also halves K/V
+# streaming DMA volume, which could matter at much longer S).
+_PAIR_HEADS = False
 
 # Measured-best (block_q, per-head block_k) for the paired kernel; the score
 # tile is [block_q, 2*block_k] so lane width matches the unpaired table's at
 # half the per-head block_k.
 _BEST_TILES_PAIRED = {
-    18032: (512, 768),  # cogvideox fused length (see _BEST_TILES)
+    18032: (768, 768),  # round-5 probe winner: 59.2 TFLOP/s (512x768: 56.6,
+    #                     512x1024: 58.1, 640x768: 56.4, others <56)
 }
 
 
