@@ -18,6 +18,7 @@ from conceptattention_tpu.serving.server import (
     EncodeRequest,
     GenerateRequest,
     RequestError,
+    VideoGenerateRequest,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "EncodeRequest",
     "GenerateRequest",
     "RequestError",
+    "VideoGenerateRequest",
 ]

@@ -46,6 +46,12 @@ def main(argv=None) -> None:
                    help="admission control: queued requests beyond this get "
                         "HTTP 503 + Retry-After instead of waiting toward "
                         "the request timeout (0 = unbounded)")
+    p.add_argument("--video", dest="video_model", default=None, metavar="NAME",
+                   const="cogvideox-5b", nargs="?",
+                   help="also serve POST /v1/generate_video from a CogVideoX-"
+                        "style video pipeline (config registry key; bare "
+                        "--video = cogvideox-5b). Shares the device "
+                        "dispatcher with image traffic")
     p.add_argument("--warmup", default=None, metavar="JSON",
                    help='pre-compile every bucket before listening, e.g. '
                         '\'{"prompt": "w", "concepts": ["object"], "width": 1024, '
@@ -76,8 +82,37 @@ def main(argv=None) -> None:
         keep_base_for_swap=args.lora_swap,
         **pipe_kwargs,
     )
+    video_pipeline = None
+    if args.video_model:
+        from conceptattention_tpu.models.video.dit import (
+            CogVideoXConfig,
+            cogvideox_5b_config,
+        )
+        from conceptattention_tpu.pipeline.video_pipeline import (
+            VideoConceptAttentionPipeline,
+        )
+
+        if args.video_model == "cogvideox-5b":
+            vcfg = cogvideox_5b_config()
+        elif args.video_model == "cogvideox-2b":
+            vcfg = CogVideoXConfig()
+        elif args.video_model == "cogvideox-tiny":
+            vcfg = CogVideoXConfig(
+                num_attention_heads=4, attention_head_dim=16,
+                time_embed_dim=32, text_embed_dim=64, num_layers=2,
+                max_text_seq_length=16,
+                use_rotary_positional_embeddings=True,
+            )
+        else:
+            p.error(f"unknown --video model {args.video_model!r} (expected "
+                    "cogvideox-5b / cogvideox-2b / cogvideox-tiny)")
+        video_pipeline = VideoConceptAttentionPipeline(
+            cfg=vcfg, quantize=args.quantize or False
+        )
+
     server = ConceptAttentionServer(
         pipeline,
+        video_pipeline=video_pipeline,
         host=args.host,
         port=args.port,
         max_batch=args.max_batch,

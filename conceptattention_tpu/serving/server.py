@@ -345,6 +345,77 @@ class LoraSwapRequest:
         return cls(paths=tuple(paths), strengths=tuple(strengths))
 
 
+_VIDEO_NONCE = iter(range(1 << 62))
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoGenerateRequest:
+    """One POST /v1/generate_video request: per-frame concept heatmaps from
+    the CogVideoX-style video DiT (pipeline `generate_video`; reference
+    experiments/video_model/run_video_concept_attention.py drives the same
+    path as a CLI experiment — this serves it). The video pipeline samples
+    at batch 1, so each request gets a unique batch key: the shared batcher
+    still serializes it against image generate/encode batches (one device
+    dispatcher), but never coalesces video requests together."""
+
+    prompt: str
+    concepts: Tuple[str, ...]
+    negative_prompt: str = ""
+    num_frames: int = 4
+    height: int = 32   # LATENT sizes (pre-patchify), like generate_video
+    width: int = 32
+    num_inference_steps: int = 10
+    guidance_scale: float = 6.0
+    scheduler: str = "ddim"
+    seed: int = 0
+    layer_indices: Optional[Tuple[int, ...]] = None
+    cmap: str = "plasma"
+    heatmap_format: str = "png"
+    return_cross_attention: bool = False
+    nonce: int = dataclasses.field(default_factory=lambda: next(_VIDEO_NONCE))
+
+    def batch_key(self) -> tuple:
+        return ("video", self.nonce)
+
+    @classmethod
+    def from_json(cls, body: dict) -> "VideoGenerateRequest":
+        _expect(isinstance(body, dict), "body must be a JSON object")
+        known = {f.name for f in dataclasses.fields(cls)} - {"nonce"}
+        unknown = set(body) - known
+        _expect(not unknown, f"unknown fields: {sorted(unknown)}")
+        prompt = body.get("prompt")
+        _expect(isinstance(prompt, str) and 0 < len(prompt) <= _MAX_PROMPT_CHARS,
+                f"prompt must be a non-empty string of <= {_MAX_PROMPT_CHARS} chars")
+        negative = body.get("negative_prompt", "")
+        _expect(isinstance(negative, str) and len(negative) <= _MAX_PROMPT_CHARS,
+                f"negative_prompt must be a string of <= {_MAX_PROMPT_CHARS} chars")
+        scheduler = body.get("scheduler", "ddim")
+        _expect(scheduler in ("ddim", "dpm"), "scheduler must be 'ddim' or 'dpm'")
+        guidance = body.get("guidance_scale", 6.0)
+        _expect(isinstance(guidance, (int, float)) and not isinstance(guidance, bool)
+                and 0.0 <= guidance <= 32.0, "guidance_scale must be in [0, 32]")
+        fmt, cmap = _req_format(body)
+        return cls(
+            prompt=prompt,
+            concepts=_req_concepts(body),
+            negative_prompt=negative,
+            num_frames=_req_int(body, "num_frames", 4, 1, 64),
+            # Latent-space sizes: 256 latent px = a 2048-px decoded frame.
+            height=_req_int(body, "height", 32, 2, 256),
+            width=_req_int(body, "width", 32, 2, 256),
+            num_inference_steps=_req_int(body, "num_inference_steps", 10, 1,
+                                         _MAX_STEPS),
+            guidance_scale=float(guidance),
+            scheduler=scheduler,
+            seed=_req_int(body, "seed", 0, -(2**31), 2**31 - 1),
+            layer_indices=_req_layer_indices(body),
+            cmap=cmap,
+            heatmap_format=fmt,
+            return_cross_attention=_req_bool(body, "return_cross_attention",
+                                             False),
+        )
+
+
 def _png_b64(pil_image) -> str:
     buf = io.BytesIO()
     pil_image.save(buf, format="PNG")
@@ -410,8 +481,12 @@ class ConceptAttentionServer:
         bucket_sizes: Sequence[int] = (1, 2, 4, 8),
         request_timeout_s: float = 600.0,
         max_queue_depth: Optional[int] = 64,
+        video_pipeline=None,
     ):
         self.pipeline = pipeline
+        # Optional ConceptAttentionVideoPipeline: enables /v1/generate_video
+        # on the same batcher/device dispatcher (404-equivalent 400 if absent).
+        self.video_pipeline = video_pipeline
         self.metrics = ServerMetrics()
         self.request_timeout_s = request_timeout_s
         self.max_queue_depth = max_queue_depth
@@ -470,6 +545,7 @@ class ConceptAttentionServer:
             def do_POST(self):
                 routes = {"/v1/generate": GenerateRequest,
                           "/v1/encode": EncodeRequest,
+                          "/v1/generate_video": VideoGenerateRequest,
                           "/v1/loras": LoraSwapRequest}
                 request_cls = routes.get(self.path)
                 if request_cls is None:
@@ -635,6 +711,26 @@ class ConceptAttentionServer:
                     "(restart with --lora_swap / keep_base_for_swap=True)"
                 )
             return
+        if isinstance(request, VideoGenerateRequest):
+            if self.video_pipeline is None:
+                raise RequestError(
+                    "this server was started without a video pipeline "
+                    "(pass video_pipeline= / the daemon's --video flag)"
+                )
+            vcfg = self.video_pipeline.cfg
+            if request.height % vcfg.patch_size or request.width % vcfg.patch_size:
+                raise RequestError(
+                    f"latent height/width must be divisible by "
+                    f"patch_size={vcfg.patch_size}"
+                )
+            if request.layer_indices is not None and any(
+                i >= vcfg.num_layers for i in request.layer_indices
+            ):
+                raise RequestError(
+                    f"layer_indices out of range for this video model "
+                    f"(num_layers {vcfg.num_layers})"
+                )
+            return
         depth = self.pipeline.cfg.depth
         if request.layer_indices is not None and any(
             i >= depth for i in request.layer_indices
@@ -666,6 +762,9 @@ class ConceptAttentionServer:
             return [(active, 1)]
         if isinstance(head, EncodeRequest):
             return [(self._run_encode(r), len(requests)) for r in requests]
+        if isinstance(head, VideoGenerateRequest):
+            # Unique batch key -> exactly one request per group (b1 sampler).
+            return [(self._run_video(r), 1) for r in requests]
         n = len(requests)
         m = next_bucket(n, self._buckets)
         prompts = [r.prompt for r in requests] + [head.prompt] * (m - n)
@@ -705,9 +804,52 @@ class ConceptAttentionServer:
             return_pil_heatmaps=False,  # formatting is per-request, later
         )
 
+    def _run_video(self, request: VideoGenerateRequest):
+        return self.video_pipeline.generate_video(
+            request.prompt,
+            list(request.concepts),
+            negative_prompt=request.negative_prompt,
+            num_frames=request.num_frames,
+            height=request.height,
+            width=request.width,
+            num_inference_steps=request.num_inference_steps,
+            guidance_scale=request.guidance_scale,
+            scheduler=request.scheduler,
+            seed=request.seed,
+            layer_indices=(None if request.layer_indices is None
+                           else list(request.layer_indices)),
+            return_cross_attention=request.return_cross_attention,
+        )
+
     def _format_result(self, request, output, batch_size: int) -> dict:
         if isinstance(request, LoraSwapRequest):
             return {"active_loras": output}
+        if isinstance(request, VideoGenerateRequest):
+            # concept_heatmaps: [C, F, h, w] -> {concept: [per-frame ...]}.
+            maps = np.asarray(output.concept_heatmaps, np.float32)
+            frames = [
+                _format_heatmaps(maps[:, f], request.concepts,
+                                 request.heatmap_format, request.cmap)
+                for f in range(maps.shape[1])
+            ]
+            payload = {
+                "concept_heatmaps": {
+                    c: [fr[c] for fr in frames] for c in request.concepts
+                },
+                "num_frames": int(maps.shape[1]),
+                "batch_size": batch_size,
+            }
+            if request.return_cross_attention:
+                xmaps = np.asarray(output.cross_attention_maps, np.float32)
+                xframes = [
+                    _format_heatmaps(xmaps[:, f], request.concepts,
+                                     request.heatmap_format, request.cmap)
+                    for f in range(xmaps.shape[1])
+                ]
+                payload["cross_attention_maps"] = {
+                    c: [fr[c] for fr in xframes] for c in request.concepts
+                }
+            return payload
         payload = {
             "concept_heatmaps": _format_heatmaps(
                 output.concept_heatmaps, request.concepts,

@@ -585,3 +585,93 @@ class TestLoraSwap:
             {"adapters": [{"path": adapter_path, "strength": "x"}]},
             path="/v1/loras")
         assert status == 400 and "strength" in data["error"]
+
+
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def video_server(pipe):
+    """Server with BOTH the tiny flux pipeline and a tiny video pipeline:
+    /v1/generate_video rides the same batcher as image traffic."""
+    from conceptattention_tpu.models.video.dit import CogVideoXConfig
+    from conceptattention_tpu.pipeline.video_pipeline import (
+        VideoConceptAttentionPipeline,
+    )
+
+    vpipe = VideoConceptAttentionPipeline(
+        cfg=CogVideoXConfig(
+            num_attention_heads=4, attention_head_dim=16, time_embed_dim=32,
+            text_embed_dim=64, num_layers=2, max_text_seq_length=16,
+            use_rotary_positional_embeddings=True,
+        ),
+        dtype=jnp.float32,
+    )
+    srv = ConceptAttentionServer(
+        pipe, port=0, max_batch=2, max_wait_ms=25, bucket_sizes=(2,),
+        request_timeout_s=300, video_pipeline=vpipe,
+    )
+    with srv:
+        yield srv, vpipe
+
+
+VIDEO_BODY = {
+    "prompt": "a river through a forest",
+    "concepts": ["river", "forest"],
+    "num_frames": 2,
+    "height": 8,
+    "width": 8,
+    "num_inference_steps": 2,
+    "seed": 5,
+}
+
+
+class TestVideoServing:
+    def test_video_roundtrip_matches_direct_call(self, video_server):
+        """POST /v1/generate_video == VideoConceptAttentionPipeline
+        .generate_video with the same args (the served path adds nothing
+        but transport)."""
+        server, vpipe = video_server
+        body = dict(VIDEO_BODY, heatmap_format="array")
+        status, data = _post(server.port, body, path="/v1/generate_video")
+        assert status == 200, data
+        assert data["num_frames"] == 2 and data["batch_size"] == 1
+        assert set(data["concept_heatmaps"]) == set(VIDEO_BODY["concepts"])
+
+        direct = vpipe.generate_video(
+            VIDEO_BODY["prompt"], VIDEO_BODY["concepts"],
+            num_frames=2, height=8, width=8, num_inference_steps=2, seed=5,
+        )
+        served = np.asarray(data["concept_heatmaps"]["river"], np.float32)
+        assert served.shape == tuple(direct.concept_heatmaps.shape[1:])
+        np.testing.assert_allclose(
+            served, np.asarray(direct.concept_heatmaps[0], np.float32),
+            atol=1e-5,
+        )
+
+    def test_video_png_format(self, video_server):
+        server, _ = video_server
+        status, data = _post(server.port, VIDEO_BODY,
+                             path="/v1/generate_video")
+        assert status == 200, data
+        frames = data["concept_heatmaps"]["river"]
+        assert len(frames) == VIDEO_BODY["num_frames"]
+        arr = _png_to_array(frames[0])
+        assert arr.shape[:2] == (8 // 2, 8 // 2)  # latent 8 / patch 2
+
+    def test_video_validation(self, video_server, server):
+        vsrv, _ = video_server
+        # odd latent size vs patch_size=2
+        status, data = _post(vsrv.port, dict(VIDEO_BODY, height=7),
+                             path="/v1/generate_video")
+        assert status == 400 and "patch_size" in data["error"]
+        # layer index beyond the tiny model's 2 layers
+        status, data = _post(vsrv.port, dict(VIDEO_BODY, layer_indices=[5]),
+                             path="/v1/generate_video")
+        assert status == 400 and "layer_indices" in data["error"]
+        # bad scheduler
+        status, data = _post(vsrv.port, dict(VIDEO_BODY, scheduler="euler"),
+                             path="/v1/generate_video")
+        assert status == 400 and "scheduler" in data["error"]
+        # a server started WITHOUT a video pipeline refuses with a 400
+        status, data = _post(server.port, VIDEO_BODY,
+                             path="/v1/generate_video")
+        assert status == 400 and "video pipeline" in data["error"]
