@@ -320,7 +320,9 @@ def run_video(iters: int = 4):
     raise RuntimeError("no video configuration fit the device")
 
 
-def run_encode(iters: int = 6):
+def run_encode(iters: int = 6, *, size: int = 1024, depth: int = 19,
+               quantize: str = "w8a8", backend: str = "pallas",
+               ae_cfg_overrides: dict = None, cfg_overrides: dict = None):
     """The real-image encode rung: the reference's flagship eval use case —
     VAE-encode a 1024^2 image, forward-noise, ONE stopped DiT forward
     (stop_after_multimodal_attentions: double blocks only, reference
@@ -341,35 +343,42 @@ def run_encode(iters: int = 6):
     )
     from conceptattention_tpu.utils.profiling import loop_rate
 
-    cfg = FluxConfig(depth=19, depth_single_blocks=38, guidance_embed=False)
+    cfg = FluxConfig(depth=depth, depth_single_blocks=2 * depth,
+                     guidance_embed=False, **(cfg_overrides or {}))
     dtype = jnp.bfloat16
-    t, c = 256, 4
+    t, c = (16 if cfg_overrides else 256), 4  # tiny test config: short text
     key = jax.random.PRNGKey(11)
     keys = jax.random.split(key, 4)
     params = init_flux_params_quantized(
-        keys[0], cfg, dtype, mode=resolve_quant_mode("w8a8")
+        keys[0], cfg, dtype, mode=resolve_quant_mode(quantize)
     )
-    ae_cfg = AutoEncoderConfig()
+    ae_cfg = AutoEncoderConfig(**(ae_cfg_overrides or {}))
     ae_params = vae.init_autoencoder_params(keys[1], ae_cfg, dtype)
+    # pixels -> z_channels latents at size/vae_factor -> 2x2-packed tokens
+    vae_factor = 2 ** (len(ae_cfg.ch_mult) - 1)
+    grid = size // vae_factor // 2
 
-    # --- VAE encoder at 1024^2 (NCHW fast path, the pipeline's
-    # _encode_pixels route, concept_pipeline.py) ---
-    x = jax.random.uniform(keys[2], (1, 3, 1024, 1024), dtype, -1.0, 1.0)
+    # --- VAE encoder (NCHW fast path, the pipeline's _encode_pixels route,
+    # concept_pipeline.py) ---
+    x = jax.random.uniform(keys[2], (1, 3, size, size), dtype, -1.0, 1.0)
 
-    def enc(ae_params, x):
+    def enc(x, ae_params):
+        # Array arg FIRST: loop_rate's default perturbation scales args[0]
+        # to keep iterations non-foldable (a dict there has no .dtype).
         return vae.encode(ae_params, ae_cfg, x)
 
-    t_vae = loop_rate(enc, ae_params, x, iters=iters)
+    t_vae = loop_rate(enc, x, ae_params, iters=iters)
 
-    # --- stopped forward (depth-19 double blocks only) at n samples ---
+    # --- stopped forward (double blocks only) at n samples ---
     spec = ConceptAttentionSpec(taps=("output", "cross_attention"),
-                                backend="pallas")
+                                backend=backend)
 
     def stopped(n):
         kz, kt, kc = jax.random.split(keys[3], 3)
-        z = jax.random.normal(kz, (n, 16, 128, 128), dtype)
+        z = jax.random.normal(kz, (n, ae_cfg.z_channels, 2 * grid, 2 * grid),
+                              dtype)
         img = pack_latents(z)
-        img_ids = make_img_ids(64, 64, n)
+        img_ids = make_img_ids(grid, grid, n)
         txt = jax.random.normal(kt, (n, t, cfg.context_in_dim), dtype)
         txt_ids = jnp.zeros((n, t, 3), jnp.float32)
         vec = jnp.zeros((n, cfg.vec_in_dim), dtype)
@@ -377,7 +386,7 @@ def run_encode(iters: int = 6):
         con_ids = jnp.zeros((n, c, 3), jnp.float32)
         t_vec = jnp.full((n,), 0.5, jnp.float32)
 
-        def fwd(params, img):
+        def fwd(img, params):
             _, sal = flux_forward(
                 params, cfg, img=img, img_ids=img_ids, txt=txt,
                 txt_ids=txt_ids, timesteps=t_vec, y=vec,
@@ -385,7 +394,7 @@ def run_encode(iters: int = 6):
                 stop_after_multimodal_attentions=True, spec=spec,
             )
             return sal
-        return loop_rate(fwd, params, img, iters=iters)
+        return loop_rate(fwd, img, params, iters=iters)
 
     t_fwd1 = stopped(1)
     t_fwd4 = stopped(4)

@@ -42,3 +42,22 @@ def test_flux_denoise_ops_split(bench_mod):
     # singles run at S=4352 over 38 layers, doubles at S=4352(+concepts)
     # over 19: the single stack carries ~2x the double attention ops
     assert 1.5 < at_s / at_d < 2.5
+
+
+def test_encode_rung_tiny(bench_mod):
+    """Full run_encode path at flux-tiny scale on CPU — catches arg-order /
+    shape bugs in the rung itself (the on-chip r05 run hit exactly one:
+    loop_rate perturbs args[0], which must be an array, not the params)."""
+    rec = bench_mod.run_encode(
+        iters=2, size=64, depth=2, quantize="w8a8",
+        backend="pallas_interpret",
+        ae_cfg_overrides=dict(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                              z_channels=4),
+        cfg_overrides=dict(in_channels=16, vec_in_dim=32, context_in_dim=64,
+                           hidden_size=128, num_heads=4,
+                           axes_dim=(8, 12, 12)),
+    )
+    assert rec["value"] > 0
+    assert rec["vae_encode_ms"] > 0
+    assert rec["stopped_forward_ms_n1"] > 0
+    assert rec["stopped_forward_ms_n4"] > 0
