@@ -556,7 +556,10 @@ def attempt(depth: int, depth_single: int, quantize: bool, backends,
             concept_ids=concept_ids if with_concepts else None,
             concept_vec=concept_vec if with_concepts else None,
             spec=ConceptAttentionSpec(taps=("output", "cross_attention"),
-                                      backend=name, int8_qk=(i8 == "i8")),
+                                      backend=name, int8_qk=(i8 == "i8"),
+                                      stash_dtype="bf16"),  # production cfg:
+            # the pipeline stashes bf16 on TPU (halves the 50-step flux-dev
+            # stash that pushed heatmap overhead past the <5% gate in r05)
         )
         # Scalar checksum: fetching it to host forces the full computation.
         # (On the axon backend block_until_ready does NOT synchronize device

@@ -61,6 +61,15 @@ class ConceptAttentionSpec:
     # K row is quantized once per (b, h) in the kernel's fill-time cache).
     # Accuracy: max |Δ| ~1e-2 on unit-variance inputs (tested); opt-in.
     int8_qk: bool = False
+    # Storage dtype for the per-step saliency stash the sampler scan stacks
+    # ([S, L, B, C, P] per tap). None keeps the f32 the similarity taps
+    # compute in; "bf16" halves the resident bytes and the per-step stash
+    # write bandwidth (the flux-dev 50-step config carries 124 MB f32;
+    # measured overhead above BASELINE's <5% gate in the r05 capture).
+    # Similarity is COMPUTED in f32 either way (preferred_element_type);
+    # only the stacked copy is rounded, and heatmap post-processing upcasts
+    # before softmax/normalization. Quality gated in tests/test_pipeline.py.
+    stash_dtype: Optional[str] = None
     # Ring backend only: the jax.sharding.Mesh to shard over and its
     # sequence axis name. batch_axis/head_axis optionally compose the ring
     # with dp (batch) and tp (heads) in one mesh — dp x sp x tp.

@@ -439,6 +439,11 @@ class ConceptAttentionFluxPipeline:
             taps=("output", "cross_attention"),
             backend=self.attention_backend,
             int8_qk=self.int8_qk,
+            # bf16 stash on TPU-like backends only (same split as
+            # decode_dtype): halves the resident per-step saliency bytes the
+            # sampler scan stacks; CPU tests keep the exact-f32 stash.
+            stash_dtype=("bf16" if self.decode_dtype == jnp.bfloat16
+                         else None),
             # Ring (sequence-parallel) backends shard the image tokens over
             # the mesh's "seq" axis; other backends take placement from the
             # params' NamedShardings and need no mesh in the (static) spec.

@@ -65,7 +65,9 @@ def reduce_maps(
     concept_attention_pipeline.py:64-65).
     """
     norm = "softmax" if (softmax or attention_norm == "softmax") else attention_norm
-    maps = apply_attention_norm(maps, norm, axis=-2)
+    # A bf16 stash (ConceptAttentionSpec.stash_dtype) rounds only storage;
+    # all normalization/averaging runs in f32 regardless.
+    maps = apply_attention_norm(maps.astype(jnp.float32), norm, axis=-2)
     # Validate statically: JAX gather clamps out-of-range indices silently,
     # which would average duplicated steps instead of erroring (e.g. user
     # timesteps=[0..3] after init_image shortened the schedule).

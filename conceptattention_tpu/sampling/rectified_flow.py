@@ -157,6 +157,13 @@ def denoise(
         # Euler step with float32 accumulation (strictly more accurate than
         # the reference's bf16-in-place update).
         x = (x.astype(jnp.float32) + (t_prev - t_curr) * pred.astype(jnp.float32)).astype(x.dtype)
+        if spec.stash_dtype == "bf16":
+            # Round only the scan-stacked copy (similarity is computed in
+            # f32); halves the [S, L, B, C, P]-per-tap stash bytes — the
+            # flux-dev 50-step heatmap-overhead lever (see the spec field).
+            saliency = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), saliency
+            )
         return x, saliency
 
     img, saliency = jax.lax.scan(step, img, steps)
