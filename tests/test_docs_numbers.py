@@ -41,7 +41,9 @@ def _latest_bench():
         with open(path) as f:
             data = json.load(f)
         parsed = data.get("parsed", data)
-        if "value" in parsed:
+        # Only bare-run captures have the headline shape the table quotes;
+        # single-rung artifacts (e.g. bench_local_encode.json) gate nothing.
+        if "value" in parsed and "phases" in parsed:
             captures.append((os.path.basename(path), parsed))
     if not captures:
         pytest.skip("no committed bench capture")
