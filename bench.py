@@ -398,6 +398,26 @@ def run_encode(iters: int = 6, *, size: int = 1024, depth: int = 19,
 
     t_fwd1 = stopped(1)
     t_fwd4 = stopped(4)
+
+    # --- image-batched eval mode (harness --image_batch: B images per
+    # dispatch, one batched VAE encode + one stopped forward; the stopped
+    # forward at B=8 is shape-identical to 8 distinct images since per-image
+    # text/concepts only change values, not shapes) ---
+    eval_b8 = {}
+    try:
+        x8 = jax.random.uniform(keys[2], (8, 3, size, size), dtype, -1.0, 1.0)
+        t_vae8 = loop_rate(enc, x8, ae_params, iters=iters)
+        t_fwd8 = stopped(8)
+        eval_b8 = {
+            "vae_encode_ms_b8": round(t_vae8 * 1000, 1),
+            "stopped_forward_ms_b8": round(t_fwd8 * 1000, 1),
+            "eval_images_per_sec_b8": round(8.0 / (t_vae8 + t_fwd8), 4),
+            "imagenet_seg_4.3k_est_min_b8": round(
+                4300 * (t_vae8 + t_fwd8) / 8 / 60, 1),
+        }
+    except Exception as e:  # RESOURCE_EXHAUSTED etc.: keep the b1/n4 record
+        eval_b8 = {"eval_b8_error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     record = {
         "metric": (
             "encode-path images/sec flux-schnell-d19 1024px stopped forward "
@@ -415,6 +435,7 @@ def run_encode(iters: int = 6, *, size: int = 1024, depth: int = 19,
         "images_per_sec_n4_samples": round(1.0 / (t_vae + t_fwd4), 4),
         "imagenet_seg_4.3k_est_min_n1": round(
             4300 * (t_vae + t_fwd1) / 60, 1),
+        **eval_b8,
     }
     return record
 

@@ -77,25 +77,38 @@ class SegmentationModel(abc.ABC):
             coefficients, recon = self.segment_individual_image(
                 image, concepts, captions[index], **kwargs
             )
-            coefficients = np.asarray(coefficients, dtype=np.float32)
-            if apply_blur:
-                # native C++ kernel when built; numpy (gaussian_blur_3x3)
-                # otherwise — identical output (tests/test_native.py)
-                from conceptattention_tpu.native import gaussian_blur3
-
-                coefficients = gaussian_blur3(coefficients).astype(np.float32)
-            if target_concepts is None:
-                mean_values = coefficients.mean(axis=(1, 2), keepdims=True)
-                all_masks.append(coefficients > mean_values)
-                all_coefficients.append(coefficients)
-            else:
-                idx = concepts.index(target_concepts[index])
-                coeff = coefficients[idx]
-                threshold = coeff.mean() if mean_value_threshold else 0.0
-                all_masks.append(coeff > threshold)
-                all_coefficients.append(coeff)
+            mask, coeff = self._postprocess_coefficients(
+                coefficients,
+                None if target_concepts is None else target_concepts[index],
+                concepts, mean_value_threshold, apply_blur,
+            )
+            all_masks.append(mask)
+            all_coefficients.append(coeff)
             reconstructed.append(recon)
         return all_masks, all_coefficients, reconstructed
+
+    @staticmethod
+    def _postprocess_coefficients(
+        coefficients, target_concept, concepts,
+        mean_value_threshold: bool, apply_blur: bool,
+    ):
+        """Shared mask/threshold tail of the protocol (reference
+        segmentation.py:33-83) — one copy for the per-image and batched
+        paths so they can never diverge."""
+        coefficients = np.asarray(coefficients, dtype=np.float32)
+        if apply_blur:
+            # native C++ kernel when built; numpy (gaussian_blur_3x3)
+            # otherwise — identical output (tests/test_native.py)
+            from conceptattention_tpu.native import gaussian_blur3
+
+            coefficients = gaussian_blur3(coefficients).astype(np.float32)
+        if target_concept is None:
+            mean_values = coefficients.mean(axis=(1, 2), keepdims=True)
+            return coefficients > mean_values, coefficients
+        idx = concepts.index(target_concept)
+        coeff = coefficients[idx]
+        threshold = coeff.mean() if mean_value_threshold else 0.0
+        return coeff > threshold, coeff
 
 
 class FluxTapSegmentationModel(SegmentationModel):
@@ -190,6 +203,86 @@ class FluxTapSegmentationModel(SegmentationModel):
         coeff = jnp.mean(sel, axis=(0, 1))[0]  # [C, P]
         coeff = coeff.reshape(len(concepts), lh // 2, lw // 2)
         return np.asarray(coeff, dtype=np.float32), None
+
+    def segment_batch(
+        self,
+        images,
+        target_concepts,
+        concepts_list,
+        captions,
+        mean_value_threshold: bool = True,
+        apply_blur: bool = False,
+    ):
+        """B images in ONE batched VAE encode + stopped forward.
+
+        Output-identical to B sequential `__call__` invocations
+        (tests/test_seg_batch.py): the VAE reparameterization draw and the
+        per-sample diffusion-noise draws are shared across the batch exactly
+        as the per-image path draws them (same model-level seed). Per-image
+        concept lists (`concepts_list[b]`) may differ but must share a
+        length — the eval harness groups images accordingly. Returns
+        (masks, coefficients, reconstructed=None list) like `__call__`.
+
+        This is the harness throughput lever the encode rung measures:
+        batching the stopped forward drops the per-image marginal cost ~2.9×
+        (`bench.py --encode`, n1 vs n4)."""
+        from conceptattention_tpu.pipeline.concept_pipeline import (
+            batched_images_saliency,
+        )
+
+        B = len(images)
+        assert len(concepts_list) == B and len(captions) == B
+        C = len(concepts_list[0])
+        assert all(len(c) == C for c in concepts_list), (
+            "per-image concept lists must share a length in one batch"
+        )
+        pipe = self.pipe
+        zs = pipe._encode_pixels_batch(
+            images, self.height, self.width, self.seed, sample=self.vae_sample
+        )
+        _, _, lh, lw = zs.shape
+        schedule = get_schedule(
+            self.num_steps, (lh // 2) * (lw // 2), shift=(not pipe.is_schnell)
+        )
+        t = schedule[self.noise_timestep]
+
+        # One batched T5 forward over the captions (rows are per-sequence
+        # independent under max_length padding, so they equal the per-image
+        # encodes); concepts embed per image and stack.
+        txts = pipe.text_encoders.encode_t5(list(captions)).astype(pipe.dtype)
+        txt_ids = jnp.zeros((B, txts.shape[1], 3), dtype=jnp.float32)
+        per_image = [pipe._prepare_concepts(c, 1) for c in concepts_list]
+        c_embs = jnp.concatenate([e for e, _, _ in per_image], axis=0)
+        c_ids = jnp.concatenate([i for _, i, _ in per_image], axis=0)
+        c_vecs = jnp.concatenate([v for _, _, v in per_image], axis=0)
+
+        saliency = batched_images_saliency(
+            pipe, zs, t, self.num_samples, self.height, self.width, self.seed,
+            txts, txt_ids, c_vecs, c_embs, c_ids, c_vecs,
+            ConceptAttentionSpec(
+                taps=(self.tap,), backend=default_backend(),
+                cross_attention=self.concept_cross_attention,
+                self_attention=self.concept_self_attention,
+            ),
+        )
+        stacked = saliency[self.tap]  # [B, N, L, C, P]
+        if self.softmax:
+            stacked = apply_attention_norm(stacked, "softmax", axis=-2)
+        sel = stacked[:, :, jnp.asarray(self.layer_indices)]
+        coeff = jnp.mean(sel, axis=(1, 2))  # [B, C, P]
+        coeff = np.asarray(
+            coeff.reshape(B, C, lh // 2, lw // 2), dtype=np.float32
+        )
+        masks, coefficients = [], []
+        for b in range(B):
+            mask, cf = self._postprocess_coefficients(
+                coeff[b],
+                None if target_concepts is None else target_concepts[b],
+                concepts_list[b], mean_value_threshold, apply_blur,
+            )
+            masks.append(mask)
+            coefficients.append(cf)
+        return masks, coefficients, [None] * B
 
     def per_layer_coefficients(self, image, concepts, caption) -> np.ndarray:
         """[depth, C, h, w] coefficient maps, one per double-stream layer,

@@ -112,6 +112,58 @@ def batched_noise_saliency(
     )
 
 
+def batched_images_saliency(
+    pipe, zs, t, num_samples, height, width, seed,
+    txts, txt_ids, vec, c_embs, c_ids, c_vecs, spec, stop_after=True,
+):
+    """Multi-image variant of `batched_noise_saliency`: B images × N noise
+    samples in ONE stopped forward (the eval harness's throughput lever —
+    the per-eval-image marginal cost at B=4 already drops ~2.9× vs B=1,
+    `bench.py --encode`). Inputs carry a leading image axis: `zs`
+    [B, Cz, H', W'], `txts` [B, T, d], `c_embs` [B, C, d] (per-image concept
+    lists may differ but must share a length), `vec`/`c_vecs` [B, d].
+
+    Noise draws are keyed PRNGKey(seed + i) per sample and SHARED across
+    images — exactly what B separate `segment_individual_image` calls draw,
+    since each uses the same model-level seed. Returns the saliency dict as
+    [B, N, L, C, P] (image leading)."""
+    B, _, lh, lw = zs.shape
+    n = num_samples
+    noised = jnp.concatenate(
+        [
+            forward_noise(
+                zs,
+                jnp.broadcast_to(
+                    get_noise(
+                        jax.random.PRNGKey(seed + i), 1, height, width,
+                        pipe.dtype, channels=pipe.spec.ae_params.z_channels,
+                        vae_factor=pipe.vae_factor,
+                    ),
+                    zs.shape,
+                ),
+                t,
+            )
+            for i in range(n)
+        ],
+        axis=0,
+    )  # [N*B, Cz, H', W'], sample-major
+    tile = lambda a: jnp.concatenate([a] * n, axis=0)  # noqa: E731
+    saliency = _encode_forward(
+        pipe.params, pipe.cfg, pack_latents(noised),
+        make_img_ids(lh // 2, lw // 2, n * B),
+        tile(txts), tile(txt_ids), tile(vec), tile(c_embs), tile(c_ids),
+        tile(c_vecs), jnp.full((n * B,), t, dtype=jnp.float32),
+        spec, stop_after=stop_after,
+    )
+    # [L, N*B, C, P] -> image-leading [B, N, L, C, P]
+    return jax.tree.map(
+        lambda a: jnp.transpose(
+            a.reshape(a.shape[0], n, B, *a.shape[2:]), (2, 1, 0, 3, 4)
+        ),
+        saliency,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "stop_after"))
 def _encode_forward(
     params, cfg, img, img_ids, txt, txt_ids, vec,
@@ -149,6 +201,30 @@ def _vae_decode(ae_params, cfg, latents_packed, h_tokens, w_tokens,
     return vae.decode_nhwc(
         jax.tree.map(lambda x: x.astype(dtype), ae_params), cfg, z
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sample"))
+def _vae_encode(ae_params, cfg, x, key, sample=True):
+    """NCHW VAE encode under ONE jit. The eager spelling (op-by-op
+    `vae.encode`) dispatches ~200 ops; at this backend's 30-90 ms
+    per-dispatch overhead that alone would dominate the eval path — jitted,
+    the 1024² encode measures 72.9 ms on-chip (`bench.py --encode`).
+
+    The reparameterization draw is shaped [1, ...] and broadcast over the
+    batch, so a B-image batch draws the SAME noise each image would draw
+    alone (the per-image path keys every image identically with the
+    model-level seed) — batched and per-image encodes stay bit-comparable.
+    `key` is unused (pass None) when sample=False: posterior mean, the
+    deterministic-eval mode (reference DiagonalGaussian(sample=...),
+    flux modules/autoencoder.py:262-274)."""
+    moments = vae.encoder_apply(ae_params["encoder"], cfg, x)
+    mean, logvar = jnp.split(moments, 2, axis=1)
+    if sample:
+        eps = jax.random.normal(key, (1, *mean.shape[1:]), mean.dtype)
+        z = mean + jnp.exp(0.5 * logvar) * eps
+    else:
+        z = mean
+    return cfg.scale_factor * (z - cfg.shift_factor)
 
 
 def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
@@ -824,8 +900,31 @@ class ConceptAttentionFluxPipeline:
         # bit-identical to the VAE noise (same shape), correlating them.
         vae_key = (jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
                    if sample else None)
-        return vae.encode(
-            self.ae_params, self.spec.ae_params, x, key=vae_key
+        return _vae_encode(
+            self.ae_params, self.spec.ae_params, x, vae_key, sample=sample
+        ).astype(self.dtype)
+
+    def _encode_pixels_batch(self, images, height: int, width: int,
+                             seed: int, sample: bool = True) -> jax.Array:
+        """B images -> [B, 16, H/8, W/8] latents in ONE batched encoder
+        forward. Bit-comparable with B per-image `_encode_pixels` calls:
+        every image there draws the same VAE noise (same model-level seed),
+        and `_vae_encode` broadcasts one [1, ...] reparameterization draw
+        over the batch to match."""
+        x = jnp.concatenate(
+            [
+                jax.image.resize(
+                    jnp.asarray(2.0 * as_float01_chw(im) - 1.0)[None],
+                    (1, 3, height, width), method="bilinear",
+                )
+                for im in images
+            ],
+            axis=0,
+        )
+        vae_key = (jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
+                   if sample else None)
+        return _vae_encode(
+            self.ae_params, self.spec.ae_params, x, vae_key, sample=sample
         ).astype(self.dtype)
 
     @staticmethod

@@ -64,6 +64,13 @@ def main():
     # the full-resolution threshold, exactly as the reference does.
     parser.add_argument("--downscale", type=int, default=None)
     parser.add_argument("--num_images", type=int, default=None)
+    parser.add_argument("--image_batch", type=int, default=1,
+                        help="flux taps only: VAE-encode + stopped-forward "
+                        "this many images per dispatch (segment_batch; "
+                        "output-identical to per-image, ~2.9x lower "
+                        "marginal cost per image on-chip — bench.py "
+                        "--encode). Images whose concept-list length "
+                        "differs start a new batch.")
     parser.add_argument("--background_concepts", nargs="+",
                         default=["background", "floor", "grass", "tree", "sky"])
     parser.add_argument("--state_path", default=None,
@@ -124,16 +131,14 @@ def main():
 
     n = len(dataset) if args.num_images is None else min(args.num_images, len(dataset))
     constant_maps = 0  # degenerate (constant) coefficient maps seen
-    for i in range(start, n):
-        image, gt_mask, name = dataset[i]
-        target = name.split("_")[0].replace("-", " ")
-        concepts = [target] + [
+
+    def concepts_for(target):
+        return [target] + [
             c for c in args.background_concepts if c != target
         ]
-        masks, coeffs, _ = model(
-            [image], target_concepts=[target], concepts=concepts,
-            captions=[target], apply_blur=args.apply_blur,
-        )
+
+    def score_one(i, name, gt_mask, masks, coeffs):
+        nonlocal constant_maps
         # Min-max rescale of the soft coefficients BEFORE AP scoring
         # (reference run_experiment.py:177-178). Not rank-invariant here:
         # get_ap_scores flattens the {bg=1-c, fg=c} channels together, so
@@ -186,6 +191,46 @@ def main():
                   get_ap_scores(soft, label224[None]), i + 1)
         print(f"[{i+1}/{n}] {name}: {st.summary()}", flush=True)
         st.save(args.state_path)
+
+    batched = args.image_batch > 1 and type(model) is FluxTapSegmentationModel
+    if args.image_batch > 1 and not batched:
+        print("WARNING: --image_batch applies only to the flux taps "
+              "(RawOutputSpace/RawCrossAttention/RawValueSpace); running "
+              "per-image", flush=True)
+    i = start
+    while i < n:
+        if batched:
+            # Group consecutive images sharing a concept-list length into one
+            # segment_batch dispatch (output-identical to per-image;
+            # tests/test_seg_batch.py).
+            group = []
+            while i < n and len(group) < args.image_batch:
+                image, gt_mask, name = dataset[i]
+                target = name.split("_")[0].replace("-", " ")
+                cl = concepts_for(target)
+                if group and len(cl) != len(group[0][4]):
+                    break
+                group.append((i, name, gt_mask, image, cl, target))
+                i += 1
+            masks, coeffs, _ = model.segment_batch(
+                [g[3] for g in group],
+                target_concepts=[g[5] for g in group],
+                concepts_list=[g[4] for g in group],
+                captions=[g[5] for g in group],
+                apply_blur=args.apply_blur,
+            )
+            for j, (gi, name, gt_mask, _, _, _) in enumerate(group):
+                score_one(gi, name, gt_mask, masks[j:j + 1], coeffs[j:j + 1])
+        else:
+            image, gt_mask, name = dataset[i]
+            target = name.split("_")[0].replace("-", " ")
+            masks, coeffs, _ = model(
+                [image], target_concepts=[target],
+                concepts=concepts_for(target), captions=[target],
+                apply_blur=args.apply_blur,
+            )
+            score_one(i, name, gt_mask, masks, coeffs)
+            i += 1
 
     if constant_maps:
         print(f"WARNING: {constant_maps} constant coefficient map(s) were "
