@@ -123,31 +123,25 @@ def batched_images_saliency(
     [B, Cz, H', W'], `txts` [B, T, d], `c_embs` [B, C, d] (per-image concept
     lists may differ but must share a length), `vec`/`c_vecs` [B, d].
 
-    Noise draws are keyed PRNGKey(seed + i) per sample and SHARED across
-    images — exactly what B separate `segment_individual_image` calls draw,
-    since each uses the same model-level seed. Returns the saliency dict as
-    [B, N, L, C, P] (image leading)."""
+    `seed` may be one int (every image keys sample i as PRNGKey(seed + i) —
+    exactly what B separate `segment_individual_image` calls draw, since
+    each uses the same model-level seed) or a per-image sequence (coalesced
+    serving requests with distinct seeds: image b keys PRNGKey(seed_b + i),
+    matching what its own single-image `encode_image` would draw). Returns
+    the saliency dict as [B, N, L, C, P] (image leading)."""
     B, _, lh, lw = zs.shape
     n = num_samples
-    noised = jnp.concatenate(
-        [
-            forward_noise(
-                zs,
-                jnp.broadcast_to(
-                    get_noise(
-                        jax.random.PRNGKey(seed + i), 1, height, width,
-                        pipe.dtype, channels=pipe.spec.ae_params.z_channels,
-                        vae_factor=pipe.vae_factor,
-                    ),
-                    zs.shape,
-                ),
-                t,
-            )
-            for i in range(n)
-        ],
-        axis=0,
-    )  # [N*B, Cz, H', W'], sample-major
+    seeds = _seeds_list(seed, B)
+    keys = jnp.stack([
+        jax.random.PRNGKey(seeds[b] + i)
+        for i in range(n) for b in range(B)  # sample-major
+    ])
+    eps = _noise_for_keys(
+        keys, height, width, pipe.dtype,
+        pipe.spec.ae_params.z_channels, pipe.vae_factor,
+    )  # [N*B, Cz, H', W']
     tile = lambda a: jnp.concatenate([a] * n, axis=0)  # noqa: E731
+    noised = forward_noise(tile(zs), eps, t)  # [N*B, ...], sample-major
     saliency = _encode_forward(
         pipe.params, pipe.cfg, pack_latents(noised),
         make_img_ids(lh // 2, lw // 2, n * B),
@@ -204,27 +198,53 @@ def _vae_decode(ae_params, cfg, latents_packed, h_tokens, w_tokens,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sample"))
-def _vae_encode(ae_params, cfg, x, key, sample=True):
+def _vae_encode(ae_params, cfg, x, keys, sample=True):
     """NCHW VAE encode under ONE jit. The eager spelling (op-by-op
     `vae.encode`) dispatches ~200 ops; at this backend's 30-90 ms
     per-dispatch overhead that alone would dominate the eval path — jitted,
     the 1024² encode measures 72.9 ms on-chip (`bench.py --encode`).
 
-    The reparameterization draw is shaped [1, ...] and broadcast over the
-    batch, so a B-image batch draws the SAME noise each image would draw
-    alone (the per-image path keys every image identically with the
-    model-level seed) — batched and per-image encodes stay bit-comparable.
-    `key` is unused (pass None) when sample=False: posterior mean, the
-    deterministic-eval mode (reference DiagonalGaussian(sample=...),
-    flux modules/autoencoder.py:262-274)."""
+    `keys` is a stacked [B] array of per-image PRNG keys (None when
+    sample=False: posterior mean, the deterministic-eval mode — the
+    reference's DiagonalGaussian(sample=...), flux
+    modules/autoencoder.py:262-274). Each image's reparameterization draw is
+    normal(key_b, mean.shape[1:]) — bit-identical to the [1, ...]-shaped
+    draw a single-image encode makes with the same key (same counter
+    count), so batched == per-image holds even when coalesced requests
+    carry DISTINCT seeds (the served-encode case), and images sharing a
+    seed share the draw (the eval-harness case)."""
     moments = vae.encoder_apply(ae_params["encoder"], cfg, x)
     mean, logvar = jnp.split(moments, 2, axis=1)
     if sample:
-        eps = jax.random.normal(key, (1, *mean.shape[1:]), mean.dtype)
+        eps = jax.vmap(
+            lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
+        )(keys)
         z = mean + jnp.exp(0.5 * logvar) * eps
     else:
         z = mean
     return cfg.scale_factor * (z - cfg.shift_factor)
+
+
+def _seeds_list(seed, batch: int) -> list:
+    """Normalize an int-or-sequence seed argument to a per-image list."""
+    if np.isscalar(seed):
+        return [int(seed)] * batch
+    seeds = [int(s) for s in seed]
+    assert len(seeds) == batch, f"{len(seeds)} seeds for {batch} images"
+    return seeds
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "dtype", "channels", "vae_factor"),
+)
+def _noise_for_keys(keys, height, width, dtype, channels, vae_factor):
+    """[K] stacked keys -> [K, Cz, H', W'] latent noise; each row is
+    bit-identical to `get_noise(key, 1, ...)[0]` for that key."""
+    return jax.vmap(
+        lambda k: get_noise(k, 1, height, width, dtype,
+                            channels=channels, vae_factor=vae_factor)[0]
+    )(keys)
 
 
 def _vae_decode_f32(ae_params, cfg, latents_packed, h_tokens, w_tokens):
@@ -878,6 +898,100 @@ class ConceptAttentionFluxPipeline:
         )
 
     # ------------------------------------------------------------------
+    def encode_images(
+        self,
+        images,
+        concepts,
+        prompts=None,
+        width: int = 1024,
+        height: int = 1024,
+        layer_indices: Optional[Sequence[int]] = None,
+        num_samples: int = 1,
+        num_steps: int = 4,
+        noise_timestep: int = 2,
+        return_pil_heatmaps: bool = True,
+        seeds=None,
+        cmap: str = "plasma",
+        stop_after_multi_modal_attentions: bool = True,
+        attention_norm: str = "sparsemax",
+        softmax: bool = True,
+    ) -> List[ConceptAttentionPipelineOutput]:
+        """`encode_image` for B real images in ONE batched VAE encode +
+        stopped forward — the served `/v1/encode` coalescing path (cross-
+        request batching drops the per-image marginal cost ~2.9×, `bench.py
+        --encode`).
+
+        `concepts` is one shared list or a per-image list of lists (lengths
+        must match — the server guarantees it via the batch key); `prompts`
+        one string or a per-image list; `seeds` one int or per-image.
+        Output-identical to B sequential `encode_image` calls
+        (tests/test_seg_batch.py::TestEncodeImages): per-image noise keys
+        and per-image VAE reparameterization draws match what each image
+        would draw alone."""
+        B = len(images)
+        assert B >= 1
+        if concepts and isinstance(concepts[0], str):
+            concepts_list = [list(concepts)] * B
+        else:
+            concepts_list = [list(c) for c in concepts]
+            assert len(concepts_list) == B
+        C = len(concepts_list[0])
+        assert all(len(c) == C for c in concepts_list), (
+            "per-image concept lists must share a length in one batch"
+        )
+        if prompts is None:
+            prompts = [""] * B
+        elif isinstance(prompts, str):
+            prompts = [prompts] * B
+        assert len(prompts) == B
+        seeds = _seeds_list(0 if seeds is None else seeds, B)
+
+        depth = self.cfg.depth
+        if layer_indices is None:
+            layer_indices = list(range(max(0, depth - 4), depth))
+        assert all(0 <= i < depth for i in layer_indices), "Invalid layer index"
+        assert height % 16 == 0 and width % 16 == 0, (
+            "height/width must be multiples of 16 (VAE 8x + 2x2 packing)")
+
+        zs = self._encode_pixels_batch(images, height, width, seeds)
+        _, _, lh, lw = zs.shape
+        schedule = get_schedule(
+            num_steps, (lh // 2) * (lw // 2), shift=(not self.is_schnell)
+        )
+        t = schedule[noise_timestep]
+
+        txts = self.text_encoders.encode_t5(list(prompts)).astype(self.dtype)
+        txt_ids = jnp.zeros((B, txts.shape[1], 3), dtype=jnp.float32)
+        per_image = [self._prepare_concepts(c, 1) for c in concepts_list]
+        c_embs = jnp.concatenate([e for e, _, _ in per_image], axis=0)
+        c_ids = jnp.concatenate([i for _, i, _ in per_image], axis=0)
+        c_vecs = jnp.concatenate([v for _, _, v in per_image], axis=0)
+
+        # y = the zeroed concept CLIP vector, as in encode_image (reference
+        # raw_output_space.py:195).
+        saliency = batched_images_saliency(
+            self, zs, t, num_samples, height, width, seeds,
+            txts, txt_ids, c_vecs, c_embs, c_ids, c_vecs,
+            self._attention_spec(),
+            stop_after=stop_after_multi_modal_attentions,
+        )
+
+        grid = (lh // 2, lw // 2)
+        outputs = []
+        for b in range(B):
+            # [N, L, C, P] -> the [N, L, 1, C, P] layout reduce_maps expects
+            sal_b = jax.tree.map(lambda a: a[b][:, :, None], saliency)
+            outputs.append(self._package_output(
+                images[b],
+                reduce_maps(sal_b["output"], layer_indices, None, softmax,
+                            attention_norm, grid),
+                reduce_maps(sal_b["cross_attention"], layer_indices, None,
+                            softmax, attention_norm, grid),
+                return_pil_heatmaps, cmap,
+            ))
+        return outputs
+
+    # ------------------------------------------------------------------
     def _encode_pixels(self, image, height: int, width: int, seed: int,
                        sample: bool = True) -> jax.Array:
         """PIL/array -> [1, 3, H, W] in [-1, 1] -> VAE latents [1, 16, H/8, W/8].
@@ -898,19 +1012,19 @@ class ConceptAttentionFluxPipeline:
         # diffusion-noise draws, which use PRNGKey(seed [+ i]) directly — a
         # bare PRNGKey(seed) here would make sample 0's forward noise
         # bit-identical to the VAE noise (same shape), correlating them.
-        vae_key = (jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
-                   if sample else None)
+        vae_keys = (jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)[None]
+                    if sample else None)
         return _vae_encode(
-            self.ae_params, self.spec.ae_params, x, vae_key, sample=sample
+            self.ae_params, self.spec.ae_params, x, vae_keys, sample=sample
         ).astype(self.dtype)
 
     def _encode_pixels_batch(self, images, height: int, width: int,
-                             seed: int, sample: bool = True) -> jax.Array:
+                             seed, sample: bool = True) -> jax.Array:
         """B images -> [B, 16, H/8, W/8] latents in ONE batched encoder
-        forward. Bit-comparable with B per-image `_encode_pixels` calls:
-        every image there draws the same VAE noise (same model-level seed),
-        and `_vae_encode` broadcasts one [1, ...] reparameterization draw
-        over the batch to match."""
+        forward. `seed` is one int (eval harness: every image draws the VAE
+        noise its own `_encode_pixels` call would — same key) or a per-image
+        sequence (coalesced serving requests). Bit-comparable with B
+        per-image `_encode_pixels` calls either way (see `_vae_encode`)."""
         x = jnp.concatenate(
             [
                 jax.image.resize(
@@ -921,10 +1035,16 @@ class ConceptAttentionFluxPipeline:
             ],
             axis=0,
         )
-        vae_key = (jax.random.fold_in(jax.random.PRNGKey(seed), 0x7AE)
-                   if sample else None)
+        seeds = _seeds_list(seed, len(images))
+        vae_keys = (
+            jnp.stack([
+                jax.random.fold_in(jax.random.PRNGKey(s), 0x7AE)
+                for s in seeds
+            ])
+            if sample else None
+        )
         return _vae_encode(
-            self.ae_params, self.spec.ae_params, x, vae_key, sample=sample
+            self.ae_params, self.spec.ae_params, x, vae_keys, sample=sample
         ).astype(self.dtype)
 
     @staticmethod

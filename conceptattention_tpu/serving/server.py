@@ -210,9 +210,12 @@ class EncodeRequest:
     """One /v1/encode request: concept heatmaps for a REAL image (the
     zero-shot-segmentation serving path; pipeline `encode_image`, reference
     concept_attention_pipeline.py:204-357). The image rides in the JSON body
-    as base64 PNG/JPEG. Encodes are single-image dispatches, so the batch
-    key pins each request to its own group (the shared batcher still
-    serializes them against generation batches — one device dispatcher)."""
+    as base64 PNG/JPEG. Concurrent encodes sharing a batch key — which pins
+    shapes/protocol, NOT per-request content (image, prompt, seed, and the
+    concept *words* may all differ; only the concept COUNT is keyed) —
+    coalesce into one batched `encode_images` dispatch, the same ~2.9×
+    per-image marginal-cost lever the eval harness uses
+    (`bench.py --encode`)."""
 
     image_b64: str
     concepts: Tuple[str, ...]
@@ -231,11 +234,12 @@ class EncodeRequest:
     return_cross_attention: bool = False
 
     def batch_key(self) -> tuple:
-        # Encodes group like generates (one worker cycle runs the group),
-        # but each image is its own device dispatch inside _run_batch.
+        # Per-request content stays OUT of the key (encode_images takes
+        # per-image concepts/prompts/seeds); everything that selects the
+        # compiled graph or the shared reduction protocol stays in.
         return (
             "encode",
-            self.concepts,
+            len(self.concepts),
             self.width,
             self.height,
             self.num_samples,
@@ -761,7 +765,7 @@ class ConceptAttentionServer:
             logger.info("lora swap: %s", active)
             return [(active, 1)]
         if isinstance(head, EncodeRequest):
-            return [(self._run_encode(r), len(requests)) for r in requests]
+            return self._run_encode_group(requests)
         if isinstance(head, VideoGenerateRequest):
             # Unique batch key -> exactly one request per group (b1 sampler).
             return [(self._run_video(r), 1) for r in requests]
@@ -786,23 +790,33 @@ class ConceptAttentionServer:
         )[:n]
         return [(out, n) for out in outputs]
 
-    def _run_encode(self, request: EncodeRequest):
-        return self.pipeline.encode_image(
-            request.decode_image(),
-            list(request.concepts),
-            prompt=request.prompt,
-            width=request.width,
-            height=request.height,
-            layer_indices=(None if request.layer_indices is None
-                           else list(request.layer_indices)),
-            num_samples=request.num_samples,
-            num_steps=request.num_steps,
-            noise_timestep=request.noise_timestep,
-            seed=request.seed,
-            softmax=request.softmax,
-            attention_norm=request.attention_norm,
+    def _run_encode_group(self, requests):
+        """Coalesced /v1/encode group -> ONE `encode_images` dispatch,
+        padded to the next bucket size like generation (padding outputs
+        dropped) so the stopped forward compiles one graph per bucket.
+        The batch key guarantees shared shapes/protocol; image, prompt,
+        seed, and concept words are per-request."""
+        head = requests[0]
+        n = len(requests)
+        m = next_bucket(n, self._buckets)
+        grp = list(requests) + [requests[-1]] * (m - n)
+        outputs = self.pipeline.encode_images(
+            [r.decode_image() for r in grp],
+            [list(r.concepts) for r in grp],
+            prompts=[r.prompt for r in grp],
+            seeds=[r.seed for r in grp],
+            width=head.width,
+            height=head.height,
+            layer_indices=(None if head.layer_indices is None
+                           else list(head.layer_indices)),
+            num_samples=head.num_samples,
+            num_steps=head.num_steps,
+            noise_timestep=head.noise_timestep,
+            softmax=head.softmax,
+            attention_norm=head.attention_norm,
             return_pil_heatmaps=False,  # formatting is per-request, later
-        )
+        )[:n]
+        return [(out, n) for out in outputs]
 
     def _run_video(self, request: VideoGenerateRequest):
         return self.video_pipeline.generate_video(

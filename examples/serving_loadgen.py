@@ -10,6 +10,11 @@ headline is batch 8) while per-request latency rises with wait time.
     python -m conceptattention_tpu.serving --model flux-tiny --port 8311 &
     python examples/serving_loadgen.py --port 8311 --clients 8 --requests 32 \
         --width 64 --height 64 --steps 1
+
+`--mode encode` drives `POST /v1/encode` instead (the zero-shot-segmentation
+serving path): per-request images, concept words, and seeds, which still
+coalesce into batched `encode_images` dispatches because the encode batch key
+pins only the concept COUNT and the shape/protocol fields.
 """
 
 import argparse
@@ -20,7 +25,8 @@ import threading
 import time
 
 
-def call(host, port, body, timeout, max_retries: int = 8):
+def call(host, port, body, timeout, max_retries: int = 8,
+         path: str = "/v1/generate"):
     """One request, honoring the server's admission-control contract: a 503
     carries Retry-After (queue full) — back off and retry instead of failing.
     Returns (total_s, service_s, retries_503): total includes 503 round-trips
@@ -31,7 +37,7 @@ def call(host, port, body, timeout, max_retries: int = 8):
     while True:
         t_attempt = time.perf_counter()
         conn = http.client.HTTPConnection(host, port, timeout=timeout)
-        conn.request("POST", "/v1/generate", json.dumps(body),
+        conn.request("POST", path, json.dumps(body),
                      {"Content-Type": "application/json"})
         resp = conn.getresponse()
         data = resp.read()
@@ -59,25 +65,68 @@ def main():
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--timeout", type=float, default=600.0)
+    p.add_argument("--mode", choices=["generate", "encode"], default="generate",
+                   help="encode drives /v1/encode (the zero-shot-segmentation "
+                   "serving path) with per-request images/concepts/seeds — "
+                   "requests coalesce across different concept words since "
+                   "only the concept COUNT is in the batch key")
     args = p.parse_args()
 
-    base = {
-        "prompt": args.prompt,
-        "concepts": args.concepts,
-        "width": args.width,
-        "height": args.height,
-        "num_inference_steps": args.steps,
-    }
+    if args.mode == "encode":
+        import base64
+        import io
+
+        import numpy as np
+        import PIL.Image
+
+        rng = np.random.default_rng(0)
+        # A few distinct images so coalesced batches carry real per-image
+        # variety (one PNG per slot, reused round-robin).
+        pngs = []
+        for _ in range(4):
+            arr = rng.integers(0, 256, (args.height, args.width, 3),
+                               dtype=np.uint8)
+            buf = io.BytesIO()
+            PIL.Image.fromarray(arr).save(buf, format="PNG")
+            pngs.append(base64.b64encode(buf.getvalue()).decode())
+        # Same concept COUNT (the batch-key requirement), different words.
+        alt = (["tree", "water", "cloud", "sun", "grass", "rock"] * 4)
+        pools = [args.concepts, alt[:len(args.concepts)]]
+
+        path = "/v1/encode"
+
+        def make_body(i):
+            return {
+                "image": pngs[i % len(pngs)],
+                "concepts": pools[i % len(pools)],
+                "width": args.width,
+                "height": args.height,
+                "num_steps": args.steps,
+                "seed": i,
+                "heatmap_format": "array",
+            }
+    else:
+        path = "/v1/generate"
+
+        def make_body(i):
+            return {
+                "prompt": args.prompt,
+                "concepts": args.concepts,
+                "width": args.width,
+                "height": args.height,
+                "num_inference_steps": args.steps,
+                "seed": i,
+            }
     # Warm the compiled graphs outside the timed window: one solo request
     # (smallest bucket) plus a concurrent burst at the test's own concurrency,
     # which coalesces into the same buckets the timed phase will hit. (The
     # server's --warmup flag covers every bucket deterministically; this is
     # the client-side fallback.)
-    call(args.host, args.port, dict(base, seed=0), args.timeout)
+    call(args.host, args.port, make_body(0), args.timeout, path=path)
     warm_threads = [
         threading.Thread(
-            target=lambda s=s: call(args.host, args.port, dict(base, seed=s),
-                                    args.timeout)
+            target=lambda s=s: call(args.host, args.port, make_body(s),
+                                    args.timeout, path=path)
         )
         for s in range(args.clients)
     ]
@@ -98,7 +147,7 @@ def main():
                 return
             try:
                 dt, svc, retries = call(args.host, args.port,
-                                        dict(base, seed=i), args.timeout)
+                                        make_body(i), args.timeout, path=path)
                 with lock:
                     totals.append(dt)
                     services.append(svc)

@@ -128,6 +128,56 @@ class TestSegmentBatch:
             )
 
 
+class TestEncodeImages:
+    def test_matches_sequential_encode_image(self, pipe):
+        """The served coalescing path: per-image concepts, prompts, AND
+        seeds must each reproduce what that image's own encode_image call
+        draws."""
+        images = _images(3, seed=7)
+        concepts_list = [["cat", "sky"], ["dog", "sky"], ["sky", "cat"]]
+        prompts = ["a cat", "a dog", "the sky"]
+        seeds = [0, 11, 42]
+        outs = pipe.encode_images(
+            images, concepts_list, prompts=prompts, seeds=seeds,
+            width=SIZE, height=SIZE, num_samples=2, num_steps=2,
+            noise_timestep=1, layer_indices=[0, 1],
+            return_pil_heatmaps=False,
+        )
+        assert len(outs) == 3
+        for b in range(3):
+            direct = pipe.encode_image(
+                images[b], concepts_list[b], prompt=prompts[b],
+                width=SIZE, height=SIZE, num_samples=2, num_steps=2,
+                noise_timestep=1, layer_indices=[0, 1], seed=seeds[b],
+                return_pil_heatmaps=False,
+            )
+            np.testing.assert_allclose(
+                outs[b].concept_heatmaps, direct.concept_heatmaps,
+                rtol=2e-4, atol=1e-6, err_msg=f"image {b} heatmaps diverge",
+            )
+            np.testing.assert_allclose(
+                outs[b].cross_attention_maps, direct.cross_attention_maps,
+                rtol=2e-4, atol=1e-6,
+            )
+
+    def test_shared_concepts_and_defaults(self, pipe):
+        images = _images(2)
+        outs = pipe.encode_images(
+            images, ["cat", "sky"], width=SIZE, height=SIZE,
+            num_steps=2, noise_timestep=1, layer_indices=[0],
+            return_pil_heatmaps=False,
+        )
+        direct = pipe.encode_image(
+            images[0], ["cat", "sky"], width=SIZE, height=SIZE,
+            num_steps=2, noise_timestep=1, layer_indices=[0],
+            return_pil_heatmaps=False,
+        )
+        np.testing.assert_allclose(
+            outs[0].concept_heatmaps, direct.concept_heatmaps,
+            rtol=2e-4, atol=1e-6,
+        )
+
+
 def test_harness_image_batch_matches_per_image(tmp_path):
     """`--image_batch 2` over 3 synthetic images produces the same running
     metrics state as the per-image harness run."""

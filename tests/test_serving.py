@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import conceptattention_tpu as cat
 from conceptattention_tpu.serving import (
     ConceptAttentionServer,
+    EncodeRequest,
     GenerateRequest,
     MicroBatcher,
     RequestError,
@@ -362,6 +363,60 @@ class TestServerEndToEnd:
             num_steps=2, noise_timestep=1, seed=4, return_pil_heatmaps=False,
         )
         np.testing.assert_allclose(served, direct.concept_heatmaps[0], atol=1e-4)
+
+    def test_encode_requests_coalesce_across_concepts(self, server, pipe):
+        """Concurrent /v1/encode requests with DIFFERENT concept words (same
+        count), seeds, and images share a batch key and coalesce into one
+        encode_images dispatch — and each result still matches its own
+        direct encode_image call."""
+        import PIL.Image
+
+        rng = np.random.RandomState(7)
+        bodies, arrays, conc = {}, {}, {}
+        for i in range(4):
+            arr = (rng.rand(SIZE, SIZE, 3) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            PIL.Image.fromarray(arr).save(buf, format="PNG")
+            concepts = [["cat", "sky"], ["dog", "sea"],
+                        ["tree", "rock"], ["sun", "grass"]][i]
+            arrays[i], conc[i] = arr, concepts
+            bodies[i] = {
+                "image": base64.b64encode(buf.getvalue()).decode(),
+                "concepts": concepts, "width": SIZE, "height": SIZE,
+                "num_steps": 2, "noise_timestep": 1, "seed": 50 + i,
+                "heatmap_format": "array",
+            }
+        # Same batch key despite different words/seeds/images.
+        keys = {EncodeRequest.from_json(b).batch_key() for b in bodies.values()}
+        assert len(keys) == 1
+
+        results = {}
+
+        def call(i):
+            results[i] = _post(server.port, bodies[i], path="/v1/encode")
+
+        before = server.batcher.stats.batches_total
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(status == 200 for status, _ in results.values())
+        assert server.batcher.stats.batches_total - before < 4  # coalesced
+
+        for i in range(4):
+            direct = pipe.encode_image(
+                PIL.Image.fromarray(arrays[i]), conc[i], width=SIZE,
+                height=SIZE, num_steps=2, noise_timestep=1, seed=50 + i,
+                return_pil_heatmaps=False,
+            )
+            served = np.asarray(
+                results[i][1]["concept_heatmaps"][conc[i][0]], np.float32
+            )
+            np.testing.assert_allclose(
+                served, direct.concept_heatmaps[0], atol=1e-4,
+                err_msg=f"request {i} diverges from its direct encode",
+            )
 
     def test_encode_bad_inputs_are_400(self, server):
         status, data = _post(server.port, {"image": "!!notb64!!",
