@@ -399,24 +399,23 @@ def run_encode(iters: int = 6, *, size: int = 1024, depth: int = 19,
     t_fwd1 = stopped(1)
     t_fwd4 = stopped(4)
 
-    # --- image-batched eval mode (harness --image_batch: B images per
-    # dispatch, one batched VAE encode + one stopped forward; the stopped
-    # forward at B=8 is shape-identical to 8 distinct images since per-image
-    # text/concepts only change values, not shapes) ---
-    eval_b8 = {}
-    try:
-        x8 = jax.random.uniform(keys[2], (8, 3, size, size), dtype, -1.0, 1.0)
-        t_vae8 = loop_rate(enc, x8, ae_params, iters=iters)
-        t_fwd8 = stopped(8)
-        eval_b8 = {
-            "vae_encode_ms_b8": round(t_vae8 * 1000, 1),
-            "stopped_forward_ms_b8": round(t_fwd8 * 1000, 1),
-            "eval_images_per_sec_b8": round(8.0 / (t_vae8 + t_fwd8), 4),
-            "imagenet_seg_4.3k_est_min_b8": round(
-                4300 * (t_vae8 + t_fwd8) / 8 / 60, 1),
-        }
-    except Exception as e:  # RESOURCE_EXHAUSTED etc.: keep the b1/n4 record
-        eval_b8 = {"eval_b8_error": f"{type(e).__name__}: {str(e)[:200]}"}
+    # --- image-batched eval mode (harness --image_batch 4): the stopped
+    # forward batches 4 images per dispatch (shape-identical to n4 — the
+    # measurement above — since per-image text/concepts change values, not
+    # shapes) while the VAE encoder stays per-image. Batching the ENCODER
+    # was measured RESOURCE_EXHAUSTED at 1024^2 B in {8, 4, 2} next to the
+    # resident d19 DiT (its first-stage activations; one failed alloc also
+    # poisons later smaller attempts in-session), and at ~73 ms it is <15%
+    # of the eval cost, so the pipeline chunks it to 1 on TPU
+    # (_encode_pixels_batch) — this field is the composition of the two
+    # loop_rate numbers the harness therefore pays per 4-image batch.
+    eval_batched = {
+        "eval_image_batch": 4,
+        "vae_encoder_chunk": 1,
+        "eval_images_per_sec_batched": round(4.0 / (4 * t_vae + t_fwd4), 4),
+        "imagenet_seg_4.3k_est_min_batched": round(
+            4300 * (t_vae + t_fwd4 / 4) / 60, 1),
+    }
 
     record = {
         "metric": (
@@ -435,7 +434,7 @@ def run_encode(iters: int = 6, *, size: int = 1024, depth: int = 19,
         "images_per_sec_n4_samples": round(1.0 / (t_vae + t_fwd4), 4),
         "imagenet_seg_4.3k_est_min_n1": round(
             4300 * (t_vae + t_fwd1) / 60, 1),
-        **eval_b8,
+        **eval_batched,
     }
     return record
 

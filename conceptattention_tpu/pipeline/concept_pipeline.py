@@ -1020,32 +1020,45 @@ class ConceptAttentionFluxPipeline:
 
     def _encode_pixels_batch(self, images, height: int, width: int,
                              seed, sample: bool = True) -> jax.Array:
-        """B images -> [B, 16, H/8, W/8] latents in ONE batched encoder
-        forward. `seed` is one int (eval harness: every image draws the VAE
-        noise its own `_encode_pixels` call would — same key) or a per-image
-        sequence (coalesced serving requests). Bit-comparable with B
-        per-image `_encode_pixels` calls either way (see `_vae_encode`)."""
-        x = jnp.concatenate(
-            [
-                jax.image.resize(
-                    jnp.asarray(2.0 * as_float01_chw(im) - 1.0)[None],
-                    (1, 3, height, width), method="bilinear",
-                )
-                for im in images
-            ],
-            axis=0,
-        )
+        """B images -> [B, 16, H/8, W/8] latents. `seed` is one int (eval
+        harness: every image draws the VAE noise its own `_encode_pixels`
+        call would — same key) or a per-image sequence (coalesced serving
+        requests). Bit-comparable with B per-image `_encode_pixels` calls
+        either way (see `_vae_encode`).
+
+        On TPU-like backends the encoder runs per-image (chunk 1): the
+        1024² encoder's first-stage activations at B≥2 measured
+        RESOURCE_EXHAUSTED next to the resident d19 DiT (round-5 `bench.py
+        --encode` ladder), and at 73 ms/image the encoder is <15% of the
+        eval cost — the ~3× batching win lives in the stopped forward,
+        which stays fully batched. CPU (tests) keeps one batched forward."""
         seeds = _seeds_list(seed, len(images))
-        vae_keys = (
-            jnp.stack([
-                jax.random.fold_in(jax.random.PRNGKey(s), 0x7AE)
-                for s in seeds
-            ])
-            if sample else None
-        )
-        return _vae_encode(
-            self.ae_params, self.spec.ae_params, x, vae_keys, sample=sample
-        ).astype(self.dtype)
+        chunk = 1 if self.decode_dtype == jnp.bfloat16 else len(images)
+        outs = []
+        for lo in range(0, len(images), chunk):
+            group = images[lo:lo + chunk]
+            x = jnp.concatenate(
+                [
+                    jax.image.resize(
+                        jnp.asarray(2.0 * as_float01_chw(im) - 1.0)[None],
+                        (1, 3, height, width), method="bilinear",
+                    )
+                    for im in group
+                ],
+                axis=0,
+            )
+            vae_keys = (
+                jnp.stack([
+                    jax.random.fold_in(jax.random.PRNGKey(s), 0x7AE)
+                    for s in seeds[lo:lo + chunk]
+                ])
+                if sample else None
+            )
+            outs.append(_vae_encode(
+                self.ae_params, self.spec.ae_params, x, vae_keys,
+                sample=sample,
+            ))
+        return jnp.concatenate(outs, axis=0).astype(self.dtype)
 
     @staticmethod
     def _pixels_to_uint8(p) -> np.ndarray:

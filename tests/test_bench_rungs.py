@@ -61,6 +61,8 @@ def test_encode_rung_tiny(bench_mod):
     assert rec["vae_encode_ms"] > 0
     assert rec["stopped_forward_ms_n1"] > 0
     assert rec["stopped_forward_ms_n4"] > 0
-    # image-batched eval mode (harness --image_batch 8)
-    assert rec["eval_images_per_sec_b8"] > 0
-    assert rec["stopped_forward_ms_b8"] > 0
+    # image-batched eval mode (harness --image_batch 4, VAE encoder chunked
+    # to 1 on TPU — the composition of the two measured pieces)
+    assert rec["eval_image_batch"] == 4
+    assert rec["eval_images_per_sec_batched"] > 0
+    assert rec["eval_images_per_sec_batched"] > rec["value"] * 0.9

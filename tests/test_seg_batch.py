@@ -50,6 +50,18 @@ class TestEncodePixelsBatch:
             np.asarray(batched), np.asarray(singles), rtol=1e-5, atol=1e-6
         )
 
+    def test_chunked_encoder_path(self, pipe, monkeypatch):
+        """On TPU-like backends (decode_dtype bf16) the encoder runs chunk=1
+        (B>=2 at 1024^2 measured RESOURCE_EXHAUSTED beside the resident DiT);
+        chunking must not change the latents."""
+        images = _images(3)
+        full = pipe._encode_pixels_batch(images, SIZE, SIZE, seed=5)
+        monkeypatch.setattr(pipe, "decode_dtype", jnp.bfloat16)
+        chunked = pipe._encode_pixels_batch(images, SIZE, SIZE, seed=5)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-6
+        )
+
     def test_posterior_mean_mode(self, pipe):
         images = _images(2)
         batched = pipe._encode_pixels_batch(images, SIZE, SIZE, seed=5,
